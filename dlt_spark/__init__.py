@@ -1,0 +1,42 @@
+"""dlt_spark — a PySpark-native ELT/analytics engine with the query and
+data-processing capabilities of dlt-hub/dlt (see SURVEY.md), built
+Spark-first: DataFrames are the only data plane, Catalyst is the
+optimizer, and the load substrate is a swappable TableStore
+(parquet copy-on-write here; Delta/Iceberg in production).
+"""
+
+from .dataset.dataset import Dataset
+from .dataset.relation import Relation
+from .incremental import Incremental, incremental
+from .pipeline.pipeline import LoadInfo, Pipeline, pipeline
+from .pipeline.resources import (
+    DltResource,
+    DltSource,
+    DltTransformer,
+    mark,
+    resource,
+    source,
+    transformer,
+)
+from .schema.schema import Schema, SchemaContractViolation
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Dataset",
+    "DltResource",
+    "DltSource",
+    "DltTransformer",
+    "Incremental",
+    "LoadInfo",
+    "Pipeline",
+    "Relation",
+    "Schema",
+    "SchemaContractViolation",
+    "incremental",
+    "mark",
+    "pipeline",
+    "resource",
+    "source",
+    "transformer",
+]

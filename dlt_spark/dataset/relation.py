@@ -1,0 +1,273 @@
+"""Relation — the lazy read-path query builder.
+
+Re-expression of the reference Dataset/Relation layer
+(``dlt/dataset/relation.py:66-900``, ``dataset.py:52-360``).  Where the
+reference builds a sqlglot ``Select`` AST and ships SQL to a destination,
+here the IR *is* the Catalyst logical plan: a Relation wraps a DataFrame
+and every builder method returns a new Relation wrapping a transformed
+DataFrame.  Lineage/column typing (reference ``lineage.py:82-161``) is
+``df.schema`` for free; subquery merging / pruning is Catalyst's job.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema.typing import (
+    C_DLT_ID,
+    C_DLT_LOAD_ID,
+    C_DLT_PARENT_ID,
+    C_DLT_ROOT_ID,
+    LOADS_TABLE_NAME,
+)
+
+_OPS = {
+    "eq": "=",
+    "ne": "!=",
+    "gt": ">",
+    "lt": "<",
+    "gte": ">=",
+    "lte": "<=",
+    "in": "in",
+    "not_in": "not_in",
+}
+
+
+class Relation:
+    """Lazy query over one (possibly derived) table.
+
+    Builder methods mirror ``dlt.Relation``
+    (``dlt/dataset/relation.py:312-587``): ``select``, ``where``/
+    ``filter`` with the 8 comparison ops, ``order_by``, ``limit``/
+    ``head``, ``min``/``max``, ``join``, plus fetch terminals ``df()``
+    (pandas), ``arrow()``, ``fetchall()``, ``fetchone()``,
+    ``fetchscalar()``, and ``spark_df()`` — the DataFrame escape hatch
+    standing in for the reference's ``to_ibis()``.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "relation",
+        dataset: Optional["object"] = None,
+    ) -> None:
+        self._df = df
+        self.name = name
+        self._dataset = dataset
+
+    # -- builders (each returns a new Relation; plan stays lazy) --
+
+    def _wrap(self, df: DataFrame, name: Optional[str] = None) -> "Relation":
+        return Relation(df, name or self.name, self._dataset)
+
+    def select(self, *columns: str) -> "Relation":
+        return self._wrap(self._df.select(*columns))
+
+    def __getitem__(self, columns: Union[str, Sequence[str]]) -> "Relation":
+        if isinstance(columns, str):
+            return self.select(columns)
+        return self.select(*columns)
+
+    def where(
+        self,
+        column_or_expr: Union[str, Column],
+        operator: Optional[str] = None,
+        value: Any = None,
+    ) -> "Relation":
+        if operator is None:
+            # raw SQL expression or Column (reference relation.py:476-587)
+            cond = (
+                F.expr(column_or_expr)
+                if isinstance(column_or_expr, str)
+                else column_or_expr
+            )
+            return self._wrap(self._df.filter(cond))
+        op = operator.lower()
+        if op not in _OPS:
+            raise ValueError(f"unsupported operator {operator!r}; use one of {sorted(_OPS)}")
+        c = F.col(column_or_expr)
+        if op == "in":
+            cond = c.isin(list(value))
+        elif op == "not_in":
+            cond = ~c.isin(list(value))
+        else:
+            cond = {
+                "eq": c == F.lit(value),
+                "ne": c != F.lit(value),
+                "gt": c > F.lit(value),
+                "lt": c < F.lit(value),
+                "gte": c >= F.lit(value),
+                "lte": c <= F.lit(value),
+            }[op]
+        return self._wrap(self._df.filter(cond))
+
+    filter = where
+
+    def order_by(self, column: str, direction: str = "asc") -> "Relation":
+        col = F.col(column).desc() if direction.lower() == "desc" else F.col(column).asc()
+        return self._wrap(self._df.orderBy(col))
+
+    def limit(self, n: int) -> "Relation":
+        return self._wrap(self._df.limit(n))
+
+    def head(self, n: int = 5) -> "Relation":
+        return self.limit(n)
+
+    def max(self) -> Any:
+        """Max of the single selected column (reference relation.py:445)."""
+        return self._single_col_agg(F.max)
+
+    def min(self) -> Any:
+        return self._single_col_agg(F.min)
+
+    def _single_col_agg(self, fn: Any) -> Any:
+        cols = self._df.columns
+        if len(cols) != 1:
+            raise ValueError("min()/max() require exactly one selected column")
+        return self._df.agg(fn(F.col(cols[0]))).collect()[0][0]
+
+    def join(
+        self,
+        other: "Relation",
+        kind: str = "inner",
+        on: Optional[Union[str, Sequence[str], Column]] = None,
+        alias: Optional[str] = None,
+    ) -> "Relation":
+        """Join with explicit ``on`` or an ON clause derived from the
+        stored reference chain — parent/child/root/load links — like the
+        reference's schema-reference join (``relation.py:361-440``,
+        ``_join.py:62-125``)."""
+        how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[kind]
+        if on is None:
+            on = self._derive_on(other)
+        left, right = self._df, other._df
+        # disambiguate overlapping non-join columns with an alias prefix
+        if alias is not None:
+            overlap = set(left.columns) & set(right.columns)
+            join_cols = set(on) if isinstance(on, (list, tuple)) else ({on} if isinstance(on, str) else set())
+            for c in overlap - join_cols:
+                right = right.withColumnRenamed(c, f"{alias}__{c}")
+        return self._wrap(left.join(right, on=on, how=how))
+
+    def _derive_on(self, other: "Relation") -> Union[Column, List[str]]:
+        lcols, rcols = set(self._df.columns), set(other._df.columns)
+        # child -> parent by _dlt_parent_id = parent._dlt_id
+        if C_DLT_PARENT_ID in lcols and C_DLT_ID in rcols:
+            return self._df[C_DLT_PARENT_ID] == other._df[C_DLT_ID]
+        if C_DLT_ID in lcols and C_DLT_PARENT_ID in rcols:
+            return self._df[C_DLT_ID] == other._df[C_DLT_PARENT_ID]
+        # nested -> root by _dlt_root_id
+        if C_DLT_ROOT_ID in lcols and C_DLT_ID in rcols:
+            return self._df[C_DLT_ROOT_ID] == other._df[C_DLT_ID]
+        if C_DLT_ID in lcols and C_DLT_ROOT_ID in rcols:
+            return self._df[C_DLT_ID] == other._df[C_DLT_ROOT_ID]
+        # any table -> loads by _dlt_load_id
+        if C_DLT_LOAD_ID in lcols and "load_id" in rcols:
+            return self._df[C_DLT_LOAD_ID] == other._df["load_id"]
+        # fall back to shared natural keys (e.g. *_nationkey TPC-H style)
+        shared = [c for c in self._df.columns if c in rcols and not c.startswith("_dlt_")]
+        if shared:
+            return shared
+        raise ValueError(
+            f"cannot derive join condition between {self.name!r} and {other.name!r};"
+            " pass on=..."
+        )
+
+    # -- load-visibility helpers (reference relation.py:590-621) --
+
+    def from_loads(
+        self, load_ids: Optional[Sequence[str]] = None, status: Optional[int] = 0
+    ) -> "Relation":
+        """Restrict to rows from the given (or all successfully completed)
+        load packages — a semi-join against ``_dlt_loads``."""
+        if self._dataset is None:
+            raise ValueError("from_loads requires a dataset-bound relation")
+        loads = self._dataset.loads_table()._df
+        if load_ids is not None:
+            loads = loads.filter(F.col("load_id").isin(list(load_ids)))
+        elif status is not None:
+            loads = loads.filter(F.col("status") == status)
+        return self._wrap(
+            self._df.join(
+                F.broadcast(loads.select("load_id")),
+                on=self._df[C_DLT_LOAD_ID] == loads["load_id"],
+                how="left_semi",
+            )
+        )
+
+    # -- terminals --
+
+    def spark_df(self) -> DataFrame:
+        """The full-relational-algebra escape hatch: where the reference
+        returns an ibis table (``to_ibis()``), we return the DataFrame."""
+        return self._df
+
+    def df(self):
+        return self._df.toPandas()
+
+    def arrow(self):
+        try:
+            return self._df.toArrow()  # Spark 4
+        except AttributeError:  # pragma: no cover
+            import pyarrow as pa
+
+            return pa.Table.from_pandas(self._df.toPandas())
+
+    def fetchall(self) -> List[Tuple]:
+        return [tuple(r) for r in self._df.collect()]
+
+    def fetchmany(self, n: int) -> List[Tuple]:
+        return [tuple(r) for r in self._df.limit(n).collect()]
+
+    def fetchone(self) -> Optional[Tuple]:
+        rows = self._df.take(1)
+        return tuple(rows[0]) if rows else None
+
+    def fetchscalar(self) -> Any:
+        row = self.fetchone()
+        if row is None:
+            return None
+        if len(row) != 1:
+            raise ValueError("fetchscalar requires a single-column relation")
+        return row[0]
+
+    def iter_df(self, chunk_size: int = 100_000):
+        """Chunked pandas iteration via toLocalIterator — streams partitions
+        to the driver without materializing the whole result."""
+        import pandas as pd
+
+        buf: List[Any] = []
+        for row in self._df.toLocalIterator():
+            buf.append(row.asDict())
+            if len(buf) >= chunk_size:
+                yield pd.DataFrame(buf)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf)
+
+    @property
+    def columns(self) -> List[str]:
+        return self._df.columns
+
+    @property
+    def columns_schema(self) -> Dict[str, dict]:
+        """Output schema with dlt types — lineage via Catalyst analyzer
+        (the reference needs sqlglot ``annotate_types``; we read
+        ``df.schema``)."""
+        from ..schema.spark_types import from_spark_type
+
+        return {f.name: from_spark_type(f.dataType) for f in self._df.schema.fields}
+
+    def to_sql(self) -> str:
+        """Render an equivalent logical plan description (Spark has no
+        SQL un-parser; expose the optimized plan for inspection)."""
+        return self._df._jdf.queryExecution().optimizedPlan().toString()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    def row_count(self) -> int:
+        return self._df.count()

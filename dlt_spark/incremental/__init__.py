@@ -1,0 +1,204 @@
+"""Incremental / watermark extraction.
+
+Re-expression of ``dlt.sources.incremental``
+(``dlt/extract/incremental/__init__.py:92-180``, transforms
+``transform.py:104-366``, lag ``lag.py:77-121``) as a DataFrame filter
+factory plus persisted cursor state:
+
+- the cursor predicate is a plain ``Column`` expression, so it reaches the
+  parquet/JDBC scan as a **pushed filter** (check ``PushedFilters`` in
+  ``.explain``) — the Spark analog of the reference rendering the cursor
+  into the source WHERE clause (``incremental/sql.py``);
+- ``lag`` widens the re-read window for late-arriving data;
+- boundary dedup removes rows at exactly ``last_value`` that were already
+  loaded, by primary-key hash anti-join against the stored boundary hash
+  set (reference ``transform.py:104-117``) — the hash set is tiny (rows at
+  one cursor value), so the anti-join broadcasts;
+- state (cursor value + boundary hashes) round-trips through the
+  ``_dlt_pipeline_state`` table via the pipeline (``state.py``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..normalize.relational import key_hash
+
+LAST_VALUE_FUNCS = {"max": max, "min": min}
+
+
+@dataclass
+class Incremental:
+    """Declarative cursor over a column (``cursor_path``).
+
+    Supports ``last_value_func`` max (ascending cursor, default) / min
+    (descending); open/closed range edges via ``range_start``/``range_end``
+    (reference ``incremental/__init__.py:92-180``); bounded backfill via
+    ``end_value``; ``lag`` re-read window (seconds for
+    timestamp cursors, absolute units otherwise); NULL-cursor policy via
+    ``on_cursor_value_missing`` = raise | include | exclude.
+    """
+
+    cursor_path: str
+    initial_value: Any = None
+    last_value_func: str = "max"
+    end_value: Any = None
+    row_order: Optional[str] = None
+    on_cursor_value_missing: str = "raise"
+    lag: Optional[float] = None
+    range_start: str = "open"  # first boundary: open => >, closed => >=
+    range_end: str = "open"  # end_value edge: open => <, closed => <=
+    primary_key: Optional[Sequence[str]] = None
+
+    # runtime state
+    last_value: Any = None
+    boundary_hashes: List[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.last_value_func not in LAST_VALUE_FUNCS:
+            raise ValueError("last_value_func must be 'max' or 'min'")
+        if self.last_value is None:
+            self.last_value = self.initial_value
+
+    # -- predicate construction (pushdown-friendly) --
+
+    def _start_bound(self) -> Any:
+        start = self.last_value
+        if start is None:
+            return None
+        if self.lag:
+            start = _apply_lag(start, self.lag, self.last_value_func)
+        return start
+
+    def filter_condition(self) -> Optional[Column]:
+        c = F.col(self.cursor_path)
+        conds: List[Column] = []
+        start = self._start_bound()
+        asc = self.last_value_func == "max"
+        # when lag or end_value are active the boundary is re-read
+        # (closed), matching reference lag/backfill semantics
+        # (incremental/__init__.py:186-197)
+        closed_start = self.range_start == "closed" or self.lag is not None
+        if start is not None:
+            if asc:
+                conds.append(c >= F.lit(start) if closed_start else c > F.lit(start))
+            else:
+                conds.append(c <= F.lit(start) if closed_start else c < F.lit(start))
+        if self.end_value is not None:
+            if asc:
+                conds.append(
+                    c <= F.lit(self.end_value)
+                    if self.range_end == "closed"
+                    else c < F.lit(self.end_value)
+                )
+            else:
+                conds.append(
+                    c >= F.lit(self.end_value)
+                    if self.range_end == "closed"
+                    else c > F.lit(self.end_value)
+                )
+        if self.on_cursor_value_missing == "include":
+            if conds:
+                cond = conds[0]
+                for x in conds[1:]:
+                    cond = cond & x
+                return c.isNull() | cond
+            return None
+        if self.on_cursor_value_missing == "exclude" and not conds:
+            return c.isNotNull()
+        out = None
+        for x in conds:
+            out = x if out is None else out & x
+        return out
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Filter ``df`` to the incremental window and drop boundary rows
+        already seen in the previous run (pk-hash dedup)."""
+        if self.on_cursor_value_missing == "raise":
+            # surfaced lazily at scan time would be ideal; we validate the
+            # schema eagerly (cursor column must exist)
+            if self.cursor_path not in df.columns:
+                raise KeyError(f"cursor column {self.cursor_path!r} missing")
+        cond = self.filter_condition()
+        out = df.filter(cond) if cond is not None else df
+        if self.primary_key and self.boundary_hashes and self.last_value is not None:
+            at_boundary = F.col(self.cursor_path) == F.lit(self.last_value)
+            hashed = out.withColumn(
+                "_dlt_ih", key_hash(*[F.col(k) for k in self.primary_key])
+            )
+            seen = F.col("_dlt_ih").isin(self.boundary_hashes)
+            out = hashed.filter(~(at_boundary & seen)).drop("_dlt_ih")
+        return out
+
+    # -- state update (an aggregation job, driver gets 1 row) --
+
+    def update_state(self, df: DataFrame) -> "Incremental":
+        """Compute the new ``last_value`` and boundary pk-hash set from the
+        *loaded* window.  One ``agg`` + one tiny ``collect`` of boundary
+        hashes — both scale-free."""
+        agg_fn = F.max if self.last_value_func == "max" else F.min
+        row = df.agg(agg_fn(F.col(self.cursor_path)).alias("v")).collect()[0]
+        new_last = row["v"]
+        if new_last is None:
+            return self
+        if self.last_value is not None:
+            keep = LAST_VALUE_FUNCS[self.last_value_func](new_last, self.last_value)
+            new_last = keep
+        self.last_value = new_last
+        if self.primary_key:
+            hashes = (
+                df.filter(F.col(self.cursor_path) == F.lit(new_last))
+                .select(key_hash(*[F.col(k) for k in self.primary_key]).alias("h"))
+                .distinct()
+                .collect()
+            )
+            self.boundary_hashes = sorted(r["h"] for r in hashes)
+        return self
+
+    # -- state (de)serialization for _dlt_pipeline_state --
+
+    def to_state(self) -> dict:
+        lv = self.last_value
+        if isinstance(lv, (dt.datetime, dt.date)):
+            lv = lv.isoformat()
+        return {
+            "cursor_path": self.cursor_path,
+            "last_value": lv,
+            "last_value_type": type(self.last_value).__name__,
+            "boundary_hashes": list(self.boundary_hashes),
+        }
+
+    def restore_state(self, state: dict) -> "Incremental":
+        lv = state.get("last_value")
+        t = state.get("last_value_type")
+        if lv is not None and t == "datetime":
+            lv = dt.datetime.fromisoformat(lv)
+        elif lv is not None and t == "date":
+            lv = dt.date.fromisoformat(lv)
+        self.last_value = lv
+        self.boundary_hashes = list(state.get("boundary_hashes", []))
+        return self
+
+
+def _apply_lag(value: Any, lag: float, last_value_func: str) -> Any:
+    """Shift the boundary back (max) / forward (min) by the lag window
+    (reference ``lag.py:77-121``)."""
+    sign = -1 if last_value_func == "max" else 1
+    if isinstance(value, dt.datetime):
+        return value + dt.timedelta(seconds=sign * lag)
+    if isinstance(value, dt.date):
+        return value + dt.timedelta(days=sign * lag)
+    if isinstance(value, (int, float)):
+        out = value + sign * lag
+        return type(value)(out) if isinstance(value, int) and float(lag).is_integer() else out
+    raise TypeError(f"lag unsupported for cursor type {type(value)}")
+
+
+def incremental(cursor_path: str, initial_value: Any = None, **kwargs: Any) -> Incremental:
+    """Factory mirroring ``dlt.sources.incremental(...)``."""
+    return Incremental(cursor_path=cursor_path, initial_value=initial_value, **kwargs)

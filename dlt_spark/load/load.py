@@ -1,0 +1,282 @@
+"""Load stage: schema evolution against the store, disposition dispatch
+over table chains, and the atomic load-package commit protocol.
+
+Re-expression of ``dlt/load/load.py`` (job scheduling ``:271-370``,
+followup merge jobs ``:376``, ``complete_package:605``) minus the parts
+Spark makes free: there are no file jobs or worker pools — each table's
+write is one distributed Spark action.  What remains ours:
+
+- **table-chain ordering** (root before nested, reference
+  ``sql_jobs.py:48-75``);
+- **variant columns**: when an incoming batch's column type conflicts
+  with the stored table, rows that survive ``try_cast`` stay in the
+  column and the rest land in ``col__v_<type>`` (reference
+  ``jsonl.py:355-394``) — implemented with ``try_cast`` +
+  ``when/otherwise`` so the split is JVM-side and vectorized;
+- **atomic visibility**: data tables commit first, the ``_dlt_loads`` row
+  last; readers that filter through ``from_loads`` never see a partial
+  package (reference ``load.py:605``, ``utils.py:1352``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema.schema import Schema
+from ..schema.spark_types import from_spark_type, to_spark_type
+from ..schema.typing import (
+    C_DLT_ROOT_ID,
+    LOADS_TABLE_NAME,
+    VERSION_TABLE_NAME,
+    TTableSchema,
+)
+from ..store.table_store import TableStore
+from . import dispositions as D
+
+
+def align_with_variants(df: DataFrame, existing: DataFrame) -> DataFrame:
+    """Reconcile an incoming batch with the stored table's schema.
+
+    For a column whose incoming Spark type differs from the stored type:
+    values that cast cleanly stay; values that do not are nulled in the
+    typed column and preserved (as text) in a ``col__v_<dlt_type>``
+    sibling (reference variant mechanism, ``jsonl.py:355-394``).  New
+    columns are kept (schema evolution); columns missing from the batch
+    are filled with NULL.
+    """
+    existing_types = {f.name: f.dataType for f in existing.schema.fields}
+    out_cols = []
+    for f_in in df.schema.fields:
+        name, in_t = f_in.name, f_in.dataType
+        want = existing_types.get(name)
+        if want is None or want == in_t:
+            out_cols.append(F.col(name))
+            continue
+        casted = F.col(name).try_cast(want)
+        out_cols.append(casted.alias(name))
+        incoming_dlt = from_spark_type(in_t).get("data_type", "text")
+        variant_name = f"{name}__v_{incoming_dlt}"
+        out_cols.append(
+            F.when(F.col(name).isNotNull() & casted.isNull(), F.col(name).cast("string"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias(variant_name)
+        )
+    aligned = df.select(*out_cols)
+    # fill stored columns absent from the batch with typed NULLs
+    for name, want in existing_types.items():
+        if name not in aligned.columns:
+            aligned = aligned.withColumn(name, F.lit(None).cast(want))
+    return aligned
+
+
+def union_evolved(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Union with schema evolution: new columns appear as NULL on old rows."""
+    return existing.unionByName(batch, allowMissingColumns=True)
+
+
+class LoadStage:
+    def __init__(self, spark: SparkSession, store: TableStore, schema: Schema) -> None:
+        self.spark = spark
+        self.store = store
+        self.schema = schema
+
+    # -- single-table write with disposition --
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: TTableSchema,
+        load_id: str,
+        staging_of_chain: Optional[Dict[str, DataFrame]] = None,
+    ) -> None:
+        name = table["name"]
+        disposition = table.get("write_disposition", "append")
+        if disposition == "skip":
+            return
+        exists = self.store.exists(name)
+        dest = self.store.read(name) if exists else None
+
+        if dest is not None:
+            df = align_with_variants(df, dest)
+
+        if disposition == "append":
+            if dest is None:
+                self.store.append(df, name)
+            elif set(df.columns) != set(dest.columns):
+                self.store.overwrite(union_evolved(dest, df), name)
+            else:
+                self.store.append(df.select(*dest.columns), name)
+            return
+        if disposition == "replace":
+            self.store.overwrite(D.replace_table(df), name)
+            return
+        if disposition == "merge":
+            strategy = table.get("x_merge_strategy", "delete-insert")
+            pk = _hint_cols(table, "primary_key")
+            mk = _hint_cols(table, "merge_key")
+            dedup_sort = _first_hint_col(table, "dedup_sort")
+            hard_delete = _first_hint_col(table, "hard_delete")
+            if dest is not None and set(df.columns) - set(dest.columns):
+                dest = union_evolved(dest, df.limit(0))
+            if strategy == "delete-insert":
+                result = D.merge_delete_insert(
+                    dest, df, primary_key=pk or None, merge_key=mk or None,
+                    dedup_sort=dedup_sort, hard_delete_col=hard_delete,
+                )
+            elif strategy == "upsert":
+                if not pk:
+                    raise ValueError(f"upsert on {name!r} requires a primary_key")
+                result = D.merge_upsert(
+                    dest, df, primary_key=pk, dedup_sort=dedup_sort,
+                    hard_delete_col=hard_delete,
+                )
+            elif strategy == "insert-only":
+                if not pk:
+                    raise ValueError(f"insert-only on {name!r} requires a primary_key")
+                result = D.merge_insert_only(dest, df, primary_key=pk, dedup_sort=dedup_sort)
+            elif strategy == "scd2":
+                result = D.scd2_apply(
+                    dest, df,
+                    boundary_ts=table.get("x_boundary_timestamp") or load_id_to_ts(load_id),
+                    merge_key=mk or None,
+                )
+            else:
+                raise ValueError(f"unknown merge strategy {strategy!r}")
+            if dest is None:
+                self.store.append(result, name)
+            else:
+                self.store.overwrite(result, name)
+            return
+        raise ValueError(f"unknown write disposition {disposition!r}")
+
+    # -- chain write (root + nested tables, ordered) --
+
+    def write_chain(
+        self, tables: Dict[str, DataFrame], root_table: TTableSchema, load_id: str
+    ) -> None:
+        """Write a root table and its nested child tables in ancestry
+        order.  For delete-insert merges, child rows of replaced roots are
+        removed by ``_dlt_root_id`` before the child batch is appended
+        (reference root-key delete, ``sql_jobs.py:550-739``)."""
+        root_name = root_table["name"]
+        disposition = root_table.get("write_disposition", "append")
+        strategy = root_table.get("x_merge_strategy", "delete-insert")
+        root_df = tables[root_name]
+
+        deleted_root_ids: Optional[DataFrame] = None
+        surviving_root_ids: Optional[DataFrame] = None
+        if disposition == "merge" and strategy in ("delete-insert", "upsert", "insert-only"):
+            pk = _hint_cols(root_table, "primary_key")
+            keys = pk or _hint_cols(root_table, "merge_key")
+            dedup_sort = _first_hint_col(root_table, "dedup_sort")
+            hard_delete = _first_hint_col(root_table, "hard_delete")
+            # the staging roots that actually land (post dedup + hard
+            # delete) — only *their* children may be inserted (reference
+            # gen_merge_sql inserts children via _dlt_root_id IN deduped)
+            deduped = D.dedup_staging(root_df, pk, dedup_sort) if pk else root_df
+            if strategy == "insert-only" and pk and self.store.exists(root_name):
+                deduped = deduped.join(
+                    self.store.read(root_name).select(*pk).distinct(),
+                    on=pk, how="left_anti",
+                )
+            surviving_root_ids = D.apply_hard_delete(deduped, hard_delete).select(
+                F.col("_dlt_id").alias(C_DLT_ROOT_ID)
+            ).distinct()
+            if keys and self.store.exists(root_name):
+                dest_root = self.store.read(root_name)
+                # roots being replaced or deleted in this load
+                deleted_root_ids = (
+                    dest_root.join(
+                        F.broadcast(root_df.select(*keys).distinct()), on=keys, how="left_semi"
+                    ).select("_dlt_id")
+                )
+
+        self.write_table(root_df, root_table, load_id)
+
+        for child_name, child_df in tables.items():
+            if child_name == root_name:
+                continue
+            if disposition == "merge" and strategy in ("delete-insert", "upsert", "insert-only"):
+                if surviving_root_ids is not None and C_DLT_ROOT_ID in child_df.columns:
+                    child_df = child_df.join(
+                        F.broadcast(surviving_root_ids), on=C_DLT_ROOT_ID, how="left_semi"
+                    ).dropDuplicates(["_dlt_id"])
+                if self.store.exists(child_name):
+                    dest_child = self.store.read(child_name)
+                    if strategy != "insert-only" and deleted_root_ids is not None and C_DLT_ROOT_ID in dest_child.columns:
+                        dest_child = D.delete_child_rows(dest_child, deleted_root_ids)
+                    new_child = dest_child.unionByName(
+                        child_df.select(*dest_child.columns), allowMissingColumns=False
+                    ) if set(child_df.columns) == set(dest_child.columns) else union_evolved(dest_child, child_df)
+                    self.store.overwrite(new_child, child_name)
+                else:
+                    self.store.append(child_df, child_name)
+            elif disposition == "replace":
+                self.store.overwrite(child_df, child_name)
+            elif disposition == "merge" and strategy == "scd2":
+                # nested tables are insert-only by row-hash id
+                if self.store.exists(child_name):
+                    dest_child = self.store.read(child_name)
+                    fresh = child_df.join(
+                        dest_child.select("_dlt_id"), on="_dlt_id", how="left_anti"
+                    ).select(*dest_child.columns)
+                    self.store.append(fresh, child_name)
+                else:
+                    self.store.append(child_df, child_name)
+            else:
+                self.write_table(child_df, {"name": child_name, "parent": root_name}, load_id)
+
+    # -- commit protocol --
+
+    def commit_load(self, load_id: str, status: int = 0) -> None:
+        row = self.spark.createDataFrame(
+            [(load_id, self.schema.name, status, self.schema.version_hash)],
+            schema=T.StructType(
+                [
+                    T.StructField("load_id", T.StringType(), False),
+                    T.StructField("schema_name", T.StringType(), True),
+                    T.StructField("status", T.IntegerType(), False),
+                    T.StructField("schema_version_hash", T.StringType(), True),
+                ]
+            ),
+        ).withColumn("inserted_at", F.current_timestamp())
+        self.store.append(row, LOADS_TABLE_NAME)
+
+    def commit_schema(self) -> None:
+        row = self.spark.createDataFrame(
+            [
+                (
+                    self.schema.version,
+                    self.schema.version_hash,
+                    self.schema.name,
+                    self.schema.to_json(),
+                )
+            ],
+            schema="version int, version_hash string, schema_name string, schema string",
+        ).withColumn("inserted_at", F.current_timestamp())
+        self.store.append(row, VERSION_TABLE_NAME)
+
+
+def _hint_cols(table: TTableSchema, hint: str) -> List[str]:
+    return [c["name"] for c in table.get("columns", {}).values() if c.get(hint)]
+
+
+def _first_hint_col(table: TTableSchema, hint: str) -> Optional[str]:
+    cols = _hint_cols(table, hint)
+    return cols[0] if cols else None
+
+
+def load_id_to_ts(load_id: str) -> str:
+    """A load id is an epoch-seconds string (reference load package ids);
+    render it as an ISO timestamp for scd2 boundaries."""
+    import datetime as dt
+
+    try:
+        ts = dt.datetime.fromtimestamp(float(load_id), tz=dt.timezone.utc)
+    except ValueError:
+        ts = dt.datetime.now(tz=dt.timezone.utc)
+    return ts.strftime("%Y-%m-%d %H:%M:%S.%f")

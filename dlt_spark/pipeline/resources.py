@@ -1,0 +1,386 @@
+"""Resources, sources, transformers — the extract surface.
+
+Re-expression of ``@dlt.resource`` / ``@dlt.source`` / ``@dlt.transformer``
+(``dlt/extract/decorators.py:333-846``) and the pipe steps
+(``dlt/extract/items_transform.py``, ``resource.py:312-447``).
+
+A resource is a named producer of data for one (or dynamically many)
+tables.  Accepted payloads: Spark DataFrame, pandas DataFrame, pyarrow
+Table/RecordBatch, iterable/generator of dicts, or a callable returning
+any of those.  Whatever the input, it is materialized **once** into a
+Spark DataFrame (the engine's only data plane) and the declared pipe
+steps are compiled onto it:
+
+- ``add_map`` -> driver-side per-item fn for dict payloads, or a
+  DataFrame->DataFrame fn for columnar payloads;
+- ``add_filter`` -> ``df.filter`` (a Column/SQL-string predicate keeps the
+  filter JVM-side and pushdown-eligible; a Python callable falls back to
+  a row UDF and is the slow path, documented as such);
+- ``add_yield_map`` -> explode-style flatMap (driver-side for dict items);
+- ``add_limit`` -> ``df.limit``;
+- ``select_tables`` -> keeps only items routed to the given tables
+  (dynamic ``table_name=callable`` dispatch marks each item).
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import json
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..incremental import Incremental
+
+
+class WithTableName:
+    """Per-item routing marker (reference ``dlt/extract/resource.py:93``)."""
+
+    __slots__ = ("item", "table_name")
+
+    def __init__(self, item: Any, table_name: str) -> None:
+        self.item = item
+        self.table_name = table_name
+
+
+def with_table_name(item: Any, table_name: str) -> WithTableName:
+    return WithTableName(item, table_name)
+
+
+class mark:  # noqa: N801 - mirrors `dlt.mark`
+    with_table_name = staticmethod(with_table_name)
+
+
+class DltResource:
+    def __init__(
+        self,
+        data: Any,
+        name: str,
+        table_name: Optional[Union[str, Callable[[Any], str]]] = None,
+        write_disposition: str = "append",
+        primary_key: Optional[Sequence[str]] = None,
+        merge_key: Optional[Sequence[str]] = None,
+        columns: Optional[dict] = None,
+        incremental: Optional[Incremental] = None,
+        merge_strategy: Optional[str] = None,
+        max_table_nesting: Optional[int] = None,
+        parallelized: bool = False,
+        selected: bool = True,
+    ) -> None:
+        self._data = data
+        self.name = name
+        self.table_name = table_name or name
+        self.write_disposition = write_disposition
+        self.primary_key = [primary_key] if isinstance(primary_key, str) else primary_key
+        self.merge_key = [merge_key] if isinstance(merge_key, str) else merge_key
+        self.columns = columns or {}
+        self.incremental = incremental
+        self.merge_strategy = merge_strategy
+        self.max_table_nesting = max_table_nesting
+        self.parallelized = parallelized
+        self.selected = selected
+        self._item_steps: List = []  # driver-side per-item steps
+        self._df_steps: List[Callable[[DataFrame], DataFrame]] = []
+        self._limit: Optional[int] = None
+        self._selected_tables: Optional[List[str]] = None
+
+    # -- pipe steps (reference resource.py:327-447) --
+
+    def add_map(self, f: Callable[[Any], Any]) -> "DltResource":
+        self._item_steps.append(("map", f))
+        return self
+
+    def add_filter(self, f: Union[Callable[[Any], bool], str, Column]) -> "DltResource":
+        if isinstance(f, (str, Column)):
+            self._df_steps.append(lambda df: df.filter(f))
+        else:
+            self._item_steps.append(("filter", f))
+        return self
+
+    def add_yield_map(self, f: Callable[[Any], Iterable[Any]]) -> "DltResource":
+        self._item_steps.append(("yield_map", f))
+        return self
+
+    def add_limit(self, max_items: int) -> "DltResource":
+        self._limit = max_items
+        return self
+
+    def add_df_step(self, f: Callable[[DataFrame], DataFrame]) -> "DltResource":
+        """Columnar transform applied after DataFrame materialization —
+        the fast path for map/filter on large data."""
+        self._df_steps.append(f)
+        return self
+
+    def select_tables(self, *tables: str) -> "DltResource":
+        self._selected_tables = list(tables)
+        return self
+
+    def parallelize(self) -> "DltResource":
+        # Spark's task parallelism covers this (reference resource.py:447);
+        # kept for API parity.
+        self.parallelized = True
+        return self
+
+    def __or__(self, transformer: "DltTransformer") -> "DltResource":
+        """`resource | transformer` composition (reference resource.py:619)."""
+        return transformer.bind(self)
+
+    # -- materialization --
+
+    def _iter_items(self) -> Iterable[Any]:
+        data = self._data
+        if callable(data) and not isinstance(data, DataFrame):
+            data = data()
+        if inspect.isgenerator(data) or isinstance(data, (list, tuple)) or (
+            isinstance(data, Iterable) and not isinstance(data, (DataFrame, str, bytes, dict))
+        ):
+            yield from data
+        else:
+            yield data
+
+    def materialize(self, spark: SparkSession) -> Dict[str, DataFrame]:
+        """Evaluate the resource into ``{table_name: DataFrame}``.
+
+        Columnar payloads (DataFrame / pandas / arrow) pass straight
+        through — the Arrow fast path (reference ``extractors.py:356``).
+        Dict items run the driver-side pipe then ship to the JVM as one
+        JSON-lines dataset so Spark infers the nested schema (no
+        row-by-row Python typing on the hot path)."""
+        data = self._data
+        if callable(data) and not isinstance(data, DataFrame):
+            data = data()
+
+        if isinstance(data, DataFrame):
+            return {self._static_table_name(): self._apply_df_steps(data)}
+        try:
+            import pandas as pd
+
+            if isinstance(data, pd.DataFrame):
+                return {
+                    self._static_table_name(): self._apply_df_steps(
+                        spark.createDataFrame(data)
+                    )
+                }
+        except ImportError:  # pragma: no cover
+            pass
+        try:
+            import pyarrow as pa
+
+            if isinstance(data, (pa.Table, pa.RecordBatch)):
+                tbl = data if isinstance(data, pa.Table) else pa.Table.from_batches([data])
+                return {
+                    self._static_table_name(): self._apply_df_steps(
+                        spark.createDataFrame(tbl.to_pandas())
+                    )
+                }
+        except ImportError:  # pragma: no cover
+            pass
+
+        # dict-items path
+        routed: Dict[str, List[Any]] = {}
+        count = 0
+        for item in self._iter_items():
+            if isinstance(item, DataFrame):
+                # generator of DataFrames: union afterwards
+                routed.setdefault(self._static_table_name(), []).append(item)
+                continue
+            for out in self._apply_item_steps(item):
+                tname = self._route(out)
+                payload = out.item if isinstance(out, WithTableName) else out
+                if self._selected_tables and tname not in self._selected_tables:
+                    continue
+                routed.setdefault(tname, []).append(payload)
+                count += 1
+            if self._limit is not None and count >= self._limit:
+                break
+
+        result: Dict[str, DataFrame] = {}
+        for tname, items in routed.items():
+            if items and isinstance(items[0], DataFrame):
+                df = items[0]
+                for d in items[1:]:
+                    df = df.unionByName(d, allowMissingColumns=True)
+            else:
+                if self._limit is not None:
+                    items = items[: self._limit]
+                df = _dicts_to_df(spark, items)
+            result[tname] = self._apply_df_steps(df)
+        return result
+
+    def _static_table_name(self) -> str:
+        return self.table_name if isinstance(self.table_name, str) else self.name
+
+    def _route(self, item: Any) -> str:
+        if isinstance(item, WithTableName):
+            return item.table_name
+        if callable(self.table_name):
+            return self.table_name(item)
+        return self.table_name
+
+    def _apply_item_steps(self, item: Any) -> Iterable[Any]:
+        outs = [item]
+        for kind, f in self._item_steps:
+            next_outs: List[Any] = []
+            for it in outs:
+                if kind == "map":
+                    next_outs.append(f(it))
+                elif kind == "filter":
+                    if f(it):
+                        next_outs.append(it)
+                elif kind == "yield_map":
+                    next_outs.extend(f(it))
+            outs = next_outs
+        return outs
+
+    def _apply_df_steps(self, df: DataFrame) -> DataFrame:
+        for f in self._df_steps:
+            df = f(df)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+
+def _dicts_to_df(spark: SparkSession, items: List[Any]) -> DataFrame:
+    """Dicts -> nested DataFrame via JVM-side JSON inference: one
+    driver->JVM transfer, schema inferred by Spark's JSON reader (handles
+    nesting, nulls, mixed numerics), no Python-per-row typing."""
+    lines = [json.dumps(i, default=str) for i in items]
+    str_df = spark.createDataFrame([(line,) for line in lines], schema="value string")
+    import pyspark.sql.functions as F
+
+    schema = (
+        spark.range(1)
+        .select(F.schema_of_json(F.lit(_merge_json_sample(lines))))
+        .collect()[0][0]
+        if lines
+        else "struct<>"
+    )
+    parsed = str_df.select(F.from_json("value", schema).alias("j")).select("j.*")
+    return parsed
+
+
+def _merge_json_sample(lines: List[str], max_sample: int = 1000) -> str:
+    """Build a representative JSON document for schema inference by
+    merging keys across a sample of items (late/nullable keys appear in
+    some rows only)."""
+    merged: dict = {}
+
+    def merge(dst: dict, src: dict) -> None:
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            elif isinstance(v, list):
+                cur = dst.get(k)
+                items = [x for x in v if x is not None]
+                if isinstance(cur, list):
+                    dst[k] = cur + items
+                else:
+                    dst[k] = items
+                if dst[k] and isinstance(dst[k][0], dict):
+                    acc: dict = {}
+                    for el in dst[k]:
+                        if isinstance(el, dict):
+                            merge(acc, el)
+                    dst[k] = [acc]
+            else:
+                if dst.get(k) is None or (isinstance(v, float) and isinstance(dst.get(k), int)):
+                    dst[k] = v
+
+    for line in lines[:max_sample]:
+        obj = json.loads(line)
+        if isinstance(obj, dict):
+            merge(merged, obj)
+    return json.dumps(merged)
+
+
+class DltTransformer:
+    """A resource fed per-item from a parent resource
+    (reference ``decorators.py:794-846``)."""
+
+    def __init__(self, f: Callable[..., Any], name: str, **hints: Any) -> None:
+        self.f = f
+        self.name = name
+        self.hints = hints
+
+    def bind(self, parent: DltResource) -> DltResource:
+        def generate() -> Iterable[Any]:
+            for item in parent._iter_items():
+                out = self.f(item)
+                if inspect.isgenerator(out) or isinstance(out, (list, tuple)):
+                    yield from out
+                else:
+                    yield out
+
+        return DltResource(generate, name=self.name, **self.hints)
+
+
+class DltSource:
+    """Groups resources under a shared section/schema
+    (reference ``decorators.py:333-366``)."""
+
+    def __init__(self, name: str, resources: List[DltResource]) -> None:
+        self.name = name
+        self.resources = {r.name: r for r in resources}
+
+    def with_resources(self, *names: str) -> "DltSource":
+        for n, r in self.resources.items():
+            r.selected = n in names
+        return self
+
+    def selected_resources(self) -> List[DltResource]:
+        return [r for r in self.resources.values() if r.selected]
+
+
+def resource(
+    data: Optional[Any] = None,
+    /,
+    name: Optional[str] = None,
+    **hints: Any,
+) -> Any:
+    """``@resource`` decorator / factory (reference decorators.py:461-543)."""
+
+    def make(fn_or_data: Any, rname: str) -> DltResource:
+        return DltResource(fn_or_data, name=rname, **hints)
+
+    if data is not None and not callable(data):
+        return make(data, name or "content")
+    if data is not None and callable(data):
+        return make(data, name or data.__name__)
+
+    def deco(fn: Callable[..., Any]) -> Callable[..., DltResource]:
+        @functools.wraps(fn)
+        def wrapper(*args: Any, **kwargs: Any) -> DltResource:
+            return make(lambda: fn(*args, **kwargs), name or fn.__name__)
+
+        wrapper.__dlt_resource__ = True  # type: ignore[attr-defined]
+        return wrapper
+
+    return deco
+
+
+def transformer(name: Optional[str] = None, **hints: Any) -> Callable:
+    def deco(fn: Callable[..., Any]) -> DltTransformer:
+        return DltTransformer(fn, name or fn.__name__, **hints)
+
+    return deco
+
+
+def source(fn: Optional[Callable] = None, name: Optional[str] = None) -> Any:
+    def deco(f: Callable[..., Any]) -> Callable[..., DltSource]:
+        @functools.wraps(f)
+        def wrapper(*args: Any, **kwargs: Any) -> DltSource:
+            out = f(*args, **kwargs)
+            resources = []
+            for item in out if isinstance(out, (list, tuple)) else [out]:
+                if isinstance(item, DltResource):
+                    resources.append(item)
+                elif callable(item) and getattr(item, "__dlt_resource__", False):
+                    resources.append(item())
+            return DltSource(name or f.__name__, resources)
+
+        return wrapper
+
+    if fn is not None:
+        return deco(fn)
+    return deco

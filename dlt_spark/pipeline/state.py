@@ -1,0 +1,68 @@
+"""Pipeline state persisted to the destination.
+
+Re-expression of ``dlt/pipeline/state_sync.py:95-139`` and the
+``_dlt_pipeline_state`` table (``dlt/common/schema/utils.py:1398``): a
+versioned JSON blob appended once per state change; restore reads the
+highest version.  Holds incremental cursors and arbitrary
+``dlt.current.state()``-style user state.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schema.typing import STATE_TABLE_NAME
+from ..store.table_store import TableStore
+
+
+class PipelineState:
+    def __init__(self, pipeline_name: str) -> None:
+        self.pipeline_name = pipeline_name
+        self.version = 0
+        self.state: Dict[str, Any] = {"sources": {}}
+
+    # -- accessors --
+
+    def source_state(self, source: str) -> Dict[str, Any]:
+        return self.state["sources"].setdefault(source, {})
+
+    def resource_state(self, source: str, resource: str) -> Dict[str, Any]:
+        return self.source_state(source).setdefault("resources", {}).setdefault(resource, {})
+
+    # -- persistence --
+
+    def persist(self, spark: SparkSession, store: TableStore, load_id: str) -> None:
+        self.version += 1
+        row = spark.createDataFrame(
+            [
+                (
+                    self.version,
+                    self.pipeline_name,
+                    json.dumps(self.state, default=str),
+                    load_id,
+                )
+            ],
+            schema="version int, pipeline_name string, state string, _dlt_load_id string",
+        ).withColumn("created_at", F.current_timestamp())
+        store.append(row, STATE_TABLE_NAME)
+
+    @classmethod
+    def restore(
+        cls, store: TableStore, pipeline_name: str
+    ) -> Optional["PipelineState"]:
+        if not store.exists(STATE_TABLE_NAME):
+            return None
+        df = store.read(STATE_TABLE_NAME).filter(
+            F.col("pipeline_name") == pipeline_name
+        )
+        rows = df.orderBy(F.col("version").desc()).limit(1).collect()
+        if not rows:
+            return None
+        st = cls(pipeline_name)
+        st.version = rows[0]["version"]
+        st.state = json.loads(rows[0]["state"])
+        return st

@@ -1,0 +1,157 @@
+"""Table substrate: versioned copy-on-write parquet tables.
+
+The reference loads into 23 destinations (``dlt/destinations/impl/*``);
+this engine targets **one**: Spark-managed tables.  In production that is
+Delta or Iceberg (atomic MERGE/replace, snapshot isolation, file skipping).
+Neither runtime jar ships in this container, so :class:`ParquetTableStore`
+provides the same *contract* on plain parquet:
+
+- each commit writes a fresh ``v_{n}`` directory (copy-on-write) and then
+  atomically flips a ``_current`` pointer file — readers never observe a
+  half-written table (the moral equivalent of the Delta transaction log,
+  one snapshot deep... plus history);
+- ``append`` adds files to a *new* version dir listing prior files via a
+  manifest, so appends are O(new data), not O(table);
+- read-modify-write (merge/upsert/scd2) reads snapshot N and commits
+  snapshot N+1 — safe because the input files are immutable.
+
+Every operation is expressed through ``df.write.parquet`` /
+``spark.read.parquet`` so swapping in Delta (``format("delta")`` +
+``MERGE INTO``) or Iceberg is a one-class change — see
+:class:`TableStore` for the interface the dispositions code against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    """Interface the load stage programs against (Delta/Iceberg bindable)."""
+
+    def exists(self, table: str) -> bool:
+        raise NotImplementedError
+
+    def read(self, table: str) -> DataFrame:
+        raise NotImplementedError
+
+    def append(self, df: DataFrame, table: str) -> None:
+        raise NotImplementedError
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        raise NotImplementedError
+
+    def truncate(self, table: str) -> None:
+        raise NotImplementedError
+
+    def drop(self, table: str) -> None:
+        raise NotImplementedError
+
+    def list_tables(self) -> List[str]:
+        raise NotImplementedError
+
+
+class ParquetTableStore(TableStore):
+    def __init__(self, spark: SparkSession, root: str, dataset: str = "default") -> None:
+        self.spark = spark
+        self.root = os.path.join(root, dataset)
+        self.dataset = dataset
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- layout helpers --
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_current")
+
+    def _current_meta(self, table: str) -> Optional[dict]:
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, meta: dict) -> None:
+        """Atomic pointer flip via rename on the same filesystem."""
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="_current.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._pointer(table))
+
+    def _next_version(self, table: str) -> int:
+        meta = self._current_meta(table)
+        return (meta["version"] + 1) if meta else 0
+
+    def _data_paths(self, table: str) -> List[str]:
+        meta = self._current_meta(table)
+        if not meta:
+            raise FileNotFoundError(f"table {table!r} does not exist in {self.root}")
+        return meta["paths"]
+
+    # -- TableStore API --
+
+    def exists(self, table: str) -> bool:
+        meta = self._current_meta(table)
+        return bool(meta and meta["paths"])
+
+    def read(self, table: str) -> DataFrame:
+        paths = self._data_paths(table)
+        if not paths:
+            raise FileNotFoundError(f"table {table!r} is empty and schemaless")
+        return self.spark.read.parquet(*paths)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        v = self._next_version(table)
+        new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
+        df.write.mode("overwrite").parquet(new_dir)
+        prev = self._current_meta(table)
+        paths = (prev["paths"] if prev else []) + [new_dir]
+        self._commit(table, {"version": v, "paths": paths})
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        v = self._next_version(table)
+        new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
+        df.write.mode("overwrite").parquet(new_dir)
+        self._commit(table, {"version": v, "paths": [new_dir]})
+        self._vacuum(table, keep=2)
+
+    def truncate(self, table: str) -> None:
+        if self._current_meta(table) is not None:
+            v = self._next_version(table)
+            self._commit(table, {"version": v, "paths": []})
+
+    def drop(self, table: str) -> None:
+        d = self._table_dir(table)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def list_tables(self) -> List[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            t
+            for t in os.listdir(self.root)
+            if os.path.exists(self._pointer(t)) and self.exists(t)
+        )
+
+    def _vacuum(self, table: str, keep: int) -> None:
+        """Remove version dirs no longer referenced (best-effort)."""
+        meta = self._current_meta(table)
+        if not meta:
+            return
+        live = {os.path.basename(p) for p in meta["paths"]}
+        d = self._table_dir(table)
+        versions = sorted(v for v in os.listdir(d) if v.startswith("v_"))
+        for v in versions[:-keep] if keep else versions:
+            if v not in live:
+                shutil.rmtree(os.path.join(d, v), ignore_errors=True)
