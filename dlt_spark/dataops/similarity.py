@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators (BASELINE.json north star):
+
+- :func:`cosine_topk` — exact brute-force top-k: one narrow projection
+  computing the dot product via ``zip_with``/``aggregate`` (JVM codegen),
+  then a k-row ``orderBy``+``limit`` which Spark executes as TakeOrdered
+  (per-partition heaps + driver merge of k·P rows, never a full sort);
+- :func:`lsh_index` / :func:`lsh_topk` — random-hyperplane LSH: sign
+  signature via deterministic seeded hyperplanes, candidates share a
+  signature prefix bucket, exact re-rank inside the bucket.  The scale
+  path: index once, probe with a bucket equi-join instead of a full scan;
+- :func:`ivf_index` / :func:`ivf_topk` — IVF-flat: k-means-lite
+  centroids (seeded sample, few Lloyd iterations computed as DataFrame
+  aggregations), vectors assigned to nearest centroid partition; queries
+  probe the ``nprobe`` nearest centroids only.
+
+Everything is pure DataFrame ops; the only driver-side data is the query
+vector and the (small) centroid set.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_sim
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector.
+    Returns (id, cosine) ordered desc, ties broken by id asc for
+    determinism."""
+    q = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), decimals).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ------------------------------------------------------ hyperplane LSH
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes via a seeded LCG — no
+    numpy requirement at call sites, reproducible across engines."""
+    out: List[List[float]] = []
+    state = seed
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            plane.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        out.append(plane)
+    return out
+
+
+def lsh_signature(vec_col: Column, planes: List[List[float]]) -> Column:
+    """Sign-bit signature string, e.g. '1011...' — one bit per plane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, _vec_lit(p), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_index(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the LSH bucket signature; persist/bucket-by this column for
+    repeated probes (`df.write.bucketBy(num_buckets, '_lsh_bucket')`)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    return df.withColumn("_lsh_bucket", lsh_signature(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    indexed: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Probe an LSH index: candidates whose signature is within
+    ``max_hamming`` bits of the query signature, exact cosine re-rank.
+    Recall/cost dial: ``max_hamming`` (0 = single bucket)."""
+    planes = _hyperplanes(len(query_vec), num_planes, seed)
+    qsig = "".join(
+        "1" if sum(q * w for q, w in zip(query_vec, p)) >= 0 else "0" for p in planes
+    )
+    # hamming distance between signature strings, JVM-side
+    diff = sum(
+        (F.substring(F.col("_lsh_bucket"), i + 1, 1) != qsig[i]).cast("int")
+        for i in range(num_planes)
+    )
+    candidates = indexed.filter(diff <= max_hamming)
+    return cosine_topk(candidates, query_vec, id_col, vec_col, k, decimals)
+
+
+# ----------------------------------------------------------- IVF-flat
+
+
+def ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> tuple:
+    """Build an IVF-flat index: seeded-sample centroids refined with a few
+    Lloyd iterations, each an ``groupBy(centroid).avg`` DataFrame pass.
+    Returns (assigned_df_with `_ivf_cell`, centroids list).  At 100 TB the
+    assignment pass is one scan; centroids stay driver-side (tiny)."""
+    sample_rows = (
+        df.select(vec_col)
+        .sample(False, min(1.0, max(0.001, num_centroids * 50 / max(df.count(), 1))), seed=seed)
+        .limit(num_centroids * 50)
+        .collect()
+    )
+    if len(sample_rows) < num_centroids:
+        raise ValueError("not enough vectors to build IVF index")
+    centroids = [list(map(float, sample_rows[i][0])) for i in range(num_centroids)]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        best_idx, best_dot = F.lit(0), F.lit(-1e30)
+        for i, c in enumerate(centroids):
+            d = cosine_sim(F.col(vec_col), _vec_lit(c))
+            best_idx = F.when(d > best_dot, F.lit(i)).otherwise(best_idx)
+            best_dot = F.when(d > best_dot, d).otherwise(best_dot)
+        return frame.withColumn("_ivf_cell", best_idx)
+
+    for _ in range(iters):
+        assigned = assign(df)
+        dim = len(centroids[0])
+        agg = assigned.groupBy("_ivf_cell").agg(
+            *[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)]
+        )
+        for row in agg.collect():
+            centroids[row["_ivf_cell"]] = [row[f"c{i}"] for i in range(dim)]
+    return assign(df), centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: List[List[float]],
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells, exact re-rank inside them —
+    partition pruning does the rest when the index is written
+    ``partitionBy('_ivf_cell')``."""
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
+    cells = order[:nprobe]
+    return cosine_topk(
+        indexed.filter(F.col("_ivf_cell").isin(cells)), query_vec, id_col, vec_col, k, decimals
+    )

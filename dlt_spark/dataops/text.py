@@ -1,0 +1,142 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting.  Everything is
+a ``Column`` expression built from ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen, zero Python in the hot path — so a 100 TB documents
+scan runs at I/O speed.  Each helper has an exact ANSI-SQL equivalent
+(documented inline) used by the DuckDB oracle in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (deterministic, dependency-free)
+STOPWORDS: Dict[str, tuple] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization.  SQL: ``regexp_split_to_array(trim(text), '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """SQL: ``len(regexp_split_to_array(trim(text), '\\s+'))``."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND
+    letter/digit/punct boundaries (a cheap BPE proxy).
+    SQL: ``len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))``."""
+    return F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
+
+
+def unique_token_ratio(text: Column, decimals: int = 6) -> Column:
+    """Lexical diversity — distinct/total tokens, rounded for cross-engine
+    float stability.
+    SQL: ``round(len(list_distinct(toks)) / len(toks), 6)``."""
+    t = tokens(text)
+    return F.round(F.size(F.array_distinct(t)) / F.size(t), decimals)
+
+
+def mean_token_length(text: Column, decimals: int = 6) -> Column:
+    """SQL: ``round(len(array_to_string(toks,'')) / len(toks), 6)``."""
+    t = tokens(text)
+    return F.round(
+        F.length(F.array_join(t, "")) / F.size(t), decimals
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens in the language's stopword list.
+    SQL: ``len(list_filter(toks, t -> t IN (...)))``."""
+    words = STOPWORDS[lang]
+    t = tokens(F.lower(text))
+    return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language ID over the built-in lists; ties resolve
+    by fixed language order (en, de, es, fr), 'und' when no hits.
+    Deterministic and SQL-expressible (CASE over the per-language scores).
+    """
+    scores = {lang: stopword_hits(text, lang) for lang in ("en", "de", "es", "fr")}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in ("fr", "es", "de", "en"):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(text: Column, decimals: int = 6) -> Column:
+    """Punctuation chars / total chars.
+    SQL: ``round(len(regexp_extract_all(text,'[^a-zA-Z0-9\\s]')) / length(text), 6)``."""
+    return F.round(
+        F.size(F.expr(r"regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)")) / F.length(text),
+        decimals,
+    )
+
+
+def quality_score(text: Column, decimals: int = 6) -> Column:
+    """Composite quality heuristic in [0,1]: rewards lexical diversity and
+    mid-range document length, penalizes punctuation soup.  A deterministic
+    arithmetic formula (C4/Gopher-style rule scoring), exactly expressible
+    in SQL for the oracle."""
+    n = token_count(text)
+    diversity = F.size(F.array_distinct(tokens(text))) / n
+    length_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct = F.size(F.expr(r"regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)")) / F.length(text)
+    return F.round(diversity * 0.5 + length_ok * 0.4 + (1.0 - punct) * 0.1, decimals)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: sha256 hex of the whitespace-normalized,
+    lowercased text.  SQL: ``sha256(array_to_string(regexp_split_to_array(
+    trim(lower(text)),'\\s+'),' '))``."""
+    normalized = F.array_join(tokens(F.lower(text)), " ")
+    return F.sha2(normalized, 256)
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min over rolling sha-based hashes of
+    `window`-grams — robust to local edits.  SQL-expressible via
+    list_transform + list_min over generate_series."""
+    t = tokens(F.lower(text))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, window), " "),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.sha2(g, 256), 1, 15), 16, 10).cast("bigint"),
+    )
+    return F.array_min(hashes)
+
+
+def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all metrics as columns in a single projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "uniq_ratio": unique_token_ratio(c),
+            "mean_tok_len": mean_token_length(c),
+            "punct_ratio": punct_ratio(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )
