@@ -145,9 +145,15 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 5) ->
     """MinHash signature as array<bigint>: for seed k, min over shingles
     of the portable 60-bit hash.  Fully JVM-side (transform/array_min)."""
     sh = shingles(text, shingle_n)
+
+    def hash_with_seed(k: int):
+        # closure factory: PySpark introspects lambda arity, so a `k=k`
+        # default would receive the array-index Column instead of the seed
+        return lambda s: portable_hash64(s, seed=k)
+
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, k=k: portable_hash64(s, seed=k)))
+            F.array_min(F.transform(sh, hash_with_seed(k)))
             for k in range(num_hashes)
         ]
     )
@@ -232,14 +238,14 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     Built from bitwise column ops — no UDF."""
     sh = shingles(text, shingle_n)
     hashes = F.transform(sh, lambda s: portable_hash64(s, seed=7))
+
+    def vote_bit(i: int):
+        mask = F.lit(1 << i)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
     bits = []
     for i in range(60):  # portable_hash64 yields 60-bit values
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-        )
+        votes = F.aggregate(hashes, F.lit(0), vote_bit(i))
         bits.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = F.lit(0)
     for b in bits:

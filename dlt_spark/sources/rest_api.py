@@ -1,0 +1,377 @@
+"""Declarative REST API source — driver-side fetch, Spark-side data plane.
+
+Re-expression of the reference rest_api source
+(``dlt/sources/rest_api/__init__.py:63-78``, config schema
+``typing.py:256-322``, paginators
+``dlt/sources/helpers/rest_client/paginators.py``, auth
+``rest_api/typing.py:145-199``).  API pagination is inherently sequential
+per endpoint, so the HTTP loop stays on the driver (exactly like the
+reference); every page lands in the engine as rows for one
+``spark.createDataFrame``-backed resource, and everything downstream
+(normalize/merge/incremental) is distributed.
+
+The HTTP transport is injectable (``session=``) so tests run against a
+fake; the default uses ``urllib`` from the standard library (no external
+deps in this container).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import urllib.parse
+import urllib.request
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+from ..pipeline.resources import DltResource, DltSource
+
+# ----------------------------------------------------------------- auth
+
+
+class BearerTokenAuth:
+    """``Authorization: Bearer <token>`` (reference typing.py:152)."""
+
+    def __init__(self, token: str) -> None:
+        self.token = token
+
+    def headers(self) -> Dict[str, str]:
+        return {"Authorization": f"Bearer {self.token}"}
+
+
+class APIKeyAuth:
+    """Key in header or query (reference typing.py:160)."""
+
+    def __init__(self, name: str, api_key: str, location: str = "header") -> None:
+        self.name, self.api_key, self.location = name, api_key, location
+
+    def headers(self) -> Dict[str, str]:
+        return {self.name: self.api_key} if self.location == "header" else {}
+
+    def params(self) -> Dict[str, str]:
+        return {self.name: self.api_key} if self.location == "query" else {}
+
+
+class HttpBasicAuth:
+    def __init__(self, username: str, password: str) -> None:
+        import base64
+
+        creds = base64.b64encode(f"{username}:{password}".encode()).decode()
+        self._header = {"Authorization": f"Basic {creds}"}
+
+    def headers(self) -> Dict[str, str]:
+        return dict(self._header)
+
+
+class OAuth2ClientCredentials:
+    """Client-credentials flow: fetch/refresh an access token from the
+    token endpoint, then behave like bearer auth (reference
+    typing.py:176-199)."""
+
+    def __init__(
+        self,
+        token_url: str,
+        client_id: str,
+        client_secret: str,
+        session: Optional[Callable] = None,
+    ) -> None:
+        self.token_url = token_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self._session = session or _default_session
+        self._token: Optional[str] = None
+
+    def headers(self) -> Dict[str, str]:
+        if self._token is None:
+            body = urllib.parse.urlencode(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": self.client_id,
+                    "client_secret": self.client_secret,
+                }
+            ).encode()
+            status, _, payload = self._session(
+                "POST", self.token_url, {"Content-Type": "application/x-www-form-urlencoded"}, body
+            )
+            if status != 200:
+                raise RuntimeError(f"token endpoint returned {status}")
+            self._token = _json.loads(payload)["access_token"]
+        return {"Authorization": f"Bearer {self._token}"}
+
+
+# ------------------------------------------------------------ paginators
+
+
+class SinglePagePaginator:
+    """One request, no pagination (reference paginators.py:75)."""
+
+    def first(self, url: str, params: Dict[str, Any]) -> tuple:
+        return url, params
+
+    def next(self, url, params, response, items) -> Optional[tuple]:
+        return None
+
+
+class PageNumberPaginator:
+    """?page=N until short/empty page or total reached
+    (reference paginators.py:265).  Stateless: the current page rides in
+    the request params, so one paginator instance can drive many
+    independent paginations (parent-child resolve re-fetches)."""
+
+    def __init__(self, page_param: str = "page", start: int = 1, total_path: Optional[str] = None, stop_after_empty: bool = True) -> None:
+        self.page_param, self.start = page_param, start
+        self.total_path = total_path
+        self.stop_after_empty = stop_after_empty
+
+    def first(self, url, params):
+        return url, {**params, self.page_param: self.start}
+
+    def next(self, url, params, response, items):
+        if self.stop_after_empty and not items:
+            return None
+        page = int(params.get(self.page_param, self.start))
+        if self.total_path:
+            total = _jsonpath(response, self.total_path)
+            if total is not None and page >= int(total):
+                return None
+        return url, {**params, self.page_param: page + 1}
+
+
+class OffsetPaginator:
+    """?offset=N&limit=M (reference paginators.py:416).  Stateless, see
+    PageNumberPaginator."""
+
+    def __init__(self, limit: int, offset_param: str = "offset", limit_param: str = "limit", total_path: Optional[str] = None) -> None:
+        self.limit = limit
+        self.offset_param, self.limit_param = offset_param, limit_param
+        self.total_path = total_path
+
+    def first(self, url, params):
+        return url, {**params, self.offset_param: 0, self.limit_param: self.limit}
+
+    def next(self, url, params, response, items):
+        if len(items) < self.limit:
+            return None
+        offset = int(params.get(self.offset_param, 0)) + self.limit
+        if self.total_path:
+            total = _jsonpath(response, self.total_path)
+            if total is not None and offset >= int(total):
+                return None
+        return url, {**params, self.offset_param: offset, self.limit_param: self.limit}
+
+
+class HeaderLinkPaginator:
+    """RFC5988 ``Link: <url>; rel="next"`` (reference paginators.py:665)."""
+
+    def __init__(self, links_next_key: str = "next") -> None:
+        self.key = links_next_key
+
+    def first(self, url, params):
+        return url, params
+
+    def next(self, url, params, response, items):
+        link = (response.get("__headers__") or {}).get("Link", "")
+        for part in link.split(","):
+            if f'rel="{self.key}"' in part:
+                nxt = part.split(";")[0].strip().strip("<>")
+                return nxt, {}
+        return None
+
+
+class JSONLinkPaginator:
+    """Next-page URL inside the body, e.g. ``{"next": "..."}``
+    (reference paginators.py:717)."""
+
+    def __init__(self, next_url_path: str = "next") -> None:
+        self.path = next_url_path
+
+    def first(self, url, params):
+        return url, params
+
+    def next(self, url, params, response, items):
+        nxt = _jsonpath(response, self.path)
+        return (nxt, {}) if nxt else None
+
+
+class JSONResponseCursorPaginator:
+    """Cursor in body -> request param (reference paginators.py:787)."""
+
+    def __init__(self, cursor_path: str = "cursor", cursor_param: str = "cursor") -> None:
+        self.cursor_path, self.cursor_param = cursor_path, cursor_param
+
+    def first(self, url, params):
+        return url, params
+
+    def next(self, url, params, response, items):
+        cur = _jsonpath(response, self.cursor_path)
+        if not cur:
+            return None
+        return url, {**params, self.cursor_param: cur}
+
+
+class HeaderCursorPaginator:
+    """Cursor in a response header -> request param
+    (reference paginators.py:942)."""
+
+    def __init__(self, cursor_key: str = "next_cursor", cursor_param: str = "cursor") -> None:
+        self.cursor_key, self.cursor_param = cursor_key, cursor_param
+
+    def first(self, url, params):
+        return url, params
+
+    def next(self, url, params, response, items):
+        cur = (response.get("__headers__") or {}).get(self.cursor_key)
+        if not cur:
+            return None
+        return url, {**params, self.cursor_param: cur}
+
+
+# ------------------------------------------------------------- client
+
+
+def _default_session(method: str, url: str, headers: Dict[str, str], body: Optional[bytes]) -> tuple:
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    with urllib.request.urlopen(req) as resp:  # noqa: S310 (user-supplied URL by design)
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def _jsonpath(obj: Any, path: str) -> Any:
+    """Dotted-path access ('data.items' / '$.data.items'); [] segments for
+    lists (subset of the reference's JSONPath, dlt/common/jsonpath.py)."""
+    if obj is None:
+        return None
+    cur = obj
+    for seg in path.lstrip("$").strip(".").split("."):
+        if not seg:
+            continue
+        if isinstance(cur, dict):
+            cur = cur.get(seg)
+        else:
+            return None
+    return cur
+
+
+class RESTClient:
+    def __init__(
+        self,
+        base_url: str,
+        auth: Optional[object] = None,
+        headers: Optional[Dict[str, str]] = None,
+        session: Optional[Callable] = None,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.auth = auth
+        self.headers = headers or {}
+        self.session = session or _default_session
+
+    def paginate(
+        self,
+        path: str,
+        params: Optional[Dict[str, Any]] = None,
+        paginator: Optional[object] = None,
+        data_selector: Optional[str] = None,
+        max_pages: int = 10_000,
+    ) -> Iterator[List[dict]]:
+        paginator = paginator or SinglePagePaginator()
+        url = f"{self.base_url}/{path.lstrip('/')}" if not path.startswith("http") else path
+        params = dict(params or {})
+        nxt = paginator.first(url, params)
+        pages = 0
+        while nxt is not None and pages < max_pages:
+            u, p = nxt
+            headers = dict(self.headers)
+            if self.auth is not None:
+                headers.update(self.auth.headers())
+                if hasattr(self.auth, "params"):
+                    p = {**p, **self.auth.params()}
+            full = u + ("?" + urllib.parse.urlencode(p) if p else "")
+            status, resp_headers, payload = self.session("GET", full, headers, None)
+            if status >= 400:
+                raise RuntimeError(f"GET {full} -> {status}")
+            body = _json.loads(payload) if payload else {}
+            if isinstance(body, dict):
+                body["__headers__"] = resp_headers
+            items = (
+                _jsonpath(body, data_selector)
+                if data_selector
+                else (body if isinstance(body, list) else _auto_select(body))
+            )
+            items = items or []
+            yield items
+            pages += 1
+            nxt = paginator.next(u, p, body if isinstance(body, dict) else {}, items)
+
+
+def _auto_select(body: dict) -> List[dict]:
+    """Reference data_selector auto-detection: first list-valued key."""
+    for k, v in body.items():
+        if isinstance(v, list):
+            return v
+    return [body] if body else []
+
+
+# ------------------------------------------------------------- source
+
+
+def rest_api_source(
+    config: Dict[str, Any],
+    name: str = "rest_api",
+    session: Optional[Callable] = None,
+) -> DltSource:
+    """Declarative config -> DltSource (reference
+    ``rest_api/__init__.py:63-78``).  Supported keys:
+
+    ``client``: {base_url, auth?, headers?, paginator?}
+    ``resources``: list of {name, endpoint: {path, params?, data_selector?,
+    paginator?}, primary_key?, write_disposition?}; a param value
+    ``{"type": "resolve", "resource": r, "field": f}`` creates a
+    parent-child dependency resolved per parent item (reference
+    ``typing.py:256-322`` resolve semantics).
+    """
+    client_cfg = config["client"]
+    client = RESTClient(
+        client_cfg["base_url"],
+        auth=client_cfg.get("auth"),
+        headers=client_cfg.get("headers"),
+        session=session,
+    )
+
+    resources: List[DltResource] = []
+    by_name: Dict[str, Dict[str, Any]] = {r["name"]: r for r in config["resources"]}
+
+    def make_fetcher(rcfg: Dict[str, Any]) -> Callable[[], Iterable[dict]]:
+        endpoint = rcfg["endpoint"] if isinstance(rcfg.get("endpoint"), dict) else {"path": rcfg["endpoint"]}
+
+        def fetch() -> Iterable[dict]:
+            params = dict(endpoint.get("params") or {})
+            resolve = {
+                k: v
+                for k, v in params.items()
+                if isinstance(v, dict) and v.get("type") == "resolve"
+            }
+            static = {k: v for k, v in params.items() if k not in resolve}
+            pag = endpoint.get("paginator") or client_cfg.get("paginator")
+            if not resolve:
+                for page in client.paginate(
+                    endpoint["path"], static, pag, endpoint.get("data_selector")
+                ):
+                    yield from page
+                return
+            # parent-child: fetch parent items, substitute each into path
+            ((pname, spec),) = resolve.items()
+            parent_cfg = by_name[spec["resource"]]
+            for parent_item in make_fetcher(parent_cfg)():
+                path = endpoint["path"].format(**{pname: parent_item[spec["field"]]})
+                for page in client.paginate(path, static, pag, endpoint.get("data_selector")):
+                    yield from page
+
+        return fetch
+
+    for rcfg in config["resources"]:
+        res = DltResource(
+            make_fetcher(rcfg),
+            name=rcfg["name"],
+            table_name=rcfg.get("table_name", rcfg["name"]),
+            write_disposition=rcfg.get("write_disposition", "append"),
+            primary_key=rcfg.get("primary_key"),
+        )
+        resources.append(res)
+    return DltSource(name, resources)

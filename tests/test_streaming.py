@@ -1,0 +1,93 @@
+"""Streaming tests: micro-batch cursor loop (reference semantics) and
+Structured Streaming wrappers (watermark dedup, windows, sessions,
+foreachBatch loader)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import dlt_spark
+from dlt_spark.streaming import (
+    StreamingPipeline,
+    run_incremental_batches,
+    sessionize_stream,
+    watermark_dedup,
+    windowed_counts,
+)
+
+
+def test_micro_batch_cursor_loop(spark, tmp_path):
+    pipe = dlt_spark.pipeline("mb", str(tmp_path / "d"), "ds", spark)
+    inc = dlt_spark.incremental("seq", initial_value=0, primary_key=["id"])
+    b1 = [{"id": 1, "seq": 1}, {"id": 2, "seq": 2}]
+    b2 = [{"id": 2, "seq": 2}, {"id": 3, "seq": 3}]  # overlap replayed
+    infos = run_incremental_batches(pipe, [b1, b2], "clicks", inc)
+    assert len(infos) == 2
+    rows = sorted(r["id"] for r in pipe.dataset()["clicks"].spark_df().collect())
+    assert rows == [1, 2, 3]  # overlap row not duplicated
+
+
+@pytest.fixture()
+def stream_input(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "u1"),
+            (1, "2024-01-01 10:00:00", "u1"),  # dup
+            (2, "2024-01-01 10:05:00", "u1"),
+            (3, "2024-01-01 11:00:00", "u1"),
+            (4, "2024-01-01 10:01:00", "u2"),
+        ],
+        "id long, ts string, user string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "batch0"))
+    return spark.readStream.schema("id long, ts timestamp, user string").parquet(
+        str(src / "*")
+    )
+
+
+def _run_available_now(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup_t" else "complete")
+        .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    return q
+
+
+def test_watermark_dedup_stream(spark, tmp_path, stream_input):
+    deduped = watermark_dedup(stream_input, "ts", ["id"], delay="2 hours")
+    _run_available_now(deduped, tmp_path, "dedup_t")
+    out = spark.sql("SELECT * FROM dedup_t").collect()
+    assert len(out) == 4  # one dup dropped
+
+
+def test_windowed_counts_stream(spark, tmp_path, stream_input):
+    counts = windowed_counts(stream_input, "ts", "30 minutes", group_cols=["user"])
+    _run_available_now(counts, tmp_path, "win_t")
+    rows = {(str(r["window_start"]), r["user"]): r["n"] for r in spark.sql("SELECT * FROM win_t").collect()}
+    assert rows[("2024-01-01 10:00:00", "u1")] == 3  # incl dup
+    assert rows[("2024-01-01 11:00:00", "u1")] == 1
+
+
+def test_sessionize_stream(spark, tmp_path, stream_input):
+    sess = sessionize_stream(stream_input, "ts", gap="30 minutes", group_cols=["user"])
+    _run_available_now(sess, tmp_path, "sess_t")
+    rows = spark.sql("SELECT * FROM sess_t ORDER BY user, session_start").collect()
+    u1 = [r for r in rows if r["user"] == "u1"]
+    assert len(u1) == 2  # 10:00-10:05 block, then 11:00
+
+
+def test_streaming_pipeline_foreachbatch(spark, tmp_path, stream_input):
+    pipe = dlt_spark.pipeline("sp", str(tmp_path / "dest"), "ds", spark)
+    sp = StreamingPipeline(pipe, str(tmp_path / "cp_fb"))
+    q = sp.write_stream(stream_input, "events_in", write_disposition="append")
+    q.awaitTermination(60)
+    assert pipe.dataset()["events_in"].row_count() == 5
+    assert len(pipe.dataset().load_ids()) >= 1
