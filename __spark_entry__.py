@@ -217,7 +217,7 @@ def _q_normalize_explode(spark, sf_dir):
     exploded = em.select(
         parent_id.alias("_dlt_parent_id"),
         F.posexplode("embedding").alias("_dlt_list_idx", "value"),
-    )
+    ).withColumn("_dlt_list_idx", F.col("_dlt_list_idx").cast("bigint"))
     return exploded.select(
         "_dlt_parent_id",
         "_dlt_list_idx",
@@ -422,12 +422,13 @@ def _q_text_metrics(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
+    # bigint casts: Spark size()/length() yield int32, DuckDB len() bigint
     return docs.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
+        token_count(c).cast("bigint").alias("n_tokens"),
         unique_token_ratio(c).alias("uniq_ratio"),
         mean_token_length(c).alias("mean_tok_len"),
-        F.length(c).alias("n_chars_actual"),
+        F.length(c).cast("bigint").alias("n_chars_actual"),
     )
 
 
@@ -445,9 +446,9 @@ def _q_lang_id(spark, sf_dir):
     c = F.col("text")
     return docs.select(
         "doc_id",
-        stopword_hits(c, "en").alias("en_hits"),
-        stopword_hits(c, "de").alias("de_hits"),
-        stopword_hits(c, "es").alias("es_hits"),
+        stopword_hits(c, "en").cast("bigint").alias("en_hits"),
+        stopword_hits(c, "de").cast("bigint").alias("de_hits"),
+        stopword_hits(c, "es").cast("bigint").alias("es_hits"),
         lang_id(c).alias("lang_pred"),
     )
 
@@ -492,6 +493,198 @@ def _q_embedding_dup_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# additional coverage: nested normalize round-trip, set ops, cube, TPC-H Q3,
+# variant split, quality score, sub-word tokens, rolling fingerprint,
+# minhash-LSH (full SQL oracle), simhash + LSH/IVF ANN (rows-only checks)
+# --------------------------------------------------------------------------
+
+def _q_normalize_nested_roundtrip(spark, sf_dir):
+    """Full RelationalNormalizer over a *nested* DataFrame: orders with
+    their lineitems packed as an array<struct>, exploded back into the
+    child table with deterministic _dlt ids (SURVEY §2.E.2/3/4)."""
+    from dlt_spark.normalize.relational import RelationalNormalizer
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("items")
+    )
+    nested = orders.join(items, orders["o_orderkey"] == items["l_orderkey"], "inner").select(
+        "o_orderkey", "o_totalprice", "items"
+    )
+    tables = RelationalNormalizer().normalize(
+        nested, "orders_n", row_id_type="key_hash", primary_key=["o_orderkey"]
+    )
+    child = tables["orders_n__items"]
+    return child.withColumn("_dlt_list_idx", F.col("_dlt_list_idx").cast("bigint"))
+
+
+def _q_set_ops(spark, sf_dir):
+    """intersect/except set operators (native in Spark, raw-SQL-only in
+    the reference, SURVEY §2.H note)."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    both = building.intersect(positive).withColumn("set_op", F.lit("intersect"))
+    only = building.exceptAll(positive).withColumn("set_op", F.lit("except"))
+    return both.unionByName(only)
+
+
+def _q_cube_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("event_type").isNotNull() | F.col("day").isNotNull() | (F.col("n") > 0))
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """Shipping-priority style join+agg+topk across 3 tables."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))).cast("decimal(38,8)")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_variant_split(spark, sf_dir):
+    """Variant-column mechanism (§2.E.8): values that fail the typed cast
+    land in col__v_text, cleanly-cast values stay — via try_cast, the
+    JVM-side per-row split used by load.align_with_variants."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("N/A"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars_raw"),
+    )
+    typed = F.col("n_chars_raw").try_cast("bigint")
+    return dirty.select(
+        "doc_id",
+        typed.alias("n_chars"),
+        F.when(F.col("n_chars_raw").isNotNull() & typed.isNull(), F.col("n_chars_raw"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("n_chars__v_text"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from dlt_spark.dataops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    from dlt_spark.dataops.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_subtokens")
+    )
+
+
+def _q_rolling_fingerprint(spark, sf_dir):
+    from dlt_spark.dataops.text import rolling_hash_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_fingerprint(F.col("text"), window=8).alias("winnow_fp")
+    )
+
+
+_MINHASH_N, _MINHASH_BANDS, _MINHASH_SHINGLE = 32, 8, 2
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from dlt_spark.dataops.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates — rows-only check (the bit-vote SQL
+    equivalent is impractical in the oracle)."""
+    from dlt_spark.dataops.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_candidates(docs, "doc_id", max_hamming=6)
+
+
+def _q_similarity_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN probe — rows-only check (driver-seeded random
+    planes have no SQL twin); recall is asserted against brute force in
+    tests/test_dataops.py."""
+    from dlt_spark.dataops.similarity import lsh_index, lsh_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    indexed = lsh_index(em.filter(F.col("vec_id") != 0), dim=len(qvec), num_planes=12)
+    return lsh_topk(indexed, qvec, k=10, num_planes=12, max_hamming=4)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque binary payloads ->
+    metadata struct + Arrow-batched feature extraction (stub codec) —
+    rows-only check (Python-side hashing has no SQL twin)."""
+    from dlt_spark.dataops.multimodal import attach_metadata, extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = docs.select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feats = extract_image_features(assets, deterministic_fake=True)
+    meta = attach_metadata(assets).select("id", F.col("meta.size_bytes").alias("size_bytes"))
+    return feats.join(meta, "id").select(
+        "id", "size_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def _q_pipeline_e2e(spark, sf_dir):
+    """Full pipeline extract->normalize->load->read over real files, then
+    Relation read-back — rows-only check (engine tables live in a temp
+    store, not SQL-reachable for DuckDB)."""
+    import tempfile
+
+    import dlt_spark
+
+    dest = tempfile.mkdtemp(prefix="dlt_spark_e2e_")
+    pipe = dlt_spark.pipeline("e2e", dest, "ds", spark)
+    nat = _t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    pipe.run(nat, table_name="nation_copy")
+    pipe.run(
+        _t(spark, sf_dir, "region"), table_name="region_copy",
+        write_disposition="merge", merge_strategy="upsert", primary_key="r_regionkey",
+    )
+    ds = pipe.dataset()
+    return (
+        ds["nation_copy"]
+        .join(ds["region_copy"], on=None, kind="inner")
+        .select("n_name", "r_name")
+        .order_by("n_name")
+        .spark_df()
+        .select("n_name", "r_name")
+    )
+
+
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -524,6 +717,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "similarity_topk": _q_similarity_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "normalize_nested_roundtrip": _q_normalize_nested_roundtrip,
+        "set_ops": _q_set_ops,
+        "cube_agg": _q_cube_agg,
+        "tpch_q3": _q_tpch_q3,
+        "variant_split": _q_variant_split,
+        "text_quality": _q_text_quality,
+        "bpe_token_count": _q_bpe_token_count,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+        "pipeline_e2e": _q_pipeline_e2e,
     }
 
 
@@ -837,6 +1043,146 @@ def oracle_sql() -> dict[str, str]:
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT 10
+    """
+
+    sql["normalize_nested_roundtrip"] = """
+        WITH parent AS (
+            SELECT o_orderkey, substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 32) AS pid
+            FROM orders WHERE o_orderkey % 5 = 0
+        ), ranked AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice
+                   ) - 1 AS idx
+            FROM lineitem WHERE l_orderkey % 5 = 0
+        )
+        SELECT p.pid AS _dlt_parent_id,
+               CAST(r.idx AS BIGINT) AS _dlt_list_idx,
+               substr(sha256(p.pid || '|orders_n__items|' || CAST(r.idx AS VARCHAR)), 1, 32) AS _dlt_id,
+               r.l_linenumber, r.l_quantity, r.l_extendedprice
+        FROM ranked r JOIN parent p ON r.l_orderkey = p.o_orderkey
+    """
+
+    sql["set_ops"] = """
+        SELECT c_custkey, 'intersect' AS set_op FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        )
+        UNION ALL
+        SELECT c_custkey, 'except' AS set_op FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        )
+    """
+
+    sql["cube_agg"] = """
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events
+        GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    """
+
+    sql["tpch_q3"] = """
+        SELECT o.o_orderkey, o.o_orderdate,
+               sum(CAST(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                   * (CAST(1 AS DECIMAL(38,4)) - CAST(l.l_discount AS DECIMAL(38,4)))
+                   AS DECIMAL(38,8))) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1996-03-15'
+          AND l.l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["variant_split"] = """
+        WITH dirty AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'N/A'
+                        ELSE CAST(n_chars AS VARCHAR) END AS n_chars_raw
+            FROM documents
+        )
+        SELECT doc_id,
+               TRY_CAST(n_chars_raw AS BIGINT) AS n_chars,
+               CASE WHEN n_chars_raw IS NOT NULL AND TRY_CAST(n_chars_raw AS BIGINT) IS NULL
+                    THEN n_chars_raw END AS n_chars__v_text
+        FROM dirty
+    """
+
+    sql["text_quality"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({toks}) AS n,
+                   len(list_distinct({toks})) AS u,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) AS p,
+                   length(text) AS chars
+            FROM documents
+        )
+        SELECT doc_id,
+               round(u * 1.0 / n * 0.5
+                     + (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+                     + (1.0 - p * 1.0 / chars) * 0.1, 6) AS quality
+        FROM m
+    """
+
+    sql["bpe_token_count"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS BIGINT)
+                   AS n_subtokens
+        FROM documents
+    """
+
+    sql["rolling_fingerprint"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, greatest(len(toks) - 7, 1)),
+                   i -> CAST(('0x' || substr(sha256(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)
+               )) AS winnow_fp
+        FROM t
+    """
+
+    # MinHash-LSH candidates: fully reproduced in SQL — 32 portable hash
+    # fns (sha256-based), 8 bands x 4 rows, banded-bucket self-join.
+    n, bands = _MINHASH_N, _MINHASH_BANDS
+    rpb = n // bands
+    minhash_exprs = ", ".join(
+        f"list_min(list_transform(shs, s -> CAST(('0x' || substr(sha256('{k}:' || s), 1, 15)) AS BIGINT)))"
+        for k in range(n)
+    )
+    band_exprs = ", ".join(
+        "'{b}#' || sha256({parts})".format(
+            b=b,
+            parts=" || ',' || ".join(f"CAST(sg[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    sql["dedup_minhash_lsh"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 300
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - {_MINHASH_SHINGLE - 1}, 1)),
+                i -> array_to_string(list_slice(toks, i, i + {_MINHASH_SHINGLE - 1}), ' ')
+            )) AS shs
+            FROM t
+        ), sig AS (
+            SELECT doc_id, [{minhash_exprs}] AS sg FROM sh
+        ), buckets AS (
+            SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b USING (bucket)
+        WHERE a.doc_id < b.doc_id
     """
 
     pcos = (
