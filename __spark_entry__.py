@@ -1150,13 +1150,16 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
-    # MinHash-LSH candidates: fully reproduced in SQL — 32 portable hash
-    # fns (sha256-based), 8 bands x 4 rows, banded-bucket self-join.
+    # MinHash-LSH candidates: fully reproduced in SQL — one sha256 base
+    # hash per shingle, 32 universal-hash permutations (a*h+b mod p),
+    # 8 bands x 4 rows, banded-bucket self-join.
+    from dlt_spark.dataops.dedup import MINHASH_PRIME, minhash_params
+
     n, bands = _MINHASH_N, _MINHASH_BANDS
     rpb = n // bands
     minhash_exprs = ", ".join(
-        f"list_min(list_transform(shs, s -> CAST(('0x' || substr(sha256('{k}:' || s), 1, 15)) AS BIGINT)))"
-        for k in range(n)
+        f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_params(n)
     )
     band_exprs = ", ".join(
         "'{b}#' || sha256({parts})".format(
@@ -1175,8 +1178,13 @@ def oracle_sql() -> dict[str, str]:
                 i -> array_to_string(list_slice(toks, i, i + {_MINHASH_SHINGLE - 1}), ' ')
             )) AS shs
             FROM t
+        ), based AS (
+            SELECT doc_id, list_transform(shs,
+                s -> CAST(('0x' || substr(sha256('0:' || s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}
+            ) AS bh
+            FROM sh
         ), sig AS (
-            SELECT doc_id, [{minhash_exprs}] AS sg FROM sh
+            SELECT doc_id, [{minhash_exprs}] AS sg FROM based
         ), buckets AS (
             SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sig
         )

@@ -33,7 +33,11 @@ BENCH_QUERIES = [
     "text_metrics",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "similarity_topk",
+    "normalize_nested_roundtrip",
+    "tpch_q3",
+    "rolling_fingerprint",
 ]
 
 
@@ -59,6 +63,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
+
+    # absorb one-time JVM/session init so per-query numbers reflect work
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qs = entry.queries()
     timings: dict = {}

@@ -140,21 +140,40 @@ def jaccard_pairs(
 
 # --------------------------------------------------------- minhash lsh
 
+# 30-bit prime field for the universal-hash permutation family: products
+# a*h stay < 2^60, overflow-free in any engine's signed 64-bit arithmetic
+MINHASH_PRIME = 1073741789
+
+
+def minhash_params(num_hashes: int) -> List[tuple]:
+    """Deterministic (a_k, b_k) pairs for h_k(x) = (a_k*x + b_k) mod p —
+    reproducible in the SQL oracle (shared constants, no RNG)."""
+    p = MINHASH_PRIME
+    return [
+        (((k * 2654435761 + 1013904223) % (p - 1)) + 1, (k * 1013904223 + 12345) % p)
+        for k in range(num_hashes)
+    ]
+
 
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 5) -> Column:
-    """MinHash signature as array<bigint>: for seed k, min over shingles
-    of the portable 60-bit hash.  Fully JVM-side (transform/array_min)."""
-    sh = shingles(text, shingle_n)
+    """MinHash signature as array<bigint>.
 
-    def hash_with_seed(k: int):
-        # closure factory: PySpark introspects lambda arity, so a `k=k`
-        # default would receive the array-index Column instead of the seed
-        return lambda s: portable_hash64(s, seed=k)
+    One sha256 **base hash per shingle** (the only expensive op), then
+    ``num_hashes`` arithmetic permutations ``(a_k*h + b_k) mod p`` —
+    the standard universal-hashing construction.  This keeps the codegen
+    expression tree small and the per-row cost O(shingles + k) instead of
+    O(shingles * k) sha256 calls.  Fully JVM-side."""
+    base = F.transform(
+        shingles(text, shingle_n), lambda s: portable_hash64(s, seed=0) % MINHASH_PRIME
+    )
+
+    def permute(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     return F.array(
         *[
-            F.array_min(F.transform(sh, hash_with_seed(k)))
-            for k in range(num_hashes)
+            F.array_min(F.transform(base, permute(a, b)))
+            for a, b in minhash_params(num_hashes)
         ]
     )
 
@@ -172,9 +191,30 @@ def minhash_lsh_candidates(
     Join key = (band index, band hash) — tight buckets, no all-pairs.
     Returns distinct (id_a, id_b)."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # two projections: base hashes materialize once per row, then the k
+    # permutations reference the column (no 32x re-inline of the sha256)
+    base = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n),
+            lambda s: portable_hash64(s, seed=0) % MINHASH_PRIME,
+        ).alias("_bh"),
+    )
+
+    # one flat array_min expression per permutation: nested higher-order
+    # functions fall back to the interpreted evaluator (~6x slower,
+    # measured), while the flat form stays in codegen
+    def permute(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig = base.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_bh"), permute(a, b)))
+                for a, b in minhash_params(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     band_cols = [
         F.sha2(

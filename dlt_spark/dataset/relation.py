@@ -141,32 +141,53 @@ class Relation:
         reference's schema-reference join (``relation.py:361-440``,
         ``_join.py:62-125``)."""
         how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[kind]
-        if on is None:
-            on = self._derive_on(other)
         left, right = self._df, other._df
-        # disambiguate overlapping non-join columns with an alias prefix
+        # resolve the join columns as *names* first, so alias-renaming can
+        # exclude them before the condition Columns are built
+        derived: Optional[Tuple[str, str]] = None
+        if on is None:
+            derived = self._derive_on(other)
+            if isinstance(derived, list):
+                on = derived
+                derived = None
+        join_col_names = (
+            set(on)
+            if isinstance(on, (list, tuple))
+            else ({on} if isinstance(on, str) else set())
+        )
+        if derived is not None:
+            join_col_names = {derived[1]}
         if alias is not None:
             overlap = set(left.columns) & set(right.columns)
-            join_cols = set(on) if isinstance(on, (list, tuple)) else ({on} if isinstance(on, str) else set())
-            for c in overlap - join_cols:
+            for c in overlap - join_col_names:
                 right = right.withColumnRenamed(c, f"{alias}__{c}")
+        if derived is not None:
+            lname, rname = derived
+            cond = left[lname] == right[rname]
+            joined = left.join(right, on=cond, how=how)
+            # equi-joined link column appears twice; drop the right copy
+            joined = joined.drop(right[rname])
+            return self._wrap(joined)
         return self._wrap(left.join(right, on=on, how=how))
 
-    def _derive_on(self, other: "Relation") -> Union[Column, List[str]]:
+    def _derive_on(self, other: "Relation") -> Union[Tuple[str, str], List[str]]:
+        """Derive the ON clause from the stored reference chain as column
+        *names*: (left_col, right_col) for link joins, or a list of shared
+        natural keys."""
         lcols, rcols = set(self._df.columns), set(other._df.columns)
         # child -> parent by _dlt_parent_id = parent._dlt_id
         if C_DLT_PARENT_ID in lcols and C_DLT_ID in rcols:
-            return self._df[C_DLT_PARENT_ID] == other._df[C_DLT_ID]
+            return (C_DLT_PARENT_ID, C_DLT_ID)
         if C_DLT_ID in lcols and C_DLT_PARENT_ID in rcols:
-            return self._df[C_DLT_ID] == other._df[C_DLT_PARENT_ID]
+            return (C_DLT_ID, C_DLT_PARENT_ID)
         # nested -> root by _dlt_root_id
         if C_DLT_ROOT_ID in lcols and C_DLT_ID in rcols:
-            return self._df[C_DLT_ROOT_ID] == other._df[C_DLT_ID]
+            return (C_DLT_ROOT_ID, C_DLT_ID)
         if C_DLT_ID in lcols and C_DLT_ROOT_ID in rcols:
-            return self._df[C_DLT_ID] == other._df[C_DLT_ROOT_ID]
+            return (C_DLT_ID, C_DLT_ROOT_ID)
         # any table -> loads by _dlt_load_id
         if C_DLT_LOAD_ID in lcols and "load_id" in rcols:
-            return self._df[C_DLT_LOAD_ID] == other._df["load_id"]
+            return (C_DLT_LOAD_ID, "load_id")
         # fall back to shared natural keys (e.g. *_nationkey TPC-H style)
         shared = [c for c in self._df.columns if c in rcols and not c.startswith("_dlt_")]
         if shared:

@@ -132,6 +132,38 @@ class Pipeline:
 
     # -- internals --
 
+    def _apply_refresh(self, refresh: str, resources: List[DltResource]) -> None:
+        """Refresh modes (reference ``dlt/pipeline/helpers.py:93-182``):
+        ``drop_sources`` drops every table in the dataset;
+        ``drop_resources`` drops the tables produced by the resources in
+        this run (and their nested tables); ``drop_data`` truncates them
+        but keeps schemas."""
+        if refresh == "drop_sources":
+            for t in self.store.list_tables():
+                self.store.drop(t)
+            self.schema = Schema(self.dataset_name)
+            return
+        targets: List[str] = []
+        for r in resources:
+            root = self.schema.naming.normalize_table_identifier(r._static_table_name())
+            targets.append(root)
+            targets.extend(
+                t["name"] for t in self.schema.child_tables(root)
+            ) if root in self.schema.tables else None
+            # nested tables may exist in the store but not yet in schema
+            targets.extend(
+                t for t in self.store.list_tables() if t.startswith(root + "__")
+            )
+        for t in dict.fromkeys(targets):
+            if refresh == "drop_resources":
+                self.store.drop(t)
+                self.schema.tables.pop(t, None)
+            elif refresh == "drop_data":
+                if self.store.exists(t):
+                    self.store.truncate(t)
+            else:
+                raise ValueError(f"unknown refresh mode {refresh!r}")
+
     def _new_load_id(self) -> str:
         # strictly monotonic epoch string (reference load package ids)
         lid = max(time.time(), self._last_load_seq + 1e-6)

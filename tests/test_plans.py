@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the 100 TB safeguards.
+
+These tests pin the plan shapes that matter at scale (SURVEY §4 /
+task brief): cursor predicates must reach the parquet scan as
+PushedFilters, merge key-set joins must broadcast (no full shuffle of the
+big side), normalization must stay shuffle-free, and hot-path expressions
+must be inside WholeStageCodegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _opt(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_incremental_filter_pushes_down(spark, lineitem):
+    from dlt_spark.incremental import incremental
+
+    inc = incremental("l_shipdate", initial_value="2000-01-01 00:00:00")
+    plan = _plan(inc.apply(lineitem))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_column_pruning_reaches_scan(spark, lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # pruned
+
+
+def test_merge_key_join_broadcasts(spark, orders):
+    from dlt_spark.load.dispositions import merge_delete_insert
+
+    staging = orders.filter(F.col("o_orderkey") % 10 == 0)
+    result = merge_delete_insert(orders, staging, primary_key=["o_orderkey"])
+    plan = _plan(result)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_normalize_has_no_shuffle(spark):
+    """Flatten + explode must be narrow: zero Exchange nodes."""
+    from dlt_spark.normalize.relational import RelationalNormalizer
+    from dlt_spark.pipeline.resources import _dicts_to_df
+
+    df = _dicts_to_df(
+        spark, [{"id": i, "meta": {"a": i}, "tags": [f"t{i}", "x"]} for i in range(50)]
+    )
+    tables = RelationalNormalizer(root_key=True).normalize(
+        df, "t", row_id_type="key_hash", primary_key=["id"]
+    )
+    for name, tdf in tables.items():
+        assert "Exchange" not in _plan(tdf), f"{name} shuffles during normalize"
+
+
+def test_scan_expressions_stay_in_codegen(spark):
+    from dlt_spark.dataops.text import quality_score, token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        token_count(F.col("text")).alias("n"), quality_score(F.col("text")).alias("q")
+    )
+    plan = _plan(df)
+    # "*(n)" prefixes mark WholeStageCodegen stages in toString()
+    assert "*(" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_window_single_shuffle(spark, orders):
+    from dlt_spark.load.dispositions import dedup_staging
+
+    deduped = dedup_staging(orders, ["o_custkey"], dedup_sort="o_orderdate")
+    plan = _plan(deduped)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_relation_filter_pushdown(spark, orders):
+    from dlt_spark.dataset.relation import Relation
+
+    rel = Relation(orders).where("o_totalprice", "gt", 1000.0).select("o_orderkey")
+    plan = _plan(rel.spark_df())
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
