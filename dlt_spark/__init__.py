@@ -5,9 +5,11 @@ optimizer, and the load substrate is a swappable TableStore
 (parquet copy-on-write here; Delta/Iceberg in production).
 """
 
+from . import functions  # noqa: F401  (scalar function layer, SURVEY §2.I)
 from .dataset.dataset import Dataset
 from .dataset.relation import Relation
 from .incremental import Incremental, incremental
+from .load.destination import CustomDestination, destination
 from .pipeline.pipeline import LoadInfo, Pipeline, pipeline
 from .pipeline.resources import (
     DltResource,
@@ -23,8 +25,11 @@ from .schema.schema import Schema, SchemaContractViolation
 __version__ = "0.1.0"
 
 __all__ = [
+    "CustomDestination",
     "Dataset",
     "DltResource",
+    "destination",
+    "functions",
     "DltSource",
     "DltTransformer",
     "Incremental",

@@ -112,6 +112,45 @@ class DltResource:
         self._df_steps.append(f)
         return self
 
+    def add_metrics(self, name: str, *exprs: Column) -> "DltResource":
+        """Side-channel metrics via ``df.observe`` (reference MetricsItem,
+        ``items_transform.py:242``): collected by Spark's observation
+        listener without an extra pass over the data."""
+        self._df_steps.append(lambda df: df.observe(name, *exprs))
+        return self
+
+    def add_validation(
+        self,
+        required: Optional[Dict[str, str]] = None,
+        mode: str = "freeze",
+    ) -> "DltResource":
+        """Schema validation step (reference ValidateItem /
+        pydantic integration, ``items_transform.py:148``):
+        ``required`` maps column -> Spark type name.  ``freeze`` raises on
+        violation (FAILFAST), ``discard_row`` filters rows whose required
+        values are NULL after try_cast (DROPMALFORMED)."""
+        req = dict(required or {})
+
+        def validate(df: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as SF
+
+            missing = [c for c in req if c not in df.columns]
+            if missing and mode == "freeze":
+                raise ValueError(f"validation failed: missing columns {missing}")
+            out = df
+            for c, t in req.items():
+                if c not in out.columns:
+                    continue
+                casted = SF.col(c).try_cast(t)
+                if mode == "freeze":
+                    out = out.withColumn(c, SF.col(c).cast(t))
+                else:  # discard_row
+                    out = out.withColumn(c, casted).filter(casted.isNotNull())
+            return out
+
+        self._df_steps.append(validate)
+        return self
+
     def select_tables(self, *tables: str) -> "DltResource":
         self._selected_tables = list(tables)
         return self
