@@ -292,3 +292,22 @@ class Relation:
 
     def row_count(self) -> int:
         return self._df.count()
+
+    # -- exports (reference jsonl/csv/parquet writers, SURVEY §2.B) --
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).parquet(path)
+
+    def write_jsonl(self, path: str, mode: str = "overwrite", compression: Optional[str] = None) -> None:
+        w = self._df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_jdbc(self, url: str, table: str, mode: str = "append", **options: str) -> None:
+        """INSERT-values path (reference insert_values writer) — Spark's
+        batched JDBC writer."""
+        self._df.write.mode(mode).options(**options).jdbc(url, table)

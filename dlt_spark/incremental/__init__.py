@@ -202,3 +202,20 @@ def _apply_lag(value: Any, lag: float, last_value_func: str) -> Any:
 def incremental(cursor_path: str, initial_value: Any = None, **kwargs: Any) -> Incremental:
     """Factory mirroring ``dlt.sources.incremental(...)``."""
     return Incremental(cursor_path=cursor_path, initial_value=initial_value, **kwargs)
+
+
+def from_scheduler_window(
+    cursor_path: str, interval_start: Any, interval_end: Any, **kwargs: Any
+) -> Incremental:
+    """External-scheduler sync (reference ``incremental/__init__.py:129-132``):
+    adopt an orchestrator's data interval (e.g. Airflow
+    ``data_interval_start/end``) as a closed-open backfill window — state
+    is not consulted or advanced; the window IS the contract."""
+    return Incremental(
+        cursor_path=cursor_path,
+        initial_value=interval_start,
+        end_value=interval_end,
+        range_start="closed",
+        range_end="open",
+        **kwargs,
+    )

@@ -145,6 +145,8 @@ class RelationalNormalizer:
         max_nesting: int = 100,
         root_key: bool = False,
         propagate: Optional[Dict[str, str]] = None,
+        include_paths: Optional[Sequence[str]] = None,
+        exclude_paths: Optional[Sequence[str]] = None,
     ) -> None:
         self.naming = naming or SnakeCaseNaming()
         self.max_nesting = max_nesting
@@ -153,6 +155,13 @@ class RelationalNormalizer:
         self.root_key = root_key
         # extra root col -> child col propagation (e.g. partition keys)
         self.propagate = dict(propagate or {})
+        # row filters: regex include/exclude over flattened column paths
+        # (reference jsonl.py:430-474 _filter_row, typing.py:229-232);
+        # computed as a column drop — pure projection, no row scan
+        import re as _re
+
+        self._include = [_re.compile(p) for p in include_paths or []]
+        self._exclude = [_re.compile(p) for p in exclude_paths or []]
 
     def normalize(
         self,
@@ -185,6 +194,21 @@ class RelationalNormalizer:
 
     # -- internals --
 
+    def _apply_path_filters(self, df: DataFrame) -> DataFrame:
+        if not self._include and not self._exclude:
+            return df
+        keep = []
+        for c in df.columns:
+            if c.startswith("_dlt_"):
+                keep.append(c)
+                continue
+            if self._include and not any(rx.search(c) for rx in self._include):
+                continue
+            if self._exclude and any(rx.search(c) for rx in self._exclude):
+                continue
+            keep.append(c)
+        return df.select(*[f"`{c}`" for c in keep]) if keep != df.columns else df
+
     def _normalize_level(
         self,
         df: DataFrame,
@@ -194,6 +218,7 @@ class RelationalNormalizer:
         depth: int = 0,
     ) -> None:
         df = flatten_structs(df, self.naming, self.max_nesting - depth)
+        df = self._apply_path_filters(df)
         array_fields = [
             f for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
         ]

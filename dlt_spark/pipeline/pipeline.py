@@ -44,6 +44,30 @@ class LoadInfo:
         )
 
 
+@dataclass
+class ExtractInfo:
+    """Extract-stage result (reference ``pipeline.extract()`` info): the
+    materialized DataFrames per resource, not yet normalized."""
+
+    resources: List = field(default_factory=list)  # [(DltResource, {table: DataFrame})]
+
+    @property
+    def resource_names(self) -> List[str]:
+        return [r.name for r, _ in self.resources]
+
+
+@dataclass
+class NormalizeInfo:
+    """Normalize-stage result: per root table, the normalized chain
+    ({table: DataFrame}) plus the registered root schema."""
+
+    chains: List = field(default_factory=list)  # [(DltResource, TTableSchema, {table: df})]
+
+    @property
+    def table_names(self) -> List[str]:
+        return [t for _, _, tables in self.chains for t in tables]
+
+
 class Pipeline:
     def __init__(
         self,
@@ -63,6 +87,8 @@ class Pipeline:
             or PipelineState(pipeline_name)
         )
         self._last_load_seq = 0.0
+        self._pending_extract: Optional[ExtractInfo] = None
+        self._pending_normalize: Optional[NormalizeInfo] = None
         if dev_mode:
             for t in self.store.list_tables():
                 self.store.drop(t)
@@ -84,7 +110,7 @@ class Pipeline:
         refresh: Optional[str] = None,
         boundary_timestamp: Optional[str] = None,
     ) -> LoadInfo:
-        resources = self._as_resources(
+        extract_info = self.extract(
             data,
             table_name=table_name,
             write_disposition=write_disposition,
@@ -94,33 +120,75 @@ class Pipeline:
             incremental=incremental,
             columns=columns,
             max_table_nesting=max_table_nesting,
+            refresh=refresh,
         )
+        norm_info = self.normalize(extract_info, boundary_timestamp=boundary_timestamp)
+        return self.load(norm_info)
+
+    # -- three-stage API (reference pipeline.py:428/527/581) --
+
+    def extract(self, data: Any, refresh: Optional[str] = None, **hints: Any) -> ExtractInfo:
+        """Materialize resources into DataFrames (reference extract stage,
+        ``pipeline.py:428``).  Lazy plans — nothing executes yet."""
+        resources = self._as_resources(data, **hints)
         if refresh:
             self._apply_refresh(refresh, resources)
-
-        load_id = self._new_load_id()
-        loader = LoadStage(self.spark, self.store, self.schema)
-        info = LoadInfo(self.pipeline_name, load_id, self.dataset_name)
-
+        info = ExtractInfo()
         for res in resources:
-            tables = res.materialize(self.spark)  # extract
+            info.resources.append((res, res.materialize(self.spark)))
+        self._pending_extract = info
+        return info
+
+    def normalize(
+        self,
+        extract_info: Optional[ExtractInfo] = None,
+        boundary_timestamp: Optional[str] = None,
+    ) -> NormalizeInfo:
+        """Relational normalization + schema registration (reference
+        normalize stage, ``pipeline.py:527``)."""
+        extract_info = extract_info or self._pending_extract
+        if extract_info is None:
+            raise ValueError("nothing extracted; call extract() first")
+        load_id = self._new_load_id()
+        info = NormalizeInfo()
+        for res, tables in extract_info.resources:
             for tname, df in tables.items():
                 root = self._normalize_and_register(res, tname, df, load_id, boundary_timestamp)
-                normalized = root.pop("__tables__")
-                loader.write_chain(normalized, root["schema"], load_id)
-                info.tables.extend(normalized.keys())
-            if res.incremental is not None:
-                # cursor advances over the *loaded* window
-                for tname, df in tables.items():
-                    filtered = res.incremental.apply(df)
-                    res.incremental.update_state(filtered)
+                info.chains.append((res, root["schema"], root.pop("__tables__")))
+        info.load_id = load_id  # type: ignore[attr-defined]
+        info.extract_info = extract_info  # type: ignore[attr-defined]
+        self._pending_normalize = info
+        return info
+
+    def load(self, norm_info: Optional[NormalizeInfo] = None) -> LoadInfo:
+        """Disposition writes + atomic package commit (reference load
+        stage, ``pipeline.py:581``)."""
+        norm_info = norm_info or self._pending_normalize
+        if norm_info is None:
+            raise ValueError("nothing normalized; call normalize() first")
+        load_id = getattr(norm_info, "load_id", None) or self._new_load_id()
+        loader = LoadStage(self.spark, self.store, self.schema)
+        info = LoadInfo(self.pipeline_name, load_id, self.dataset_name)
+        seen_inc = set()
+        for res, root_schema, tables in norm_info.chains:
+            loader.write_chain(tables, root_schema, load_id)
+            info.tables.extend(tables.keys())
+            if res.incremental is not None and id(res) not in seen_inc:
+                seen_inc.add(id(res))
+                extract_info = getattr(norm_info, "extract_info", None)
+                if extract_info is not None:
+                    for r2, raw_tables in extract_info.resources:
+                        if r2 is res:
+                            for df in raw_tables.values():
+                                res.incremental.update_state(res.incremental.apply(df))
                 rstate = self.state.resource_state(self.dataset_name, res.name)
                 rstate["incremental"] = res.incremental.to_state()
-
         self.schema.bump_version()
         loader.commit_schema()
         self.state.persist(self.spark, self.store, load_id)
         loader.commit_load(load_id, status=0)
+        self._pending_extract = None
+        self._pending_normalize = None
         return info
 
     def dataset(self) -> Dataset:

@@ -279,6 +279,19 @@ class Schema:
                 lines.append(f"    {t['parent']} ||--o{{ {t['name']} : contains")
         return "\n".join(lines)
 
+    def to_dot(self) -> str:
+        lines = ["digraph schema {", "  node [shape=record];"]
+        for t in self.data_tables():
+            cols = "|".join(
+                f"{c['name']}: {c.get('data_type', '?')}"
+                for c in t.get("columns", {}).values()
+            )
+            lines.append(f'  "{t["name"]}" [label="{t["name"]}|{cols}"];')
+            if t.get("parent"):
+                lines.append(f'  "{t["parent"]}" -> "{t["name"]}";')
+        lines.append("}")
+        return "\n".join(lines)
+
     def to_dbml(self) -> str:
         out = []
         for t in self.data_tables():
