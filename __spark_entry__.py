@@ -684,6 +684,44 @@ def _q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks, union+window plan — one
+    shuffle): each event picks up the user's latest signup at-or-before
+    its timestamp.  Oracle: DuckDB native ASOF JOIN."""
+    from dlt_spark.dataset.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), signups, on="ts", by=["user_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "r_ts", "r_signup_value")
+
+
+def _q_range_join(spark, sf_dir):
+    """Interval containment via bucketized equi-join (the classic range
+    join optimization): lineitems shipped within 30 days of selected
+    orders' dates."""
+    from dlt_spark.dataset.joins import range_join
+
+    ranges = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+        )
+    )
+    points = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    out = range_join(points, "l_shipdate", ranges, "win_start", "win_end", bucket_seconds=7 * 86400)
+    return out.select("o_orderkey", "l_orderkey", "l_linenumber", "l_shipdate", "win_start")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -730,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "pipeline_e2e": _q_pipeline_e2e,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 
@@ -1191,6 +1231,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b USING (bucket)
         WHERE a.doc_id < b.doc_id
+    """
+
+    sql["asof_join"] = """
+        SELECT e.event_id, e.user_id, e.ts,
+               s.ts AS r_ts, s.signup_value AS r_signup_value
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+        ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """
+
+    sql["range_join"] = """
+        SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber, l.l_shipdate,
+               o.o_orderdate AS win_start
+        FROM (SELECT l_orderkey, l_linenumber, l_shipdate
+              FROM lineitem WHERE l_orderkey % 10 = 0) l
+        JOIN (SELECT o_orderkey, o_orderdate
+              FROM orders WHERE o_orderkey % 1000 = 0) o
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
     """
 
     pcos = (

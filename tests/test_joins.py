@@ -1,0 +1,77 @@
+"""As-of / range join operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.dataset.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 100.0),
+            ("A", "2024-01-01 10:05:00", 101.0),
+            ("B", "2024-01-01 10:02:00", 50.0),
+        ],
+        "sym string, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:03:00", 10),
+            ("A", "2024-01-01 10:05:00", 20),  # tie: matches 10:05 quote
+            ("A", "2024-01-01 09:00:00", 5),   # before any quote -> NULL
+            ("B", "2024-01-01 10:10:00", 7),
+        ],
+        "sym string, ts string, qty int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_backward(trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"])
+    rows = {(r["sym"], r["qty"]): r["r_px"] for r in out.collect()}
+    assert rows[("A", 10)] == 100.0
+    assert rows[("A", 20)] == 101.0  # inclusive tie
+    assert rows[("A", 5)] is None
+    assert rows[("B", 7)] == 50.0
+
+
+def test_asof_tolerance(trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"], tolerance="2 MINUTES")
+    rows = {(r["sym"], r["qty"]): r["r_px"] for r in out.collect()}
+    assert rows[("A", 10)] is None  # 10:03 vs 10:00 exceeds 2min
+    assert rows[("A", 20)] == 101.0
+    assert rows[("B", 7)] is None  # 10:10 vs 10:02
+
+
+def test_asof_forward(trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"], direction="forward")
+    rows = {(r["sym"], r["qty"]): r["r_px"] for r in out.collect()}
+    assert rows[("A", 5)] == 100.0  # next quote after 09:00
+    assert rows[("A", 10)] == 101.0
+    assert rows[("B", 7)] is None  # no later quote
+
+
+def test_asof_single_shuffle(trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-01-20 00:00:00"), (3, "2024-02-05 00:00:00")],
+        "pid long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ranges = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+         (200, "2024-01-01 00:00:00", "2024-02-01 00:00:00")],
+        "rid long, start string, stop string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("stop", F.to_timestamp("stop"))
+    out = range_join(points, "ts", ranges, "start", "stop", bucket_seconds=7 * 86400)
+    pairs = {(r["pid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(1, 100), (1, 200), (2, 200)}
