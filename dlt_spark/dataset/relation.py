@@ -219,6 +219,29 @@ class Relation:
             )
         )
 
+    def with_load_id_col(self, col_name: str = "_dlt_load_id") -> "Relation":
+        """Expose the load id on any table of a chain (reference
+        ``relation.py:590-620``): root tables carry it directly; nested
+        tables recover it through the ``_dlt_root_id`` -> root join."""
+        if C_DLT_LOAD_ID in self._df.columns:
+            if col_name == C_DLT_LOAD_ID:
+                return self
+            return self._wrap(self._df.withColumn(col_name, F.col(C_DLT_LOAD_ID)))
+        if self._dataset is None:
+            raise ValueError("with_load_id_col on a nested table needs a dataset")
+        if C_DLT_ROOT_ID not in self._df.columns and C_DLT_PARENT_ID not in self._df.columns:
+            raise ValueError(f"{self.name!r} has no load id and no root/parent link")
+        # find the root table owning our root ids
+        root_name = self.name.split("__")[0]
+        root = self._dataset.table(root_name)._df.select(
+            F.col(C_DLT_ID).alias("__root_id"), F.col(C_DLT_LOAD_ID).alias(col_name)
+        )
+        link = C_DLT_ROOT_ID if C_DLT_ROOT_ID in self._df.columns else C_DLT_PARENT_ID
+        joined = self._df.join(
+            F.broadcast(root), on=self._df[link] == root["__root_id"], how="left"
+        ).drop("__root_id")
+        return self._wrap(joined)
+
     # -- terminals --
 
     def spark_df(self) -> DataFrame:

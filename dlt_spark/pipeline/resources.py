@@ -83,6 +83,7 @@ class DltResource:
         self._item_steps: List = []  # driver-side per-item steps
         self._df_steps: List[Callable[[DataFrame], DataFrame]] = []
         self._limit: Optional[int] = None
+        self._max_time: Optional[float] = None
         self._selected_tables: Optional[List[str]] = None
 
     # -- pipe steps (reference resource.py:327-447) --
@@ -102,8 +103,16 @@ class DltResource:
         self._item_steps.append(("yield_map", f))
         return self
 
-    def add_limit(self, max_items: int) -> "DltResource":
-        self._limit = max_items
+    def add_limit(
+        self, max_items: Optional[int] = None, max_time: Optional[float] = None
+    ) -> "DltResource":
+        """Row-count and/or wall-clock cap (reference LimitItem,
+        ``items_transform.py:174-240``).  ``max_time`` applies to the
+        driver-side iteration of dict/generator payloads (there is no
+        Spark analog for a time-bounded scan — reference behavior)."""
+        if max_items is not None:
+            self._limit = max_items
+        self._max_time = max_time
         return self
 
     def add_df_step(self, f: Callable[[DataFrame], DataFrame]) -> "DltResource":
@@ -217,9 +226,14 @@ class DltResource:
             pass
 
         # dict-items path
+        import time as _time
+
+        deadline = (_time.monotonic() + self._max_time) if self._max_time else None
         routed: Dict[str, List[Any]] = {}
         count = 0
         for item in self._iter_items():
+            if deadline is not None and _time.monotonic() > deadline:
+                break
             if isinstance(item, DataFrame):
                 # generator of DataFrames: union afterwards
                 routed.setdefault(self._static_table_name(), []).append(item)

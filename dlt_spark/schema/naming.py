@@ -84,6 +84,63 @@ class SnakeCaseNaming:
         )
 
 
+class DuckCaseNaming(SnakeCaseNaming):
+    """Reference ``duck_case``: case-sensitive, keeps emoji/unicode,
+    only collapses whitespace/separators to ``_``."""
+
+    @property
+    def is_case_sensitive(self) -> bool:
+        return True
+
+    def normalize_identifier(self, identifier: str) -> str:
+        if identifier is None or not identifier.strip():
+            raise ValueError("identifier must not be empty")
+        ident = re.sub(r"[\s/\\.]+", "_", identifier.strip())
+        ident = _RE_UNDERSCORES.sub("_", ident)
+        return shorten_identifier(ident, identifier, self.max_length)
+
+    def normalize_path(self, path: str) -> str:
+        segments = [
+            self.normalize_identifier(p) for p in path.split(PATH_SEPARATOR) if p.strip()
+        ]
+        return shorten_identifier(PATH_SEPARATOR.join(segments), path, self.max_length)
+
+
+class SqlCsNaming(SnakeCaseNaming):
+    """Reference ``sql_cs_v1``: case-sensitive SQL-safe identifiers —
+    non-alphanumerics to ``_``, leading digit prefixed, case preserved."""
+
+    @property
+    def is_case_sensitive(self) -> bool:
+        return True
+
+    def normalize_identifier(self, identifier: str) -> str:
+        if identifier is None or not identifier.strip():
+            raise ValueError("identifier must not be empty")
+        ident = _RE_NON_ALPHANUMERIC.sub("_", identifier.strip())
+        if _RE_LEADING_DIGITS.match(ident):
+            ident = "_" + ident
+        ident = _RE_UNDERSCORES.sub("_", ident)
+        return shorten_identifier(ident, identifier, self.max_length)
+
+    def normalize_path(self, path: str) -> str:
+        segments = [
+            self.normalize_identifier(p) for p in path.split(PATH_SEPARATOR) if p.strip()
+        ]
+        return shorten_identifier(PATH_SEPARATOR.join(segments), path, self.max_length)
+
+
+class SqlCiNaming(SqlCsNaming):
+    """Reference ``sql_ci_v1``: like sql_cs but lower-cased."""
+
+    @property
+    def is_case_sensitive(self) -> bool:
+        return False
+
+    def normalize_identifier(self, identifier: str) -> str:
+        return super().normalize_identifier(identifier).lower()
+
+
 class DirectNaming:
     """Pass-through convention (reference ``naming/direct.py``): keeps
     identifiers as-is apart from length shortening."""
@@ -108,6 +165,25 @@ class DirectNaming:
         return [p for p in path.split(PATH_SEPARATOR) if p]
 
     normalize_table_identifier = normalize_identifier
+
+
+NAMING_CONVENTIONS = {
+    "snake_case": SnakeCaseNaming,
+    "duck_case": DuckCaseNaming,
+    "direct": DirectNaming,
+    "sql_cs_v1": SqlCsNaming,
+    "sql_ci_v1": SqlCiNaming,
+}
+
+
+def naming_from_name(name: str, max_length: int = 0):
+    """Pluggable convention lookup (reference naming module registry)."""
+    try:
+        return NAMING_CONVENTIONS[name](max_length)
+    except KeyError:
+        raise ValueError(
+            f"unknown naming convention {name!r}; choose from {sorted(NAMING_CONVENTIONS)}"
+        ) from None
 
 
 @lru_cache(maxsize=None)

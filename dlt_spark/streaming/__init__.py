@@ -107,6 +107,47 @@ def sessionize_stream(
     )
 
 
+def stateful_running_agg(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    timeout_minutes: int = 60,
+):
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY §2.J): a per-key running (count, sum) that survives across
+    micro-batches — the operator class the reference cannot express at
+    all.  State is a single row per key; the timeout reaps idle keys so
+    state size tracks the active key set, not stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = f"{', '.join(k + ' string' for k in keys)}, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {**{k: [str(v)] for k, v in zip(keys, key)}, "n": [n], "total": [total]}
+        )
+
+    return (
+        stream_df.groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 class StreamingPipeline:
     """Structured-Streaming loader: each micro-batch commits through the
     batch pipeline's LoadStage, so write dispositions, schema evolution,
