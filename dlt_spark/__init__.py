@@ -15,7 +15,9 @@ from .pipeline.resources import (
     DltResource,
     DltSource,
     DltTransformer,
+    ModelResource,
     mark,
+    model,
     resource,
     source,
     transformer,
@@ -40,6 +42,8 @@ __all__ = [
     "SchemaContractViolation",
     "incremental",
     "mark",
+    "model",
+    "ModelResource",
     "pipeline",
     "resource",
     "source",

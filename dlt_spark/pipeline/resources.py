@@ -347,6 +347,26 @@ def _merge_json_sample(lines: List[str], max_sample: int = 1000) -> str:
     return json.dumps(merged)
 
 
+class ModelResource(DltResource):
+    """SQL-model resource (reference model writer ``writers.py:183`` +
+    ``items_normalizers/model.py:27``): the payload is a SELECT statement
+    executed by Catalyst at materialization; the normalizer then injects
+    ``_dlt_id``/``_dlt_load_id`` like any other resource.  The Spark form
+    of ``CREATE TABLE AS SELECT`` transformations."""
+
+    def __init__(self, sql: str, name: str = "model", **hints: Any) -> None:
+        self.sql = sql
+        super().__init__(None, name=name, **hints)
+
+    def materialize(self, spark: SparkSession) -> Dict[str, DataFrame]:
+        df = spark.sql(self.sql)
+        return {self._static_table_name(): self._apply_df_steps(df)}
+
+
+def model(sql: str, name: str = "model", **hints: Any) -> ModelResource:
+    return ModelResource(sql, name=name, **hints)
+
+
 class DltTransformer:
     """A resource fed per-item from a parent resource
     (reference ``decorators.py:794-846``)."""
