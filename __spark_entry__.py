@@ -722,6 +722,39 @@ def _q_range_join(spark, sf_dir):
     return out.select("o_orderkey", "l_orderkey", "l_linenumber", "l_shipdate", "win_start")
 
 
+def _q_pipeline_load_events(spark, sf_dir):
+    """The true ELT workload, oracle-verified end to end: ingest events
+    with nested props through the full pipeline (normalize flatten +
+    upsert merge into the store), apply a second update batch, read the
+    final table back.  Everything deterministic except _dlt system
+    columns, which are projected away."""
+    import tempfile
+
+    import dlt_spark
+
+    dest = tempfile.mkdtemp(prefix="dlt_spark_bulk_")
+    pipe = dlt_spark.pipeline("bulk", dest, "ds", spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "k BIGINT")
+    )
+    pipe.run(
+        ev, table_name="events_bulk",
+        write_disposition="merge", merge_strategy="upsert", primary_key="event_id",
+    )
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1.0
+    )
+    pipe.run(
+        updates, table_name="events_bulk",
+        write_disposition="merge", merge_strategy="upsert", primary_key="event_id",
+    )
+    return (
+        pipe.dataset()["events_bulk"]
+        .spark_df()
+        .select("event_id", "user_id", "event_type", "ts", "value", "props__k")
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -770,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "pipeline_load_events": _q_pipeline_load_events,
     }
 
 
@@ -1231,6 +1265,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b USING (bucket)
         WHERE a.doc_id < b.doc_id
+    """
+
+    sql["pipeline_load_events"] = """
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN event_id % 10 = 0 THEN value + 1.0 ELSE value END AS value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS props__k
+        FROM events
     """
 
     sql["asof_join"] = """

@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "normalize_nested_roundtrip",
     "tpch_q3",
     "rolling_fingerprint",
+    "asof_join",
+    "range_join",
+    "pipeline_load_events",
 ]
 
 

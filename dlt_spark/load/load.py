@@ -243,7 +243,7 @@ class LoadStage:
                     T.StructField("schema_version_hash", T.StringType(), True),
                 ]
             ),
-        ).withColumn("inserted_at", F.current_timestamp())
+        ).repartition(1).withColumn("inserted_at", F.current_timestamp())
         self.store.append(row, LOADS_TABLE_NAME)
 
     def commit_schema(self) -> None:
@@ -257,7 +257,7 @@ class LoadStage:
                 )
             ],
             schema="version int, version_hash string, schema_name string, schema string",
-        ).withColumn("inserted_at", F.current_timestamp())
+        ).repartition(1).withColumn("inserted_at", F.current_timestamp())
         self.store.append(row, VERSION_TABLE_NAME)
 
 

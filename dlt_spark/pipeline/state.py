@@ -47,7 +47,7 @@ class PipelineState:
                 )
             ],
             schema="version int, pipeline_name string, state string, _dlt_load_id string",
-        ).withColumn("created_at", F.current_timestamp())
+        ).repartition(1).withColumn("created_at", F.current_timestamp())
         store.append(row, STATE_TABLE_NAME)
 
     @classmethod
