@@ -755,6 +755,35 @@ def _q_pipeline_load_events(spark, sf_dir):
     )
 
 
+def _q_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: 6-hour time buckets
+    per event type (floor-epoch arithmetic, engine-portable)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    ).alias("bucket")
+    return (
+        ev.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def _q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation (count-distinct shuffle shape; the HLL
+    approx_count_distinct variant is the scale path — same plan, partial
+    sketches merged map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -804,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "pipeline_load_events": _q_pipeline_load_events,
+        "time_bucket_rollup": _q_time_bucket_rollup,
+        "distinct_agg": _q_distinct_agg,
     }
 
 
@@ -1272,6 +1303,25 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN event_id % 10 = 0 THEN value + 1.0 ELSE value END AS value,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS props__k
         FROM events
+    """
+
+    sql["time_bucket_rollup"] = """
+        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS bucket,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    sql["distinct_agg"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
     """
 
     sql["asof_join"] = """

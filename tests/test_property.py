@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the schema core — beyond the
+reference's test strategy (SURVEY §5 notes it has none)."""
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dlt_spark.schema.inference import CoercionError, coerce_value, infer_data_type
+from dlt_spark.schema.naming import PATH_SEPARATOR, SnakeCaseNaming, shorten_identifier
+from dlt_spark.schema.schema import Schema, version_hash
+from dlt_spark.schema.typing import new_column, new_table
+
+naming = SnakeCaseNaming()
+ident_chars = string.ascii_letters + string.digits + " _-+*@|!.#"
+idents = st.text(alphabet=ident_chars, min_size=1, max_size=40).filter(
+    lambda s: s.strip()
+)
+
+
+@given(idents)
+@settings(max_examples=200)
+def test_snake_case_idempotent(s):
+    once = naming.normalize_identifier(s)
+    assert naming.normalize_identifier(once) == once
+
+
+@given(idents)
+@settings(max_examples=200)
+def test_snake_case_output_is_safe(s):
+    out = naming.normalize_identifier(s)
+    assert out
+    assert all(c.islower() or c.isdigit() or c == "_" or c == "x" for c in out)
+    assert not out[0].isdigit()
+    assert "__" not in out  # path separator never produced by a single ident
+
+
+@given(idents, idents)
+@settings(max_examples=100)
+def test_path_roundtrip(a, b):
+    path = naming.make_path(naming.normalize_identifier(a), naming.normalize_identifier(b))
+    parts = naming.break_path(path)
+    assert len(parts) == 2
+
+
+@given(st.text(min_size=1, max_size=200), st.integers(min_value=12, max_value=60))
+@settings(max_examples=200)
+def test_shortening_respects_max_length(s, max_len):
+    out = shorten_identifier(s, s, max_len)
+    assert len(out) <= max(max_len, len(s) if len(s) <= max_len else max_len)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=200)
+def test_bigint_text_roundtrip(v):
+    assert coerce_value("bigint", "text", str(v)) == v
+    assert coerce_value("text", "bigint", v) == str(v)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=100)
+def test_binary_text_roundtrip(b):
+    txt = coerce_value("text", "binary", b)
+    assert coerce_value("binary", "text", txt) == b
+
+
+@given(st.dictionaries(st.text(string.ascii_lowercase, min_size=1, max_size=8),
+                       st.one_of(st.integers(), st.text(max_size=10), st.booleans()),
+                       max_size=5))
+@settings(max_examples=100)
+def test_json_coercion_roundtrip(d):
+    txt = coerce_value("text", "json", d)
+    assert json.loads(txt) == d
+
+
+@given(st.lists(st.tuples(st.text(string.ascii_lowercase, min_size=1, max_size=10),
+                          st.sampled_from(["bigint", "text", "double", "bool"])),
+                min_size=1, max_size=8, unique_by=lambda t: t[0]))
+@settings(max_examples=100)
+def test_version_hash_order_independent(cols):
+    s1 = Schema("p")
+    s1.update_table(new_table("t", columns=[new_column(n, d) for n, d in cols]))
+    s2 = Schema("p")
+    s2.update_table(new_table("t", columns=[new_column(n, d) for n, d in reversed(cols)]))
+    # canonical JSON sorts keys -> same content hash regardless of
+    # insertion order
+    assert version_hash(s1.to_dict()) == version_hash(s2.to_dict())
+
+
+@given(st.one_of(st.integers(), st.floats(allow_nan=False, allow_infinity=False),
+                 st.text(max_size=20), st.booleans(), st.binary(max_size=20)))
+@settings(max_examples=200)
+def test_infer_never_crashes(v):
+    t = infer_data_type(v)
+    assert isinstance(t, str)
