@@ -97,6 +97,7 @@ class LoadStage:
         disposition = table.get("write_disposition", "append")
         if disposition == "skip":
             return
+        partition_by = _hint_cols(table, "partition") or None
         exists = self.store.exists(name)
         dest = self.store.read(name) if exists else None
 
@@ -105,14 +106,14 @@ class LoadStage:
 
         if disposition == "append":
             if dest is None:
-                self.store.append(df, name)
+                self.store.append(df, name, partition_by=partition_by)
             elif set(df.columns) != set(dest.columns):
-                self.store.overwrite(union_evolved(dest, df), name)
+                self.store.overwrite(union_evolved(dest, df), name, partition_by=partition_by)
             else:
-                self.store.append(df.select(*dest.columns), name)
+                self.store.append(df.select(*dest.columns), name, partition_by=partition_by)
             return
         if disposition == "replace":
-            self.store.overwrite(D.replace_table(df), name)
+            self.store.overwrite(D.replace_table(df), name, partition_by=partition_by)
             return
         if disposition == "merge":
             strategy = table.get("x_merge_strategy", "delete-insert")
@@ -147,9 +148,9 @@ class LoadStage:
             else:
                 raise ValueError(f"unknown merge strategy {strategy!r}")
             if dest is None:
-                self.store.append(result, name)
+                self.store.append(result, name, partition_by=partition_by)
             else:
-                self.store.overwrite(result, name)
+                self.store.overwrite(result, name, partition_by=partition_by)
             return
         raise ValueError(f"unknown write disposition {disposition!r}")
 

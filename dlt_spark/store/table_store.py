@@ -41,10 +41,10 @@ class TableStore:
     def read(self, table: str) -> DataFrame:
         raise NotImplementedError
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         raise NotImplementedError
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
+    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         raise NotImplementedError
 
     def truncate(self, table: str) -> None:
@@ -108,22 +108,43 @@ class ParquetTableStore(TableStore):
         paths = self._data_paths(table)
         if not paths:
             raise FileNotFoundError(f"table {table!r} is empty and schemaless")
+        meta = self._current_meta(table) or {}
+        if meta.get("partition_by") and len(paths) > 1:
+            # hive-partitioned version dirs: partition discovery needs one
+            # root per read — union the snapshots
+            out = self.spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                out = out.unionByName(self.spark.read.parquet(p), allowMissingColumns=True)
+            return out
         return self.spark.read.parquet(*paths)
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         v = self._next_version(table)
         new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
-        df.write.mode("overwrite").parquet(new_dir)
         prev = self._current_meta(table)
+        partition_by = partition_by or (prev or {}).get("partition_by")
+        self._write(df, new_dir, partition_by)
         paths = (prev["paths"] if prev else []) + [new_dir]
-        self._commit(table, {"version": v, "paths": paths})
+        self._commit(table, {"version": v, "paths": paths, "partition_by": partition_by})
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
+    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         v = self._next_version(table)
         new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
-        df.write.mode("overwrite").parquet(new_dir)
-        self._commit(table, {"version": v, "paths": [new_dir]})
+        prev = self._current_meta(table)
+        partition_by = partition_by or (prev or {}).get("partition_by")
+        self._write(df, new_dir, partition_by)
+        self._commit(table, {"version": v, "paths": [new_dir], "partition_by": partition_by})
         self._vacuum(table, keep=2)
+
+    @staticmethod
+    def _write(df: DataFrame, path: str, partition_by: Optional[List[str]]) -> None:
+        """Hive-partitioned layout when partition hints are set — readers
+        get partition pruning on those columns for free (the parquet
+        analog of Delta partitioning / Iceberg partition specs)."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def truncate(self, table: str) -> None:
         if self._current_meta(table) is not None:
