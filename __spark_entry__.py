@@ -9,16 +9,53 @@ hash-compares sorted columns).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# the driver may import this file by path (spec_from_file_location), in
+# which case the repo dir is not on sys.path — make `import dlt_spark`
+# work regardless of how we were loaded
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
 NULL_MARK = "\x01NULL\x01"
+
+_PKG_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship dlt_spark to executors (addPyFile zip) so Python stages
+    (mapInPandas codecs) can unpickle references to the package even when
+    the driver process was launched outside the repo."""
+    global _PKG_SHIPPED
+    if _PKG_SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "dlt_spark_pkg.zip")
+        src = os.path.join(_HERE, "dlt_spark")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _HERE))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # best effort; JVM-only queries are unaffected
+    _PKG_SHIPPED = True
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read ns as long and convert to µs timestamps
