@@ -305,10 +305,28 @@ class Pipeline:
         )
 
         root_name = self.schema.naming.normalize_table_identifier(table_name)
+
+        # preferred types by name regex -> cast before registration
+        # (reference preferred_types, schema.py:626)
+        if self.schema.settings.get("preferred_types"):
+            from ..schema.spark_types import to_spark_type
+
+            for tname_, df_ in list(tables.items()):
+                casts = {}
+                for f in df_.schema.fields:
+                    pref = self.schema.preferred_type(f.name)
+                    if pref:
+                        want = to_spark_type({"data_type": pref})
+                        if want != f.dataType:
+                            casts[f.name] = df_[f.name].cast(want)
+                if casts:
+                    tables[tname_] = df_.withColumns(casts)
+
         cols = []
         root_df = tables[root_name]
         for f in root_df.schema.fields:
             c = new_column(f.name, **from_spark_type(f.dataType))
+            c.update(self.schema.infer_hints(f.name))  # default hints by regex
             if res.primary_key and f.name in res.primary_key:
                 c["primary_key"] = True
             if res.merge_key and f.name in res.merge_key:
@@ -329,10 +347,11 @@ class Pipeline:
         for child_name, child_df in tables.items():
             if child_name == root_name:
                 continue
-            child_cols = [
-                new_column(f.name, **from_spark_type(f.dataType))
-                for f in child_df.schema.fields
-            ]
+            child_cols = []
+            for f in child_df.schema.fields:
+                cc = new_column(f.name, **from_spark_type(f.dataType))
+                cc.update(self.schema.infer_hints(f.name))
+                child_cols.append(cc)
             self.schema.update_table(
                 new_table(child_name, parent=root_name, columns=child_cols)
             )

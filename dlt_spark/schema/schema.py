@@ -222,6 +222,30 @@ class Schema:
         merge_table(existing, partial)
         return existing
 
+    def infer_hints(self, col_name: str) -> dict:
+        """Default hints by column-name regex (reference
+        ``Schema._infer_hint`` ``schema.py:984``, settings
+        ``typing.py:389-393``)."""
+        import re
+
+        out: dict = {}
+        for hint, patterns in self.settings.get("default_hints", {}).items():
+            for p in patterns:
+                if re.search(p, col_name):
+                    out[hint] = True
+                    break
+        return out
+
+    def preferred_type(self, col_name: str):
+        """Preferred data type by column-name regex (reference
+        ``typing.py:393``, ``schema.py:626``)."""
+        import re
+
+        for p, dtype in self.settings.get("preferred_types", {}).items():
+            if re.search(p, col_name):
+                return dtype
+        return None
+
     def resolve_contract(self, table_name: str) -> dict:
         """Contract inherits root -> nested table (reference schema.py:331)."""
         contract = dict(self.settings.get("schema_contract", DEFAULT_SCHEMA_CONTRACT))
