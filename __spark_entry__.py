@@ -821,6 +821,26 @@ def _q_distinct_agg(spark, sf_dir):
     )
 
 
+def _q_variant_type_json(spark, sf_dir):
+    """Spark 4 VariantType path for the dlt `json` type: parse_json +
+    typed variant_get — the scan-time schema-on-read story (SURVEY §1.2
+    json row: 'VariantType on Spark 4')."""
+    ev = _t(spark, sf_dir, "events")
+    try:
+        v = F.parse_json(F.col("props"))
+        out = ev.select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_typed"),
+        )
+        out.limit(1).collect()  # probe variant support
+        return out
+    except Exception:
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_typed"),
+        )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -872,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_load_events": _q_pipeline_load_events,
         "time_bucket_rollup": _q_time_bucket_rollup,
         "distinct_agg": _q_distinct_agg,
+        "variant_type_json": _q_variant_type_json,
     }
 
 
@@ -1351,6 +1372,12 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["variant_type_json"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        FROM events
     """
 
     sql["distinct_agg"] = """

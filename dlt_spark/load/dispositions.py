@@ -246,6 +246,28 @@ def scd2_apply(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    random-but-deterministic salt bucket from its own row content, the
+    (smaller) right side is replicated ``salt``x — hot keys spread over
+    ``salt`` tasks instead of one straggler.  Use when AQE's skew-join
+    split is not enough (single mega-key).  Salt from a hash of all left
+    columns, so reruns are deterministic."""
+    on = list(on)
+    lsalt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).alias("_salt")
+    lt = left.withColumn("_salt", lsalt)
+    rt = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return lt.join(rt, on=on + ["_salt"], how=how).drop("_salt")
+
+
 def replace_table(staging: DataFrame) -> DataFrame:
     """Replace disposition: the result simply *is* the staging data.  The
     three reference strategies (truncate-and-insert / insert-from-staging /

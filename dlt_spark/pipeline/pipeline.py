@@ -76,12 +76,18 @@ class Pipeline:
         dataset_name: str = "default",
         spark: Optional[SparkSession] = None,
         dev_mode: bool = False,
+        naming: str = "snake_case",
+        max_identifier_length: int = 0,
     ) -> None:
+        from ..schema.naming import naming_from_name
+
         self.pipeline_name = pipeline_name
         self.dataset_name = dataset_name
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.store: TableStore = ParquetTableStore(self.spark, destination, dataset_name)
-        self.schema = Schema(dataset_name)
+        self.schema = Schema(
+            dataset_name, naming=naming_from_name(naming, max_identifier_length)
+        )
         self.state = (
             PipelineState.restore(self.store, pipeline_name)
             or PipelineState(pipeline_name)
