@@ -140,9 +140,21 @@ class Incremental:
     def update_state(self, df: DataFrame) -> "Incremental":
         """Compute the new ``last_value`` and boundary pk-hash set from the
         *loaded* window.  One ``agg`` + one tiny ``collect`` of boundary
-        hashes — both scale-free."""
+        hashes — both scale-free.  In ``raise`` mode the NULL-cursor check
+        piggybacks on the same aggregation (reference raises on NULL
+        cursor values, ``transform.py:249-299``)."""
         agg_fn = F.max if self.last_value_func == "max" else F.min
-        row = df.agg(agg_fn(F.col(self.cursor_path)).alias("v")).collect()[0]
+        aggs = [agg_fn(F.col(self.cursor_path)).alias("v")]
+        if self.on_cursor_value_missing == "raise":
+            aggs.append(
+                F.sum(F.col(self.cursor_path).isNull().cast("long")).alias("nulls")
+            )
+        row = df.agg(*aggs).collect()[0]
+        if self.on_cursor_value_missing == "raise" and (row["nulls"] or 0) > 0:
+            raise ValueError(
+                f"cursor column {self.cursor_path!r} has {row['nulls']} NULL"
+                " values; set on_cursor_value_missing to 'include' or 'exclude'"
+            )
         new_last = row["v"]
         if new_last is None:
             return self
