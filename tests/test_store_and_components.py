@@ -1,0 +1,88 @@
+"""ParquetTableStore unit tests (atomicity contract) + connected
+components clustering."""
+
+import json
+import os
+
+import pytest
+
+from dlt_spark.store.table_store import ParquetTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetTableStore(spark, str(tmp_path), "ds")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_append_and_read(spark, store):
+    store.append(_df(spark, [(1, "a")]), "t")
+    store.append(_df(spark, [(2, "b")]), "t")
+    assert store.read("t").count() == 2
+    assert store.list_tables() == ["t"]
+
+
+def test_overwrite_replaces_snapshot(spark, store):
+    store.append(_df(spark, [(1, "a"), (2, "b")]), "t")
+    store.overwrite(_df(spark, [(9, "z")]), "t")
+    rows = store.read("t").collect()
+    assert len(rows) == 1 and rows[0]["id"] == 9
+
+
+def test_read_while_overwrite_snapshot_isolation(spark, store):
+    store.append(_df(spark, [(1, "a")]), "t")
+    old = store.read("t")  # plan bound to snapshot v0
+    store.overwrite(_df(spark, [(2, "b")]), "t")
+    # old plan still readable (vacuum keeps the previous version)
+    assert old.count() == 1
+    assert store.read("t").collect()[0]["id"] == 2
+
+
+def test_truncate_and_drop(spark, store):
+    store.append(_df(spark, [(1, "a")]), "t")
+    store.truncate("t")
+    assert not store.exists("t")
+    store.append(_df(spark, [(2, "b")]), "t")
+    store.drop("t")
+    assert store.list_tables() == []
+
+
+def test_pointer_is_valid_json(spark, store, tmp_path):
+    store.append(_df(spark, [(1, "a")]), "t")
+    with open(os.path.join(str(tmp_path), "ds", "t", "_current")) as f:
+        meta = json.load(f)
+    assert meta["version"] == 0 and len(meta["paths"]) == 1
+
+
+def test_connected_components(spark):
+    from dlt_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[5] == out[6] == 5
+    assert out[8] == out[9] == out[10] == 8
+
+
+def test_minhash_then_cluster(spark):
+    from dlt_spark.dataops.dedup import connected_components, minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "the quick brown fox jumps over the lazy dog again and once more"),
+            (4, "completely unrelated text about database engines and queries"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = minhash_lsh_candidates(docs, "doc_id", num_hashes=32, bands=16, shingle_n=2)
+    clusters = {r["id"]: r["component"] for r in connected_components(cand, "id_a", "id_b").collect()}
+    assert clusters.get(1) == clusters.get(2) == 1
+    assert 4 not in clusters  # no candidate pair touched it
