@@ -841,6 +841,33 @@ def _q_variant_type_json(spark, sf_dir):
         )
 
 
+def _q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL entry point."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _q_outer_join_counts(spark, sf_dir):
+    """Left outer join with null handling: every customer with their
+    order count (0 when none)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -893,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_rollup": _q_time_bucket_rollup,
         "distinct_agg": _q_distinct_agg,
         "variant_type_json": _q_variant_type_json,
+        "grouping_sets": _q_grouping_sets,
+        "outer_join_counts": _q_outer_join_counts,
     }
 
 
@@ -1372,6 +1401,21 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+
+    sql["outer_join_counts"] = """
+        SELECT c.c_custkey,
+               coalesce(o.cnt, 0) AS n_orders
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
     """
 
     sql["variant_type_json"] = """

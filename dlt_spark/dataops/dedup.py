@@ -394,6 +394,46 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup removal at scale: hyperplane-LSH bucketing
+    (same-signature candidates only — no all-pairs), exact cosine
+    verification inside buckets, then greedy keep-min-id via connected
+    components.  Returns the rows to KEEP."""
+    from .similarity import lsh_index
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+    indexed = lsh_index(df, dim, id_col=id_col, vec_col=vec_col, num_planes=num_planes, seed=seed)
+    a = indexed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_lsh_bucket"
+    )
+    b = indexed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_lsh_bucket"
+    )
+    pairs = (
+        a.join(b, "_lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,
