@@ -164,6 +164,8 @@ class LoadStage:
         removed by ``_dlt_root_id`` before the child batch is appended
         (reference root-key delete, ``sql_jobs.py:550-739``)."""
         root_name = root_table["name"]
+        if root_name not in tables:
+            return  # whole batch discarded by a schema contract
         disposition = root_table.get("write_disposition", "append")
         strategy = root_table.get("x_merge_strategy", "delete-insert")
         root_df = tables[root_name]

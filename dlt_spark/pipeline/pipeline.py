@@ -350,7 +350,11 @@ class Pipeline:
             resource=res.name,
         )
         registered = self.schema.update_table(tbl)
-        for child_name, child_df in tables.items():
+        enforced = self._enforce_contract(tables[root_name], root_name)
+        if enforced is None:
+            return {"schema": registered, "__tables__": {}}
+        tables[root_name] = enforced
+        for child_name, child_df in list(tables.items()):
             if child_name == root_name:
                 continue
             child_cols = []
@@ -361,7 +365,44 @@ class Pipeline:
             self.schema.update_table(
                 new_table(child_name, parent=root_name, columns=child_cols)
             )
+            child_enforced = self._enforce_contract(tables[child_name], child_name)
+            if child_enforced is None:
+                tables.pop(child_name)
+            else:
+                tables[child_name] = child_enforced
         return {"schema": registered, "__tables__": tables}
+
+    def _enforce_contract(self, df: DataFrame, table_name: str):
+        """Apply contract decisions to the *data* (reference
+        ``schema.py:177-318`` applied in ``jsonl.py:89-215``):
+
+        - unknown table under ``tables: discard_*`` -> the whole batch is
+          dropped (returns None);
+        - unregistered columns under ``columns: discard_value`` -> columns
+          dropped; under ``discard_row`` -> rows carrying a non-NULL value
+          in any offending column are dropped, then the columns.
+        ``freeze`` already raised during registration."""
+        contract = self.schema.resolve_contract(table_name)
+        if table_name not in self.schema.tables:
+            if contract["tables"] in ("discard_row", "discard_value"):
+                return None
+            return df
+        reg_cols = set(self.schema.tables[table_name].get("columns", {}))
+        extras = [c for c in df.columns if c not in reg_cols]
+        if not extras:
+            return df
+        mode = contract["columns"]
+        if mode == "discard_row":
+            from pyspark.sql import functions as SF
+
+            cond = None
+            for c in extras:
+                is_null = SF.col(c).isNull()
+                cond = is_null if cond is None else cond & is_null
+            df = df.filter(cond)
+        if mode in ("discard_row", "discard_value"):
+            df = df.drop(*extras)
+        return df
 
 
 def pipeline(
@@ -370,5 +411,10 @@ def pipeline(
     dataset_name: str = "default",
     spark: Optional[SparkSession] = None,
     dev_mode: bool = False,
+    naming: str = "snake_case",
+    max_identifier_length: int = 0,
 ) -> Pipeline:
-    return Pipeline(pipeline_name, destination, dataset_name, spark, dev_mode)
+    return Pipeline(
+        pipeline_name, destination, dataset_name, spark, dev_mode,
+        naming=naming, max_identifier_length=max_identifier_length,
+    )

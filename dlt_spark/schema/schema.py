@@ -191,7 +191,8 @@ class Schema:
         table.  Contract semantics per reference ``schema.py:177-318``."""
         name = partial["name"]
         contract = self.resolve_contract(name)
-        if name not in self.tables:
+        is_new_table = name not in self.tables
+        if is_new_table:
             if apply_contract and contract["tables"] == "freeze":
                 raise SchemaContractViolation("tables", name, name, "freeze")
             if apply_contract and contract["tables"] in ("discard_row", "discard_value"):
@@ -200,7 +201,10 @@ class Schema:
                 name, parent=partial.get("parent")
             )
         existing = self.tables[name]
-        if apply_contract:
+        # a newly-allowed table brings its initial columns with it — the
+        # columns contract governs *subsequent* drift (reference
+        # schema.py:177-318: the new-table decision covers its columns)
+        if apply_contract and not is_new_table:
             filtered_cols = {}
             for cname, col in partial.get("columns", {}).items():
                 ex = existing.get("columns", {}).get(cname)
