@@ -278,6 +278,24 @@ class Relation:
             raise ValueError("fetchscalar requires a single-column relation")
         return row[0]
 
+    def iter_arrow(self, chunk_size: int = 100_000):
+        """Chunked Arrow iteration (reference ``iter_arrow``)."""
+        import pyarrow as pa
+
+        for pdf in self.iter_df(chunk_size):
+            yield pa.Table.from_pandas(pdf)
+
+    def iter_fetch(self, chunk_size: int = 100_000):
+        """Chunked tuple iteration (reference ``iter_fetch``)."""
+        buf: List[Tuple] = []
+        for row in self._df.toLocalIterator():
+            buf.append(tuple(row))
+            if len(buf) >= chunk_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
     def iter_df(self, chunk_size: int = 100_000):
         """Chunked pandas iteration via toLocalIterator — streams partitions
         to the driver without materializing the whole result."""
