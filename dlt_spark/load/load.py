@@ -103,6 +103,7 @@ class LoadStage:
 
         if dest is not None:
             df = align_with_variants(df, dest)
+            df = self._apply_data_type_contract(df, dest, name)
 
         if disposition == "append":
             if dest is None:
@@ -153,6 +154,41 @@ class LoadStage:
                 self.store.overwrite(result, name, partition_by=partition_by)
             return
         raise ValueError(f"unknown write disposition {disposition!r}")
+
+    def _apply_data_type_contract(
+        self, df: DataFrame, dest: DataFrame, name: str
+    ) -> DataFrame:
+        """The ``data_type`` contract axis governs variant-column creation
+        (reference F6: B3 sends price as text -> price__v_text under
+        evolve, raises under freeze, filtered under discard_*)."""
+        from ..schema.schema import SchemaContractViolation
+        from ..schema.typing import new_column, new_table
+
+        new_variants = [
+            c for c in df.columns if "__v_" in c and c not in dest.columns
+        ]
+        if not new_variants:
+            return df
+        mode = self.schema.resolve_contract(name).get("data_type", "evolve")
+        if mode == "freeze":
+            raise SchemaContractViolation("data_type", name, new_variants[0], "freeze")
+        if mode == "discard_row":
+            cond = None
+            for c in new_variants:
+                is_null = F.col(c).isNull()
+                cond = is_null if cond is None else cond & is_null
+            return df.filter(cond).drop(*new_variants)
+        if mode == "discard_value":
+            return df.drop(*new_variants)
+        # evolve: register the variant columns in the schema
+        if name in self.schema.tables:
+            cols = [
+                new_column(c, data_type="text", variant=True) for c in new_variants
+            ]
+            self.schema.update_table(
+                new_table(name, columns=cols), apply_contract=False
+            )
+        return df
 
     # -- chain write (root + nested tables, ordered) --
 

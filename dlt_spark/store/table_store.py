@@ -165,6 +165,17 @@ class ParquetTableStore(TableStore):
             if os.path.exists(self._pointer(t)) and self.exists(t)
         )
 
+    def compact(self, table: str, target_partitions: Optional[int] = None) -> None:
+        """Rewrite the table into a single snapshot with right-sized files
+        (the OPTIMIZE analog): append-heavy tables accumulate one dir per
+        load; compaction folds them so readers open O(partitions) files.
+        On Delta/Iceberg this maps to OPTIMIZE / rewrite_data_files."""
+        df = self.read(table)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        meta = self._current_meta(table) or {}
+        self.overwrite(df, table, partition_by=meta.get("partition_by"))
+
     def _vacuum(self, table: str, keep: int) -> None:
         """Remove version dirs no longer referenced (best-effort)."""
         meta = self._current_meta(table)

@@ -47,3 +47,46 @@ def test_columns_freeze_raises(spark, tmp_path):
     pipe.run([{"id": 1, "name": "a"}], table_name="t")
     with pytest.raises(SchemaContractViolation):
         pipe.run([{"id": 2, "name": "b", "rogue": "x"}], table_name="t")
+
+
+def test_data_type_freeze_blocks_variant(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, {"tables": "evolve", "columns": "evolve", "data_type": "freeze"})
+    pipe.run([{"id": 1, "price": 10.5}], table_name="t")
+    with pytest.raises(SchemaContractViolation):
+        pipe.run([{"id": 2, "price": "not-a-number"}], table_name="t")
+
+
+def test_data_type_discard_row(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, {"tables": "evolve", "columns": "evolve", "data_type": "discard_row"})
+    pipe.run([{"id": 1, "price": 10.5}], table_name="t")
+    pipe.run([{"id": 2, "price": "oops"}, {"id": 3, "price": 7.5}], table_name="t")
+    rows = {r["id"] for r in pipe.dataset()["t"].spark_df().collect()}
+    assert rows == {1, 3}
+
+
+def test_data_type_evolve_registers_variant(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, {"tables": "evolve", "columns": "evolve", "data_type": "evolve"})
+    pipe.run([{"id": 1, "price": 10.5}], table_name="t")
+    pipe.run([{"id": 2, "price": "oops"}], table_name="t")
+    cols = pipe.schema.tables["t"]["columns"]
+    variant_cols = [c for c in cols if c.startswith("price__v_")]
+    assert variant_cols and cols[variant_cols[0]].get("variant") is True
+
+
+def test_store_compact(spark, tmp_path):
+    import os
+
+    import dlt_spark
+
+    pipe = dlt_spark.pipeline("cp", str(tmp_path / "c"), "ds", spark)
+    for i in range(4):
+        pipe.run([{"id": i}], table_name="t")
+    meta_dir = os.path.join(str(tmp_path / "c"), "ds", "t")
+    import json
+
+    with open(os.path.join(meta_dir, "_current")) as f:
+        assert len(json.load(f)["paths"]) == 4
+    pipe.store.compact("t", target_partitions=1)
+    with open(os.path.join(meta_dir, "_current")) as f:
+        assert len(json.load(f)["paths"]) == 1
+    assert pipe.dataset()["t"].row_count() == 4
