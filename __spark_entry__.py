@@ -868,6 +868,23 @@ def _q_outer_join_counts(spark, sf_dir):
     )
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from dlt_spark.dataops.text import tf_idf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tf_idf(docs, top_k=3)
+
+
+def _q_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline (exact dedup + quality/length filters +
+    MinHash near-dedup) — rows-only check; each constituent operator is
+    oracle-verified on its own."""
+    from dlt_spark.dataops.text import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_quality=0.4, min_tokens=3, near_dedup=True)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -922,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_type_json": _q_variant_type_json,
         "grouping_sets": _q_grouping_sets,
         "outer_join_counts": _q_outer_join_counts,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -1401,6 +1420,29 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents WHERE doc_id < 100
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
     """
 
     sql["grouping_sets"] = """

@@ -126,6 +126,78 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    Plan: explode tokens -> per-(doc,term) counts (one shuffle) ->
+    document frequency per term (second aggregation over the same
+    exchange) -> broadcast the (small) term-df table back -> windowed
+    top-k per doc.  ``idf = ln(N/df)``; score rounded for cross-engine
+    float stability.  SQL-oracle expressible end to end."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), decimals),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"), "tfidf",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    languages: Optional[Sequence[str]] = None,
+    near_dedup: bool = True,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The composed training-data curation pipeline: exact dedup ->
+    quality/length/language filters -> optional MinHash near-dedup.
+    Each stage is one of the individually oracle-verified operators;
+    the composition is one narrow pass + the dedup shuffles."""
+    from .dedup import drop_exact_dups, minhash_dedup
+
+    c = F.col(text_col)
+    out = drop_exact_dups(df, id_col, text_col)
+    out = out.filter(
+        (token_count(c) >= min_tokens)
+        & (token_count(c) <= max_tokens)
+        & (quality_score(c) >= min_quality)
+    )
+    if languages:
+        out = out.filter(lang_id(c).isin(*languages))
+    if near_dedup:
+        out = minhash_dedup(
+            out, id_col, text_col, shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold,
+        )
+    return out
+
+
 def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all metrics as columns in a single projection."""
     c = F.col(text_col)
