@@ -42,12 +42,17 @@ def _ship_package(spark: SparkSession) -> None:
 
         zpath = os.path.join(tempfile.gettempdir(), "dlt_spark_pkg.zip")
         src = os.path.join(_HERE, "dlt_spark")
-        with zipfile.ZipFile(zpath, "w") as zf:
+        # write-then-rename so concurrent driver processes never observe
+        # a half-written archive
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(src):
                 for f in files:
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         zf.write(full, os.path.relpath(full, _HERE))
+        os.replace(tmp, zpath)
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass  # best effort; JVM-only queries are unaffected
@@ -885,6 +890,20 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(docs, min_quality=0.4, min_tokens=3, near_dedup=True)
 
 
+def _q_stats_summary(spark, sf_dir):
+    """Statistical aggregates: interpolated percentiles + sample stddev
+    per group (the exact forms; approx_percentile/HLL are the same plan
+    shape with sketch partials at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -941,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_counts": _q_outer_join_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "curate_corpus": _q_curate_corpus,
+        "stats_summary": _q_stats_summary,
     }
 
 
@@ -1420,6 +1440,17 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["stats_summary"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(stddev_samp(value), 6) AS sd,
+               round(min(value), 6) AS vmin,
+               round(max(value), 6) AS vmax
+        FROM events
+        GROUP BY event_type
     """
 
     sql["tfidf_top_terms"] = """
