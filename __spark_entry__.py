@@ -1432,7 +1432,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["time_bucket_rollup"] = """
-        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS bucket,
+        SELECT CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP) AS bucket,
                event_type,
                count(*) AS n,
                sum(CAST(value AS DECIMAL(38,6))) AS sum_value,

@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "pipeline_load_events",
+    "time_bucket_rollup",
+    "stats_summary",
+    "tfidf_top_terms",
+    "curate_corpus",
 ]
 
 

@@ -216,6 +216,15 @@ def minhash_lsh_candidates(
             ]
         ).alias("_sig"),
     )
+    # materialize the signatures once: (a) CollapseProject would otherwise
+    # inline the signature expression into every per-band element access,
+    # recomputing the whole shingle+hash pipeline per band (measured 30x+
+    # slower), and (b) the bucket self-join consumes the lineage twice.
+    # The signature table is tiny relative to the corpus ((id, k x int64)
+    # per doc) — at full scale this is exactly the "persist the signature
+    # index" step, so the materialization is the intended design, not a
+    # workaround.
+    sig = sig.localCheckpoint(eager=True)
     band_cols = [
         F.sha2(
             F.concat_ws(",", *[F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]),
