@@ -128,3 +128,39 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(df, deterministic_fake=True).collect()
     assert len(frames) == 6  # 3 fake frames per asset
     assert {r["frame_idx"] for r in frames} == {0, 10, 20}
+
+
+def test_arrow_column_path_parity(docs):
+    """The Arrow-batched shingle/MinHash kernel must produce bit-identical
+    results to the pure-column reference path (same tokenizer regex, same
+    sha256 recipe, same permutation constants)."""
+    tricky = docs.union(
+        docs.sparkSession.createDataFrame(
+            [
+                (10, ""),
+                (11, "   "),
+                (12, "one"),
+                (13, "\ttab\tand\nnewline  mix "),
+                (14, "UPPER and MiXeD Case"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    col_sig = tricky.select("doc_id", dd.minhash_signature(F.col("text"), 32, 2).alias("s"))
+    arw_sig = tricky.select("doc_id", dd._minhash_signature_arrow(32, 2)(F.col("text")).alias("s"))
+    assert (
+        col_sig.alias("a").join(arw_sig.alias("b"), "doc_id")
+        .filter(F.col("a.s") != F.col("b.s")).count() == 0
+    )
+    col_sh = tricky.select("doc_id", F.array_sort(dd.shingles(F.col("text"), 2)).alias("s"))
+    arw_sh = tricky.select("doc_id", F.array_sort(dd._shingles_arrow(2)(F.col("text"))).alias("s"))
+    assert (
+        col_sh.alias("a").join(arw_sh.alias("b"), "doc_id")
+        .filter(F.col("a.s") != F.col("b.s")).count() == 0
+    )
+    # candidate sets agree between paths end to end
+    fast = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=32, bands=16, shingle_n=2, use_arrow=True).collect()}
+    ref = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=32, bands=16, shingle_n=2, use_arrow=False).collect()}
+    assert fast == ref
