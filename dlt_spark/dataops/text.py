@@ -191,6 +191,15 @@ def curate_corpus(
     if languages:
         out = out.filter(lang_id(c).isin(*languages))
     if near_dedup:
+        # materialize the filtered corpus once before the multi-pass
+        # near-dedup: the dedup consumes it several times (signatures,
+        # verification shingles, final anti-join), and truncating the
+        # lineage here also keeps each downstream job's plan small.  At
+        # cluster scale this is the "write the curated staging table"
+        # step of a multi-pass dedup pipeline; localCheckpoint is the
+        # local-mode analog (swap for a real staging-table write when a
+        # persistent store is bound).
+        out = out.localCheckpoint(eager=True)
         out = minhash_dedup(
             out, id_col, text_col, shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,
