@@ -56,7 +56,18 @@ def dedup_staging(
         # tiebreak deterministically so reruns produce identical tables
         order += [F.col(c).asc() for c in staging.columns if c != dedup_sort]
     else:
-        order = [F.col(c).asc() for c in staging.columns]
+        # the reference picks arbitrarily here (ORDER BY (SELECT NULL));
+        # we pick deterministically but cheaply: one 8-byte hash sort key
+        # over the row instead of a full multi-column sort tuple (the
+        # wide tuple measurably slows the shuffle's UnsafeRow prefix at
+        # scale).  _dlt system columns are excluded — _dlt_load_id (and
+        # a random-strategy _dlt_id) change per run, and hashing them
+        # would flip the winner between identical reruns.  Rows equal on
+        # all data columns are interchangeable, so hash ties are safe.
+        data_cols = [c for c in staging.columns if not c.startswith("_dlt_")]
+        order = [
+            F.xxhash64(*[F.col(c) for c in data_cols or staging.columns]).asc()
+        ]
     w = Window.partitionBy(*_key_cols(primary_key)).orderBy(*order)
     return (
         staging.withColumn("_dlt_rn", F.row_number().over(w))

@@ -271,33 +271,66 @@ class LoadStage:
 
     # -- commit protocol --
 
+    # control-plane commits are driver-side single-row appends (reference
+    # emits plain INSERTs here, load.py:605) — launching a distributed
+    # write job per metadata row would serialize ~1s of scheduler overhead
+    # into every load package
+
     def commit_load(self, load_id: str, status: int = 0) -> None:
-        row = self.spark.createDataFrame(
-            [(load_id, self.schema.name, status, self.schema.version_hash)],
-            schema=T.StructType(
-                [
-                    T.StructField("load_id", T.StringType(), False),
-                    T.StructField("schema_name", T.StringType(), True),
-                    T.StructField("status", T.IntegerType(), False),
-                    T.StructField("schema_version_hash", T.StringType(), True),
-                ]
-            ),
-        ).repartition(1).withColumn("inserted_at", F.current_timestamp())
-        self.store.append(row, LOADS_TABLE_NAME)
+        import datetime as dt
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("load_id", pa.string()),
+                ("schema_name", pa.string()),
+                ("status", pa.int32()),
+                ("schema_version_hash", pa.string()),
+                ("inserted_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        self.store.append_rows(
+            [
+                {
+                    "load_id": load_id,
+                    "schema_name": self.schema.name,
+                    "status": status,
+                    "schema_version_hash": self.schema.version_hash,
+                    "inserted_at": dt.datetime.now(dt.timezone.utc),
+                }
+            ],
+            LOADS_TABLE_NAME,
+            schema,
+        )
 
     def commit_schema(self) -> None:
-        row = self.spark.createDataFrame(
+        import datetime as dt
+
+        import pyarrow as pa
+
+        schema = pa.schema(
             [
-                (
-                    self.schema.version,
-                    self.schema.version_hash,
-                    self.schema.name,
-                    self.schema.to_json(),
-                )
+                ("version", pa.int32()),
+                ("version_hash", pa.string()),
+                ("schema_name", pa.string()),
+                ("schema", pa.string()),
+                ("inserted_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        self.store.append_rows(
+            [
+                {
+                    "version": self.schema.version,
+                    "version_hash": self.schema.version_hash,
+                    "schema_name": self.schema.name,
+                    "schema": self.schema.to_json(),
+                    "inserted_at": dt.datetime.now(dt.timezone.utc),
+                }
             ],
-            schema="version int, version_hash string, schema_name string, schema string",
-        ).repartition(1).withColumn("inserted_at", F.current_timestamp())
-        self.store.append(row, VERSION_TABLE_NAME)
+            VERSION_TABLE_NAME,
+            schema,
+        )
 
 
 def _hint_cols(table: TTableSchema, hint: str) -> List[str]:

@@ -36,19 +36,34 @@ class PipelineState:
     # -- persistence --
 
     def persist(self, spark: SparkSession, store: TableStore, load_id: str) -> None:
+        import datetime as dt
+
+        import pyarrow as pa
+
         self.version += 1
-        row = spark.createDataFrame(
+        schema = pa.schema(
             [
-                (
-                    self.version,
-                    self.pipeline_name,
-                    json.dumps(self.state, default=str),
-                    load_id,
-                )
+                ("version", pa.int32()),
+                ("pipeline_name", pa.string()),
+                ("state", pa.string()),
+                ("_dlt_load_id", pa.string()),
+                ("created_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        # driver-side control-plane append — no distributed job for one row
+        store.append_rows(
+            [
+                {
+                    "version": self.version,
+                    "pipeline_name": self.pipeline_name,
+                    "state": json.dumps(self.state, default=str),
+                    "_dlt_load_id": load_id,
+                    "created_at": dt.datetime.now(dt.timezone.utc),
+                }
             ],
-            schema="version int, pipeline_name string, state string, _dlt_load_id string",
-        ).repartition(1).withColumn("created_at", F.current_timestamp())
-        store.append(row, STATE_TABLE_NAME)
+            STATE_TABLE_NAME,
+            schema,
+        )
 
     @classmethod
     def restore(

@@ -44,6 +44,15 @@ class TableStore:
     def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         raise NotImplementedError
 
+    def append_rows(self, rows: List[dict], table: str, schema: "object" = None) -> None:
+        """Control-plane append: a handful of metadata rows (load commits,
+        schema versions, pipeline state) written from the driver WITHOUT
+        launching a distributed job — a single-row `_dlt_loads` commit
+        must not cost a cluster round-trip.  ``schema`` is a
+        ``pyarrow.Schema``.  On a SQL-backed store this is a plain INSERT
+        (which is exactly what the reference emits, ``load.py:605``)."""
+        raise NotImplementedError
+
     def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         raise NotImplementedError
 
@@ -126,6 +135,26 @@ class ParquetTableStore(TableStore):
         self._write(df, new_dir, partition_by)
         paths = (prev["paths"] if prev else []) + [new_dir]
         self._commit(table, {"version": v, "paths": paths, "partition_by": partition_by})
+
+    def append_rows(self, rows: List[dict], table: str, schema: "object" = None) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        v = self._next_version(table)
+        new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
+        os.makedirs(new_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(new_dir, "part-00000.parquet"))
+        prev = self._current_meta(table)
+        paths = (prev["paths"] if prev else []) + [new_dir]
+        self._commit(
+            table,
+            {
+                "version": v,
+                "paths": paths,
+                "partition_by": (prev or {}).get("partition_by"),
+            },
+        )
 
     def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
         v = self._next_version(table)
