@@ -195,6 +195,9 @@ def jaccard_pairs(
         _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)
     )
     sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
+    # the inverted index is consumed three times (doc sizes + both sides
+    # of the self-join) — persist it so the shingle computation runs once
+    sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if max_shingle_freq:
         freq_ok = (
