@@ -73,6 +73,14 @@ def main() -> None:
 
     # absorb one-time JVM/session init so per-query numbers reflect work
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...including the Python/Arrow UDF worker pool (first pandas_udf in a
+    # session forks one worker per core and imports pandas in each)
+    from pyspark.sql import functions as _F
+
+    _warm = _F.pandas_udf(lambda s: s, "long")
+    spark.range(int(cpus) * 4).repartition(int(cpus)).select(
+        _warm("id")
+    ).count()
 
     qs = entry.queries()
     timings: dict = {}
