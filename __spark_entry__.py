@@ -109,12 +109,16 @@ def _q_relation_join_chain(spark, sf_dir):
         "region",
     )
     joined = cust.join(nation, kind="inner").join(region, kind="inner")
+    # exact decimal sum internally; emit round(double, 6) so the result is
+    # hash-stable across fetch paths (pandas collapses DECIMAL to float64)
     return (
         joined.spark_df()
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("sum_acctbal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double"), 6
+            ).alias("sum_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -140,7 +144,7 @@ def _q_sql_query(spark, sf_dir):
         """
         SELECT o_orderpriority,
                count(*) AS order_count,
-               sum(cast(o_totalprice AS decimal(38,2))) AS total
+               round(cast(sum(cast(o_totalprice AS decimal(38,2))) AS double), 6) AS total
         FROM orders_v
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
@@ -156,15 +160,19 @@ def _q_sql_query(spark, sf_dir):
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(38,4)")
+    dbl6 = lambda c: F.round(c.cast("double"), 6)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))).cast(
-                    "decimal(38,8)"
+            dbl6(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            dbl6(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            dbl6(
+                F.sum(
+                    (
+                        dec("l_extendedprice")
+                        * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))
+                    ).cast("decimal(38,8)")
                 )
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -179,7 +187,9 @@ def _q_rollup(spark, sf_dir):
         ev.rollup("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_value"),
         )
         .orderBy(F.col("event_type").asc_nulls_first())
     )
@@ -196,7 +206,9 @@ def _q_window_running_sum(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).alias("running_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double"), 6
+        ).alias("running_total"),
     )
 
 
@@ -216,11 +228,13 @@ def _q_sessionization(spark, sf_dir):
     )
     sess = marked.withColumn(
         "session_seq",
-        F.sum("is_start").over(
+        F.sum("is_start")
+        .over(
             Window.partitionBy("user_id")
             .orderBy(F.col("ts").asc(), F.col("event_id").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        )
+        .cast("bigint"),
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
@@ -444,7 +458,7 @@ def _q_coercions(spark, sf_dir):
         "event_id",
         F.unix_millis(F.col("ts")).alias("ts_epoch_ms"),
         F.col("ts").cast("date").alias("ts_date"),
-        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+        F.round(F.col("value").cast("decimal(18,6)").cast("double"), 6).alias("value_dec"),
         F.col("user_id").cast("string").alias("user_text"),
         F.sha2(F.concat_ws("|", F.col("event_id").cast("string"), F.col("event_type")), 256).alias("digest"),
         F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("props_k"),
@@ -589,6 +603,8 @@ def _q_tpch_q3(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-03-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
     dec = lambda c: F.col(c).cast("decimal(38,4)")
+    # order/limit on the exact decimal revenue, then emit round(double, 6)
+    # for a fetch-path-stable hash
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -596,10 +612,15 @@ def _q_tpch_q3(spark, sf_dir):
         .agg(
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))).cast("decimal(38,8)")
-            ).alias("revenue")
+            ).alias("revenue_d")
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .orderBy(F.col("revenue_d").desc(), F.col("o_orderkey").asc())
         .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("revenue_d").cast("double"), 6).alias("revenue"),
+        )
     )
 
 
@@ -808,7 +829,9 @@ def _q_time_bucket_rollup(spark, sf_dir):
         ev.groupBy(bucket, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -977,7 +1000,7 @@ def oracle_sql() -> dict[str, str]:
     sql["relation_join_chain"] = """
         SELECT r.r_name, n.n_name,
                count(*) AS n_customers,
-               sum(CAST(c.c_acctbal AS DECIMAL(38,2))) AS sum_acctbal
+               round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -998,7 +1021,7 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_query"] = """
         SELECT o_orderpriority,
                count(*) AS order_count,
-               sum(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 6) AS total
         FROM orders
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
@@ -1007,11 +1030,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 6) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 6) AS sum_base_price,
+               round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
                    * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS sum_disc_price,
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1022,7 +1045,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rollup_agg"] = """
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
         FROM events
         GROUP BY ROLLUP(event_type)
         ORDER BY event_type NULLS FIRST
@@ -1030,11 +1053,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["window_running_sum"] = """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_total
+               ) AS DOUBLE), 6) AS running_total
         FROM orders WHERE o_custkey % 100 = 0
     """
 
@@ -1048,10 +1071,10 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), sess AS (
             SELECT user_id, ts, event_id,
-                   sum(is_start) OVER (
+                   CAST(sum(is_start) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM marked
         )
         SELECT user_id, session_seq,
@@ -1182,7 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                epoch_ms(ts) AS ts_epoch_ms,
                CAST(ts AS DATE) AS ts_date,
-               CAST(value AS DECIMAL(18,6)) AS value_dec,
+               round(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value_dec,
                CAST(user_id AS VARCHAR) AS user_text,
                sha256(CAST(event_id AS VARCHAR) || '|' || event_type) AS digest,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
@@ -1316,19 +1339,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tpch_q3"] = """
-        SELECT o.o_orderkey, o.o_orderdate,
-               sum(CAST(CAST(l.l_extendedprice AS DECIMAL(38,4))
-                   * (CAST(1 AS DECIMAL(38,4)) - CAST(l.l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1996-03-15'
-          AND l.l_shipdate > TIMESTAMP '1996-03-15'
-        GROUP BY o.o_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, o.o_orderkey ASC
-        LIMIT 10
+        SELECT o_orderkey, o_orderdate,
+               round(CAST(revenue_d AS DOUBLE), 6) AS revenue
+        FROM (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   sum(CAST(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                       * (CAST(1 AS DECIMAL(38,4)) - CAST(l.l_discount AS DECIMAL(38,4)))
+                       AS DECIMAL(38,8))) AS revenue_d
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-03-15'
+              AND l.l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_d DESC, o.o_orderkey ASC
+            LIMIT 10
+        )
     """
 
     sql["variant_split"] = """
@@ -1435,7 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP) AS bucket,
                event_type,
                count(*) AS n,
-               sum(CAST(value AS DECIMAL(38,6))) AS sum_value,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value,
                min(ts) AS first_ts,
                max(ts) AS last_ts
         FROM events
