@@ -683,18 +683,21 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates — rows-only check (the bit-vote SQL
-    equivalent is impractical in the oracle)."""
+    """SimHash near-dup candidates; the sha256 bit-vote recipe is fully
+    reproduced in the DuckDB oracle (60 per-bit vote sums)."""
     from dlt_spark.dataops.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_candidates(docs, "doc_id", max_hamming=6)
+    out = simhash_candidates(docs, "doc_id", max_hamming=6)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 def _q_similarity_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH ANN probe — rows-only check (driver-seeded random
-    planes have no SQL twin); recall is asserted against brute force in
-    tests/test_dataops.py."""
+    """Hyperplane-LSH ANN probe.  The planes come from a seeded LCG
+    (similarity._hyperplanes), so the oracle inlines the identical plane
+    literals and reproduces signature + hamming prefilter + cosine
+    re-rank in SQL; recall is additionally asserted against brute force
+    in tests/test_dataops.py."""
     from dlt_spark.dataops.similarity import lsh_index, lsh_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -705,8 +708,9 @@ def _q_similarity_lsh_topk(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as opaque binary payloads ->
-    metadata struct + Arrow-batched feature extraction (stub codec) —
-    rows-only check (Python-side hashing has no SQL twin)."""
+    metadata struct + Arrow-batched feature extraction (stub codec).
+    The fake featurizer is sha256-based, so the oracle reproduces
+    size_bytes and f0 = digest[0]/255.0 in SQL."""
     from dlt_spark.dataops.multimodal import attach_metadata, extract_image_features
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -722,8 +726,8 @@ def _q_multimodal_features(spark, sf_dir):
 
 def _q_pipeline_e2e(spark, sf_dir):
     """Full pipeline extract->normalize->load->read over real files, then
-    Relation read-back — rows-only check (engine tables live in a temp
-    store, not SQL-reachable for DuckDB)."""
+    Relation read-back.  The final joined result is deterministic, so the
+    oracle reproduces it straight from the source tables."""
     import tempfile
 
     import dlt_spark
@@ -1449,6 +1453,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b USING (bucket)
         WHERE a.doc_id < b.doc_id
+    """
+
+    # SimHash candidates: full SQL reproduction of simhash64 —
+    # 2-gram shingles, portable 60-bit sha256 hash (seed 7), per-bit
+    # sign votes, 4 x 15-bit pigeonhole blocks, hamming <= 6.
+    _sim_bits = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(60)
+    )
+    _sim_buckets = ", ".join(
+        f"'{b}#' || CAST((sm >> {b * 15}) & {(1 << 15) - 1} AS VARCHAR)" for b in range(4)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+            ))) AS s
+            FROM t
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(sha256('7:' || s), 1, 15)) AS BIGINT) AS h
+            FROM sh
+        ), sim AS (
+            SELECT doc_id, ({_sim_bits}) AS sm FROM hs GROUP BY doc_id
+        ), buckets AS (
+            SELECT doc_id, sm, unnest([{_sim_buckets}]) AS bucket FROM sim
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sm, b.sm)) AS BIGINT) AS hamming
+        FROM buckets a JOIN buckets b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sm, b.sm)) <= 6
+    """
+
+    # hyperplane-LSH top-k: identical seeded-LCG planes inlined as
+    # literals; signature hamming prefilter (<=4 of 12 bits) + exact
+    # cosine re-rank, k=10.
+    from dlt_spark.dataops.similarity import _hyperplanes
+
+    _planes_rows = ", ".join(
+        "({i}, [{vals}])".format(i=i, vals=", ".join(repr(v) for v in p))
+        for i, p in enumerate(_hyperplanes(64, 12, seed=42))
+    )
+    sql["similarity_lsh_topk"] = f"""
+        WITH planes(pi, p) AS (VALUES {_planes_rows}),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), ham AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN (list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.p) >= 0)
+                             <> (list_dot_product(q.qv, pl.p) >= 0)
+                        THEN 1 ELSE 0 END) AS hamming
+            FROM embeddings e, q, planes pl
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id
+        )
+        SELECT e.vec_id, round({cos}, 6) AS cosine
+        FROM embeddings e JOIN ham ON ham.vec_id = e.vec_id, q
+        WHERE ham.hamming <= 4
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """
+
+    # multimodal fake featurizer: f0 = sha256(payload)[0] / 255.0 where
+    # payload is the utf-8 bytes of text (DuckDB sha256 hashes the utf-8
+    # bytes of a VARCHAR, matching hashlib.sha256 on the encoded text).
+    sql["multimodal_features"] = """
+        SELECT doc_id AS id,
+               octet_length(encode(text)) AS size_bytes,
+               round(CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) / 255.0, 6) AS f0
+        FROM documents WHERE doc_id < 100
+    """
+
+    sql["pipeline_e2e"] = """
+        SELECT n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_name
     """
 
     sql["pipeline_load_events"] = """
