@@ -1184,7 +1184,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["incremental_cursor"] = """
         SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
-        FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
     """
 
     sql["incremental_lag"] = """

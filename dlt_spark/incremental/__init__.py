@@ -42,6 +42,13 @@ class Incremental:
     ``end_value``; ``lag`` re-read window (seconds for
     timestamp cursors, absolute units otherwise); NULL-cursor policy via
     ``on_cursor_value_missing`` = raise | include | exclude.
+
+    ``range_start`` defaults to ``"closed"`` like the reference: rows at
+    exactly ``last_value`` are re-read on the next run and the ones already
+    loaded are dropped by boundary-hash dedup (pk hash when ``primary_key``
+    is set, whole-row hash otherwise — reference ``transform.py:104-117``).
+    This avoids the late-tie data loss of an open start (a row arriving
+    later with cursor == last_value would be silently skipped).
     """
 
     cursor_path: str
@@ -51,7 +58,7 @@ class Incremental:
     row_order: Optional[str] = None
     on_cursor_value_missing: str = "raise"
     lag: Optional[float] = None
-    range_start: str = "open"  # first boundary: open => >, closed => >=
+    range_start: str = "closed"  # first boundary: closed => >= (reference default), open => >
     range_end: str = "open"  # end_value edge: open => <, closed => <=
     primary_key: Optional[Sequence[str]] = None
 
@@ -126,14 +133,22 @@ class Incremental:
                 raise KeyError(f"cursor column {self.cursor_path!r} missing")
         cond = self.filter_condition()
         out = df.filter(cond) if cond is not None else df
-        if self.primary_key and self.boundary_hashes and self.last_value is not None:
+        if self.boundary_hashes and self.last_value is not None:
+            keys = self._dedup_keys(out.columns)
             at_boundary = F.col(self.cursor_path) == F.lit(self.last_value)
             hashed = out.withColumn(
-                "_dlt_ih", key_hash(*[F.col(k) for k in self.primary_key])
+                "_dlt_ih", key_hash(*[F.col(k) for k in keys])
             )
             seen = F.col("_dlt_ih").isin(self.boundary_hashes)
             out = hashed.filter(~(at_boundary & seen)).drop("_dlt_ih")
         return out
+
+    def _dedup_keys(self, columns: Sequence[str]) -> List[str]:
+        """Boundary-dedup key set: declared primary key, else every data
+        column (row-hash dedup, the reference's no-pk fallback)."""
+        if self.primary_key:
+            return list(self.primary_key)
+        return [c for c in columns if c != "_dlt_ih"]
 
     # -- state update (an aggregation job, driver gets 1 row) --
 
@@ -162,10 +177,11 @@ class Incremental:
             keep = LAST_VALUE_FUNCS[self.last_value_func](new_last, self.last_value)
             new_last = keep
         self.last_value = new_last
-        if self.primary_key:
+        if self.primary_key or self.range_start == "closed" or self.lag is not None:
+            keys = self._dedup_keys(df.columns)
             hashes = (
                 df.filter(F.col(self.cursor_path) == F.lit(new_last))
-                .select(key_hash(*[F.col(k) for k in self.primary_key]).alias("h"))
+                .select(key_hash(*[F.col(k) for k in keys]).alias("h"))
                 .distinct()
                 .collect()
             )
@@ -175,9 +191,13 @@ class Incremental:
     # -- state (de)serialization for _dlt_pipeline_state --
 
     def to_state(self) -> dict:
+        import decimal
+
         lv = self.last_value
         if isinstance(lv, (dt.datetime, dt.date)):
             lv = lv.isoformat()
+        elif isinstance(lv, decimal.Decimal):
+            lv = str(lv)
         return {
             "cursor_path": self.cursor_path,
             "last_value": lv,
@@ -186,12 +206,16 @@ class Incremental:
         }
 
     def restore_state(self, state: dict) -> "Incremental":
+        import decimal
+
         lv = state.get("last_value")
         t = state.get("last_value_type")
         if lv is not None and t == "datetime":
             lv = dt.datetime.fromisoformat(lv)
         elif lv is not None and t == "date":
             lv = dt.date.fromisoformat(lv)
+        elif lv is not None and t == "Decimal":
+            lv = decimal.Decimal(lv)
         self.last_value = lv
         self.boundary_hashes = list(state.get("boundary_hashes", []))
         return self

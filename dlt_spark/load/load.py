@@ -204,6 +204,21 @@ class LoadStage:
             return  # whole batch discarded by a schema contract
         disposition = root_table.get("write_disposition", "append")
         strategy = root_table.get("x_merge_strategy", "delete-insert")
+
+        # Materialize the package ONCE before any multi-action consumption.
+        # The normalized batch can carry a nondeterministic uuid() _dlt_id
+        # (row_id_type='random'); below we evaluate the same lineage in
+        # several independent actions (root write, surviving_root_ids, each
+        # child write).  Without pinning, a task retry or shuffle-order
+        # change re-rolls the uuids and children silently vanish through
+        # the _dlt_root_id semi-join.  This is the Spark analog of the
+        # reference materializing extracted packages to files before load
+        # (dlt/extract/extract.py package storage).  localCheckpoint cuts
+        # lineage and freezes the computed rows; on a real cluster set
+        # spark.checkpoint.dir + use reliable checkpoints if executor loss
+        # during a load is a concern.
+        if len(tables) > 1 or disposition == "merge":
+            tables = {k: v.localCheckpoint(eager=True) for k, v in tables.items()}
         root_df = tables[root_name]
 
         deleted_root_ids: Optional[DataFrame] = None

@@ -69,11 +69,30 @@ class PipelineState:
     def restore(
         cls, store: TableStore, pipeline_name: str
     ) -> Optional["PipelineState"]:
+        """Restore the newest COMMITTED state: only rows whose
+        ``_dlt_load_id`` appears in ``_dlt_loads`` count.  A crash between
+        the state append and the loads-row commit leaves an orphan state
+        row; honoring it would advance the cursor past a package readers
+        consider uncommitted, silently dropping those rows forever
+        (reference keeps state inside the load package so the two commit
+        together — this filter is the equivalent guarantee)."""
+        from ..schema.typing import LOADS_TABLE_NAME
+
         if not store.exists(STATE_TABLE_NAME):
             return None
         df = store.read(STATE_TABLE_NAME).filter(
             F.col("pipeline_name") == pipeline_name
         )
+        if store.exists(LOADS_TABLE_NAME):
+            committed = (
+                store.read(LOADS_TABLE_NAME)
+                .filter(F.col("status") == 0)
+                .select(F.col("load_id").alias("_dlt_load_id"))
+                .distinct()
+            )
+            df = df.join(F.broadcast(committed), on="_dlt_load_id", how="left_semi")
+        else:
+            return None
         rows = df.orderBy(F.col("version").desc()).limit(1).collect()
         if not rows:
             return None

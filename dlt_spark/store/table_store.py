@@ -162,8 +162,20 @@ class ParquetTableStore(TableStore):
         prev = self._current_meta(table)
         partition_by = partition_by or (prev or {}).get("partition_by")
         self._write(df, new_dir, partition_by)
-        self._commit(table, {"version": v, "paths": [new_dir], "partition_by": partition_by})
-        self._vacuum(table, keep=2)
+        # remember the full previous snapshot so vacuum never deletes dirs
+        # that lazy DataFrames built from snapshot N-1 may still read
+        # (a load package overwrites the root, then evaluates child plans
+        # referencing the pre-overwrite root files)
+        self._commit(
+            table,
+            {
+                "version": v,
+                "paths": [new_dir],
+                "partition_by": partition_by,
+                "prev_paths": (prev or {}).get("paths", []),
+            },
+        )
+        self._vacuum(table)
 
     @staticmethod
     def _write(df: DataFrame, path: str, partition_by: Optional[List[str]]) -> None:
@@ -176,9 +188,20 @@ class ParquetTableStore(TableStore):
         w.parquet(path)
 
     def truncate(self, table: str) -> None:
-        if self._current_meta(table) is not None:
+        meta = self._current_meta(table)
+        if meta is not None:
             v = self._next_version(table)
-            self._commit(table, {"version": v, "paths": []})
+            # keep the partitioning contract across truncation — the next
+            # append re-resolves partition_by from this commit
+            self._commit(
+                table,
+                {
+                    "version": v,
+                    "paths": [],
+                    "partition_by": meta.get("partition_by"),
+                    "prev_paths": meta.get("paths", []),
+                },
+            )
 
     def drop(self, table: str) -> None:
         d = self._table_dir(table)
@@ -205,14 +228,31 @@ class ParquetTableStore(TableStore):
         meta = self._current_meta(table) or {}
         self.overwrite(df, table, partition_by=meta.get("partition_by"))
 
-    def _vacuum(self, table: str, keep: int) -> None:
-        """Remove version dirs no longer referenced (best-effort)."""
+    def _vacuum(self, table: str) -> None:
+        """Remove version dirs referenced by neither the current commit
+        nor the immediately previous snapshot (best-effort).  Protecting
+        one generation back keeps in-flight lazy plans built from the
+        pre-overwrite snapshot readable — the analog of Delta's VACUUM
+        retention window.  Use :meth:`vacuum` for a full history purge."""
+        meta = self._current_meta(table)
+        if not meta:
+            return
+        live = {os.path.basename(p) for p in meta["paths"]}
+        live |= {os.path.basename(p) for p in meta.get("prev_paths", [])}
+        d = self._table_dir(table)
+        for v in sorted(v for v in os.listdir(d) if v.startswith("v_")):
+            if v not in live:
+                shutil.rmtree(os.path.join(d, v), ignore_errors=True)
+
+    def vacuum(self, table: str) -> None:
+        """Explicit maintenance purge: delete every version dir not in the
+        CURRENT snapshot.  Call only when no reader holds plans against an
+        older snapshot (Delta ``VACUUM ... RETAIN 0 HOURS`` analog)."""
         meta = self._current_meta(table)
         if not meta:
             return
         live = {os.path.basename(p) for p in meta["paths"]}
         d = self._table_dir(table)
-        versions = sorted(v for v in os.listdir(d) if v.startswith("v_"))
-        for v in versions[:-keep] if keep else versions:
+        for v in sorted(v for v in os.listdir(d) if v.startswith("v_")):
             if v not in live:
                 shutil.rmtree(os.path.join(d, v), ignore_errors=True)

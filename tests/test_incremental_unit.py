@@ -32,8 +32,14 @@ def test_open_vs_closed_range(clicks):
 
 
 def test_min_cursor(clicks):
+    # default range_start='closed' (reference default): boundary included
     inc = Incremental("created_at", initial_value=dt.datetime(2024, 1, 2), last_value_func="min")
-    assert inc.apply(clicks).count() == 1  # id=1 (strictly before)
+    assert inc.apply(clicks).count() == 3  # ids 1,2,3 (<= boundary)
+    open_inc = Incremental(
+        "created_at", initial_value=dt.datetime(2024, 1, 2),
+        last_value_func="min", range_start="open",
+    )
+    assert open_inc.apply(clicks).count() == 1  # id=1 (strictly before)
 
 
 def test_null_policy_include_exclude(clicks):
@@ -59,6 +65,23 @@ def test_boundary_dedup_roundtrip(clicks):
     # next run re-reads from the boundary (closed) but drops seen rows
     out = inc.apply(clicks.filter(F.col("created_at").isNotNull()))
     assert {r["id"] for r in out.collect()} == {4}
+
+
+def test_boundary_dedup_row_hash_no_pk(clicks):
+    """Default path: no primary key declared — whole-row hash dedup at the
+    boundary means a re-run over the same data loads nothing twice."""
+    inc = Incremental("created_at")
+    loaded = clicks.filter(F.col("created_at") <= "2024-01-02")
+    inc.update_state(loaded)
+    assert len(inc.boundary_hashes) == 2  # rows 2,3 at boundary (row hash)
+    out = inc.apply(clicks.filter(F.col("created_at").isNotNull()))
+    assert {r["id"] for r in out.collect()} == {4}
+    # a genuinely NEW row at the same boundary value is kept
+    extra = clicks.sparkSession.createDataFrame(
+        [(99, "2024-01-02 00:00:00", 9.9)], "id long, created_at string, value double"
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    out2 = inc.apply(clicks.filter(F.col("created_at").isNotNull()).unionByName(extra))
+    assert {r["id"] for r in out2.collect()} == {4, 99}
 
 
 def test_state_serialization_roundtrip(clicks):

@@ -143,6 +143,27 @@ def test_loads_commit_and_row_counts(pipe):
     assert counts["orders__items"] == 6
 
 
+def test_state_restore_ignores_uncommitted(pipe):
+    """A state row persisted without its _dlt_loads commit (crash between
+    the two) must NOT advance the restored cursor — otherwise the
+    uncommitted package's rows are never re-loaded."""
+    from dlt_spark.pipeline.state import PipelineState
+
+    pipe.run(_batch1(), table_name="orders")
+    committed = PipelineState.restore(pipe.store, "test_pipe")
+    assert committed is not None
+    v_committed = committed.version
+    # simulate the crash: state append for a load_id that never commits
+    orphan = PipelineState("test_pipe")
+    orphan.version = v_committed + 7
+    orphan.state = {"sources": {"ds": {"poison": True}}}
+    orphan.persist(pipe.spark, pipe.store, load_id="9999999999.0")
+    restored = PipelineState.restore(pipe.store, "test_pipe")
+    assert restored is not None
+    assert restored.version == v_committed
+    assert "poison" not in str(restored.state)
+
+
 def test_incremental_cursor(pipe):
     inc = dlt_spark.incremental("updated_at", initial_value=None, primary_key=["id"])
     pipe.run(_batch1(), table_name="orders", incremental=inc)

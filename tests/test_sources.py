@@ -137,14 +137,16 @@ def test_rest_api_source_with_resolve(spark, tmp_path):
 def test_incremental_where_rendering():
     inc = Incremental("updated_at", initial_value="2024-01-01", range_start="closed")
     assert build_incremental_where(inc) == "updated_at >= '2024-01-01'"
-    inc2 = Incremental("id", initial_value=5, end_value=10)
+    inc2 = Incremental("id", initial_value=5, end_value=10, range_start="open")
     assert build_incremental_where(inc2) == "id > 5 AND id < 10"
+    inc2c = Incremental("id", initial_value=5, end_value=10)
+    assert build_incremental_where(inc2c) == "id >= 5 AND id < 10"
     inc3 = Incremental("ts", on_cursor_value_missing="exclude")
     assert build_incremental_where(inc3) == "ts IS NOT NULL"
 
 
 def test_jdbc_options():
-    inc = Incremental("id", initial_value=100)
+    inc = Incremental("id", initial_value=100, range_start="open")
     opts = sql_table_options("events", inc, partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=16)
     assert opts["dbtable"] == "(SELECT * FROM events WHERE id > 100) AS events_src"
     assert opts["numPartitions"] == "16"

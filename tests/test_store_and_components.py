@@ -50,6 +50,39 @@ def test_truncate_and_drop(spark, store):
     assert store.list_tables() == []
 
 
+def test_vacuum_protects_full_previous_snapshot(spark, store, tmp_path):
+    """A snapshot spanning several append dirs must survive the next
+    overwrite in full — lazy plans bound to it are evaluated afterwards
+    (load.py write_chain evaluates child plans post root-overwrite)."""
+    for i in range(4):  # snapshot = 4 version dirs
+        store.append(_df(spark, [(i, "x")]), "t")
+    old = store.read("t")  # lazy plan over v0..v3
+    store.overwrite(_df(spark, [(99, "z")]), "t")
+    assert old.count() == 4  # every pre-overwrite dir still readable
+    tdir = os.path.join(str(tmp_path), "ds", "t")
+    dirs = sorted(d for d in os.listdir(tdir) if d.startswith("v_"))
+    assert len(dirs) == 5  # v0..v3 (protected) + v4 (current)
+    # a second overwrite drops the old generation, keeps the last two
+    store.overwrite(_df(spark, [(100, "w")]), "t")
+    dirs = sorted(d for d in os.listdir(tdir) if d.startswith("v_"))
+    assert dirs == ["v_00000004", "v_00000005"]
+    # explicit maintenance purge keeps only the current snapshot
+    store.vacuum("t")
+    dirs = sorted(d for d in os.listdir(tdir) if d.startswith("v_"))
+    assert dirs == ["v_00000005"]
+
+
+def test_truncate_preserves_partitioning(spark, store, tmp_path):
+    store.append(_df(spark, [(1, "a"), (2, "b")]), "t", partition_by=["v"])
+    store.truncate("t")
+    store.append(_df(spark, [(3, "c")]), "t")
+    with open(os.path.join(str(tmp_path), "ds", "t", "_current")) as f:
+        meta = json.load(f)
+    assert meta["partition_by"] == ["v"]
+    # hive layout actually produced
+    assert any("v=c" in str(p) for p in os.listdir(meta["paths"][0]))
+
+
 def test_pointer_is_valid_json(spark, store, tmp_path):
     store.append(_df(spark, [(1, "a")]), "t")
     with open(os.path.join(str(tmp_path), "ds", "t", "_current")) as f:
