@@ -179,7 +179,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = 1000,
     use_arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-``n``-gram Jaccard similarity.
@@ -188,8 +188,13 @@ def jaccard_pairs(
     shingle, count common shingles per (a,b) pair, compute
     ``|A∩B| / (|A|+|B|-|A∩B|)``.  ``max_shingle_freq`` drops shingles
     appearing in more than that many docs before the join — the skew
-    guard that keeps the self-join linear-ish at corpus scale.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    guard that keeps the self-join linear-ish at corpus scale.  It is ON
+    by default (1000): one boilerplate stop-shingle shared by k docs
+    contributes k² join rows, which is quadratic death on a web corpus.
+    A dropped stop-shingle can only LOWER a pair's measured jaccard
+    below true (never invent a false pair); pass ``None`` to disable for
+    exact small-corpus audits.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard rounded to 6.
     """
     sh_expr = (
         _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)

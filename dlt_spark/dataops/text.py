@@ -137,9 +137,14 @@ def tf_idf(
 
     Plan: explode tokens -> per-(doc,term) counts (one shuffle) ->
     document frequency per term (second aggregation over the same
-    exchange) -> broadcast the (small) term-df table back -> windowed
-    top-k per doc.  ``idf = ln(N/df)``; score rounded for cross-engine
-    float stability.  SQL-oracle expressible end to end."""
+    exchange) -> join the term-df table back -> windowed top-k per doc.
+    The df join is deliberately NOT broadcast-hinted: the term table is
+    vocabulary-sized (billions of distinct tokens on a web corpus), so a
+    forced broadcast OOMs the driver at scale — AQE picks broadcast on
+    its own whenever the vocab actually fits under
+    ``spark.sql.autoBroadcastJoinThreshold``.  ``idf = ln(N/df)``; score
+    rounded for cross-engine float stability.  SQL-oracle expressible
+    end to end."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -148,7 +153,7 @@ def tf_idf(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), decimals),
     )

@@ -237,8 +237,12 @@ class Relation:
             F.col(C_DLT_ID).alias("__root_id"), F.col(C_DLT_LOAD_ID).alias(col_name)
         )
         link = C_DLT_ROOT_ID if C_DLT_ROOT_ID in self._df.columns else C_DLT_PARENT_ID
+        # the id->load_id map is the whole root table projected to 2
+        # columns — broadcastable for small dims only, so size-gate it
+        from ..load.dispositions import broadcast_if_small
+
         joined = self._df.join(
-            F.broadcast(root), on=self._df[link] == root["__root_id"], how="left"
+            broadcast_if_small(root), on=self._df[link] == root["__root_id"], how="left"
         ).drop("__root_id")
         return self._wrap(joined)
 

@@ -48,11 +48,14 @@ class CustomDestination:
         df.foreachPartition(run_partition)
 
     def write_stream(self, stream_df: DataFrame, table: TTableSchema, checkpoint: str):
-        """Streaming shape: one call per micro-batch DataFrame."""
-        sink_fn = self.sink_fn
+        """Streaming shape: one call per micro-batch DataFrame.  The sink
+        runs per PARTITION on executors, exactly like the batch path — a
+        collect() here would funnel every micro-batch through the driver
+        and OOM on the first large one."""
+        write = self.write
 
         def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-            sink_fn([r.asDict() for r in batch_df.collect()], table)
+            write(batch_df, table)
 
         return (
             stream_df.writeStream.foreachBatch(run_batch)

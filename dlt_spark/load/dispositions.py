@@ -12,9 +12,11 @@ function) and avoid the full rewrite.
 Scale design:
 
 - key sets are projected to the key columns *before* joining, so the
-  build side of every semi/anti join is narrow; with a typical staging
-  batch ≪ destination, AQE converts these to broadcast joins at runtime —
-  we additionally hint ``broadcast`` when staging is a fresh micro-batch;
+  build side of every semi/anti join is narrow; the broadcast hint is
+  **size-gated** (:func:`broadcast_if_small`): hinted only when the plan
+  estimate is under the session broadcast threshold — a full-backfill
+  staging batch (or a destination-derived hash set) falls back to AQE's
+  runtime strategy instead of force-broadcasting the driver into OOM;
 - dedup uses a single window (one shuffle on the key), identical to the
   reference's ``ROW_NUMBER() OVER (PARTITION BY pk ORDER BY dedup_sort)``;
 - nothing ever collects to the driver.
@@ -22,6 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -38,6 +41,50 @@ from ..schema.typing import (
 
 def _key_cols(keys: Sequence[str]) -> List[Column]:
     return [F.col(k) for k in keys]
+
+
+def broadcast_if_small(keyset: DataFrame) -> DataFrame:
+    """Broadcast-hint a narrow key/hash set only when it is actually small.
+
+    The common case (micro-batch staging ≪ destination) wants the static
+    hint — it skips exchange planning on the probe side entirely.  But the
+    same code path sees full-backfill batches and destination-derived hash
+    sets, where a hardcoded ``F.broadcast`` is the first driver OOM at
+    100x scale.
+
+    The gate costs ZERO extra jobs: hint only when Catalyst's upper-bound
+    size estimate for the plan is already under the session's broadcast
+    threshold (the planner would broadcast such a side from its own stats
+    anyway — the hint just pins the choice against estimate drift).  Any
+    bigger or unknown estimate (e.g. a LogicalRDD from a checkpointed
+    micro-batch reports Long.Max) returns the key set unhinted: AQE
+    converts the join to broadcast at runtime from REAL shuffle sizes
+    when the side turns out small, and keeps a shuffle join when it
+    doesn't — which is exactly the safe behavior at 100 TB.  An earlier
+    draft persisted+counted inconclusive key sets; the extra job + cache
+    pressure per merge measurably regressed the bench and bought nothing
+    AQE doesn't already provide.
+    """
+    threshold = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold default
+    try:
+        try:
+            # no default arg: Spark 4 type-validates the default value
+            thr = keyset.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        except Exception:
+            thr = ""
+        m = re.match(r"^(-?\d+)\s*([kmgt]?b?)$", (thr or "").strip().lower())
+        if m:
+            mult = {"": 1, "b": 1, "k": 1024, "kb": 1024, "m": 1024**2,
+                    "mb": 1024**2, "g": 1024**3, "gb": 1024**3,
+                    "t": 1024**4, "tb": 1024**4}[m.group(2)]
+            threshold = int(m.group(1)) * mult
+        raw = keyset._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return keyset
+    if 0 < est <= threshold:
+        return F.broadcast(keyset)
+    return keyset
 
 
 def dedup_staging(
@@ -115,7 +162,7 @@ def merge_delete_insert(
         # deleting by _dlt_id never matching) — keep dest + staging
         return dest.unionByName(insert)
     staging_keys = staging.select(*keys).distinct()
-    survivors = dest.join(F.broadcast(staging_keys), on=keys, how="left_anti")
+    survivors = dest.join(broadcast_if_small(staging_keys), on=keys, how="left_anti")
     return survivors.unionByName(insert)
 
 
@@ -128,7 +175,7 @@ def delete_child_rows(
     ``_dlt_id``) column."""
     key = deleted_root_ids.columns[0]
     ids = deleted_root_ids.withColumnRenamed(key, C_DLT_ROOT_ID).distinct()
-    return child_dest.join(F.broadcast(ids), on=C_DLT_ROOT_ID, how="left_anti")
+    return child_dest.join(broadcast_if_small(ids), on=C_DLT_ROOT_ID, how="left_anti")
 
 
 def merge_upsert(
@@ -151,7 +198,7 @@ def merge_upsert(
         return upserts
     upserts = upserts.select(*dest.columns)
     staging_keys = staging.select(*primary_key).distinct()
-    untouched = dest.join(F.broadcast(staging_keys), on=list(primary_key), how="left_anti")
+    untouched = dest.join(broadcast_if_small(staging_keys), on=list(primary_key), how="left_anti")
     return untouched.unionByName(upserts)
 
 
@@ -234,19 +281,20 @@ def scd2_apply(
     staging_hashes = hashed.select(row_hash_col).distinct()
 
     # retire: active rows whose hash vanished from the snapshot
-    to_retire = active.join(F.broadcast(staging_hashes), on=row_hash_col, how="left_anti")
+    staging_hashes = broadcast_if_small(staging_hashes)
+    to_retire = active.join(staging_hashes, on=row_hash_col, how="left_anti")
     if merge_key:
         staging_mk = hashed.select(*merge_key).distinct()
-        to_retire = to_retire.join(F.broadcast(staging_mk), on=list(merge_key), how="left_semi")
+        to_retire = to_retire.join(broadcast_if_small(staging_mk), on=list(merge_key), how="left_semi")
         kept_active = active.join(
             to_retire.select(row_hash_col), on=row_hash_col, how="left_anti"
         )
     else:
-        kept_active = active.join(F.broadcast(staging_hashes), on=row_hash_col, how="left_semi")
+        kept_active = active.join(staging_hashes, on=row_hash_col, how="left_semi")
     retired = to_retire.withColumn(valid_to_col, boundary)
 
     active_hashes = active.select(row_hash_col).distinct()
-    inserts = new_version.join(F.broadcast(active_hashes), on=row_hash_col, how="left_anti")
+    inserts = new_version.join(broadcast_if_small(active_hashes), on=row_hash_col, how="left_anti")
 
     cols = dest.columns
     return (

@@ -216,8 +216,11 @@ class LoadStage:
         # (dlt/extract/extract.py package storage).  localCheckpoint cuts
         # lineage and freezes the computed rows; on a real cluster set
         # spark.checkpoint.dir + use reliable checkpoints if executor loss
-        # during a load is a concern.
-        if len(tables) > 1 or disposition == "merge":
+        # during a load is a concern.  Single-table chains evaluate the
+        # batch in exactly one action, and content-hash ids (key_hash /
+        # row_hash) are deterministic by construction — both skip the
+        # checkpoint cost.
+        if len(tables) > 1 and any(_has_nondeterministic_plan(v) for v in tables.values()):
             tables = {k: v.localCheckpoint(eager=True) for k, v in tables.items()}
         root_df = tables[root_name]
 
@@ -245,7 +248,8 @@ class LoadStage:
                 # roots being replaced or deleted in this load
                 deleted_root_ids = (
                     dest_root.join(
-                        F.broadcast(root_df.select(*keys).distinct()), on=keys, how="left_semi"
+                        D.broadcast_if_small(root_df.select(*keys).distinct()),
+                        on=keys, how="left_semi",
                     ).select("_dlt_id")
                 )
 
@@ -257,7 +261,8 @@ class LoadStage:
             if disposition == "merge" and strategy in ("delete-insert", "upsert", "insert-only"):
                 if surviving_root_ids is not None and C_DLT_ROOT_ID in child_df.columns:
                     child_df = child_df.join(
-                        F.broadcast(surviving_root_ids), on=C_DLT_ROOT_ID, how="left_semi"
+                        D.broadcast_if_small(surviving_root_ids),
+                        on=C_DLT_ROOT_ID, how="left_semi",
                     ).dropDuplicates(["_dlt_id"])
                 if self.store.exists(child_name):
                     dest_child = self.store.read(child_name)
@@ -346,6 +351,17 @@ class LoadStage:
             VERSION_TABLE_NAME,
             schema,
         )
+
+
+def _has_nondeterministic_plan(df: DataFrame) -> bool:
+    """True when the plan contains expressions that re-roll on
+    re-evaluation (uuid/rand/monotonically_increasing_id) — only then is
+    pinning via checkpoint required for multi-action consistency."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # cannot prove determinism — pin to be safe
+    return "uuid(" in plan or "rand(" in plan or "monotonically_increasing_id(" in plan
 
 
 def _hint_cols(table: TTableSchema, hint: str) -> List[str]:
