@@ -6,6 +6,7 @@ optimizer, and the load substrate is a swappable TableStore
 """
 
 from . import functions  # noqa: F401  (scalar function layer, SURVEY §2.I)
+from .config import config, secrets  # noqa: F401  (dlt.config / dlt.secrets analog)
 from .dataset.dataset import Dataset
 from .dataset.relation import Relation
 from .incremental import Incremental, incremental
@@ -27,6 +28,8 @@ from .schema.schema import Schema, SchemaContractViolation
 __version__ = "0.1.0"
 
 __all__ = [
+    "config",
+    "secrets",
     "CustomDestination",
     "Dataset",
     "DltResource",

@@ -407,13 +407,27 @@ class Pipeline:
 
 def pipeline(
     pipeline_name: str = "dlt_spark_pipeline",
-    destination: str = "/tmp/dlt_spark_data",
-    dataset_name: str = "default",
+    destination: Optional[str] = None,
+    dataset_name: Optional[str] = None,
     spark: Optional[SparkSession] = None,
     dev_mode: bool = False,
     naming: str = "snake_case",
     max_identifier_length: int = 0,
 ) -> Pipeline:
+    """Pipeline factory.  ``destination`` / ``dataset_name`` omitted fall
+    back to config (``pipelines.<name>.destination`` then bare keys —
+    reference resolves pipeline settings the same way via its provider
+    chain) before the hardcoded defaults."""
+    from ..config import config as _cfg
+
+    if destination is None:
+        destination = _cfg.get(
+            "destination", sections=("pipelines", pipeline_name)
+        ) or "/tmp/dlt_spark_data"
+    if dataset_name is None:
+        dataset_name = _cfg.get(
+            "dataset_name", sections=("pipelines", pipeline_name)
+        ) or "default"
     return Pipeline(
         pipeline_name, destination, dataset_name, spark, dev_mode,
         naming=naming, max_identifier_length=max_identifier_length,

@@ -311,6 +311,49 @@ def _auto_select(body: dict) -> List[dict]:
 # ------------------------------------------------------------- source
 
 
+_AUTH_TYPES = {
+    "bearer": (lambda c, s: BearerTokenAuth(c["token"]), ("token",)),
+    "api_key": (
+        lambda c, s: APIKeyAuth(c.get("name", "api-key"), c["api_key"], c.get("location", "header")),
+        ("api_key",),
+    ),
+    "http_basic": (
+        lambda c, s: HttpBasicAuth(c["username"], c["password"]),
+        ("username", "password"),
+    ),
+    "oauth2_client_credentials": (
+        lambda c, s: OAuth2ClientCredentials(
+            c["token_url"], c["client_id"], c["client_secret"], session=s
+        ),
+        ("client_id", "client_secret"),
+    ),
+}
+
+
+def _build_auth(auth_cfg: Any, source_name: str, session: Optional[Callable]) -> Optional[object]:
+    """Declarative auth config -> auth object (reference
+    ``rest_api/config_setup.py`` AUTH_MAP).  Accepts a ready auth object
+    unchanged.  Secret fields missing from the dict resolve from
+    ``sources.<name>.auth.<field>`` (env
+    ``SOURCES__<NAME>__AUTH__<FIELD>`` or ``.dlt/secrets.toml``) — the
+    reference's injected-secret workflow."""
+    if auth_cfg is None or not isinstance(auth_cfg, dict):
+        return auth_cfg
+    from ..config import secrets as _secrets
+
+    cfg = dict(auth_cfg)
+    atype = cfg.pop("type", "bearer")
+    if atype not in _AUTH_TYPES:
+        raise ValueError(f"unknown auth type {atype!r}")
+    build, secret_fields = _AUTH_TYPES[atype]
+    for fld in secret_fields:
+        if fld not in cfg:
+            v = _secrets.get(fld, sections=("sources", source_name, "auth"))
+            if v is not None:
+                cfg[fld] = v
+    return build(cfg, session)
+
+
 def rest_api_source(
     config: Dict[str, Any],
     name: str = "rest_api",
@@ -329,7 +372,7 @@ def rest_api_source(
     client_cfg = config["client"]
     client = RESTClient(
         client_cfg["base_url"],
-        auth=client_cfg.get("auth"),
+        auth=_build_auth(client_cfg.get("auth"), name, session),
         headers=client_cfg.get("headers"),
         session=session,
     )

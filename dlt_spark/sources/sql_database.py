@@ -92,8 +92,8 @@ def sql_table_options(
 
 def sql_table(
     spark: SparkSession,
-    connection_url: str,
-    table: str,
+    connection_url: Optional[str] = None,
+    table: str = "",
     incremental: Optional[Incremental] = None,
     partition_column: Optional[str] = None,
     lower_bound: Optional[Any] = None,
@@ -103,7 +103,26 @@ def sql_table(
     **jdbc_options: str,
 ) -> DataFrame:
     """One table as a (possibly parallel, cursor-windowed) JDBC scan —
-    the reference's ``sql_table`` resource (``__init__.py:187``)."""
+    the reference's ``sql_table`` resource (``__init__.py:187``).
+
+    ``connection_url`` omitted resolves from secrets:
+    ``sources.sql_database.credentials`` (or ``connection_url``) via env
+    (``SOURCES__SQL_DATABASE__CREDENTIALS``) or ``.dlt/secrets.toml`` —
+    the reference's zero-inline-credentials workflow."""
+    if connection_url is None:
+        from ..config import resolve_credentials
+
+        connection_url = resolve_credentials(
+            None, sections=("sources", "sql_database"),
+            keys=("credentials", "connection_url"),
+        )
+        if connection_url is None:
+            raise ValueError(
+                "no connection_url given and sources.sql_database.credentials"
+                " not found in secrets/env"
+            )
+    if not table:
+        raise ValueError("table name is required")
     reader = (
         spark.read.format("jdbc")
         .option("url", connection_url)
