@@ -256,11 +256,19 @@ class RESTClient:
         auth: Optional[object] = None,
         headers: Optional[Dict[str, str]] = None,
         session: Optional[Callable] = None,
+        retry: Optional[Dict[str, Any]] = None,
     ) -> None:
+        """``retry``: kwargs for :func:`dlt_spark.sources.retry.
+        retrying_session` (max_attempts, backoff_factor, ...), ``{}`` for
+        defaults, or ``{"max_attempts": 1}`` to disable.  Retrying is ON
+        by default like the reference's requests wrapper — the first
+        flaky 503 must not kill a pipeline run."""
+        from .retry import retrying_session
+
         self.base_url = base_url.rstrip("/")
         self.auth = auth
         self.headers = headers or {}
-        self.session = session or _default_session
+        self.session = retrying_session(session or _default_session, **(retry or {}))
 
     def paginate(
         self,
@@ -375,6 +383,7 @@ def rest_api_source(
         auth=_build_auth(client_cfg.get("auth"), name, session),
         headers=client_cfg.get("headers"),
         session=session,
+        retry=client_cfg.get("retry"),
     )
 
     resources: List[DltResource] = []
