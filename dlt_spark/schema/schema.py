@@ -294,6 +294,24 @@ class Schema:
     def from_json(cls, j: str) -> "Schema":
         return cls.from_dict(json.loads(j))
 
+    def to_pretty_yaml(self) -> str:
+        """YAML form for checking a schema into git (reference
+        ``schema.py:815 to_pretty_yaml``).  Roundtrips through
+        :meth:`from_yaml` preserving the version hash chain."""
+        import yaml
+
+        d = self.to_dict()
+        d["version"] = self.version
+        d["version_hash"] = self.version_hash
+        d["previous_hashes"] = self.previous_hashes
+        return yaml.safe_dump(d, sort_keys=False, allow_unicode=True)
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "Schema":
+        import yaml
+
+        return cls.from_dict(yaml.safe_load(text))
+
     # -- export (reference schema.py:823-930) --
 
     def to_mermaid(self) -> str:
