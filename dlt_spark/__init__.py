@@ -11,7 +11,7 @@ from .dataset.dataset import Dataset
 from .dataset.relation import Relation
 from .incremental import Incremental, incremental
 from .load.destination import CustomDestination, destination
-from .pipeline.pipeline import LoadInfo, Pipeline, pipeline
+from .pipeline.pipeline import CannotAttachPipeline, LoadInfo, Pipeline, attach, pipeline
 from .pipeline.resources import (
     DltResource,
     DltSource,
@@ -28,6 +28,8 @@ from .schema.schema import Schema, SchemaContractViolation
 __version__ = "0.1.0"
 
 __all__ = [
+    "attach",
+    "CannotAttachPipeline",
     "config",
     "secrets",
     "CustomDestination",

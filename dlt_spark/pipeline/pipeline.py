@@ -11,6 +11,7 @@ for surface parity.
 
 from __future__ import annotations
 
+import datetime as _dt
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -78,6 +79,8 @@ class Pipeline:
         dev_mode: bool = False,
         naming: str = "snake_case",
         max_identifier_length: int = 0,
+        import_schema_path: Optional[str] = None,
+        export_schema_path: Optional[str] = None,
     ) -> None:
         from ..schema.naming import naming_from_name
 
@@ -85,7 +88,13 @@ class Pipeline:
         self.dataset_name = dataset_name
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.store: TableStore = ParquetTableStore(self.spark, destination, dataset_name)
-        self.schema = Schema(
+        self.import_schema_path = import_schema_path
+        self.export_schema_path = export_schema_path
+        # import/export schema workflow (reference pipeline
+        # import_schema_path/export_schema_path): a YAML schema checked
+        # into git seeds the pipeline; every completed load re-exports it
+        imported = self._import_schema()
+        self.schema = imported or Schema(
             dataset_name, naming=naming_from_name(naming, max_identifier_length)
         )
         self.state = (
@@ -95,9 +104,62 @@ class Pipeline:
         self._last_load_seq = 0.0
         self._pending_extract: Optional[ExtractInfo] = None
         self._pending_normalize: Optional[NormalizeInfo] = None
+        self.last_trace = None  # PipelineTrace of the most recent run/step
+        self._active_trace = None
         if dev_mode:
             for t in self.store.list_tables():
                 self.store.drop(t)
+
+    def _schema_file(self, root: str) -> str:
+        import os
+
+        return os.path.join(root, f"{self.dataset_name}.schema.yaml")
+
+    def _import_schema(self) -> Optional[Schema]:
+        import os
+
+        if not self.import_schema_path:
+            return None
+        p = self._schema_file(self.import_schema_path)
+        if not os.path.isfile(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return Schema.from_yaml(f.read())
+
+    def _export_schema(self) -> None:
+        import os
+
+        if not self.export_schema_path:
+            return
+        os.makedirs(self.export_schema_path, exist_ok=True)
+        p = self._schema_file(self.export_schema_path)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(self.schema.to_pretty_yaml())
+
+    def _trace_step(self, step: str):
+        """Record ``step`` into the active trace — a standalone
+        extract()/normalize()/load() call gets its own single-step trace
+        (reference start_trace/end_trace merge semantics,
+        ``trace.py:212-311``)."""
+        from contextlib import contextmanager
+
+        from .trace import TraceStep, start_trace
+
+        @contextmanager
+        def cm():
+            owned = self._active_trace is None
+            if owned:
+                self._active_trace = start_trace(self.pipeline_name)
+                self.last_trace = self._active_trace
+            try:
+                with TraceStep(self._active_trace, step, self.spark) as st:
+                    yield st
+            finally:
+                if owned:
+                    self._active_trace.finished_at = self._active_trace.steps[-1].finished_at
+                    self._active_trace = None
+
+        return cm()
 
     # -- public API (mirrors dlt.Pipeline.run, pipeline.py:639) --
 
@@ -116,33 +178,47 @@ class Pipeline:
         refresh: Optional[str] = None,
         boundary_timestamp: Optional[str] = None,
     ) -> LoadInfo:
-        extract_info = self.extract(
-            data,
-            table_name=table_name,
-            write_disposition=write_disposition,
-            primary_key=primary_key,
-            merge_key=merge_key,
-            merge_strategy=merge_strategy,
-            incremental=incremental,
-            columns=columns,
-            max_table_nesting=max_table_nesting,
-            refresh=refresh,
-        )
-        norm_info = self.normalize(extract_info, boundary_timestamp=boundary_timestamp)
-        return self.load(norm_info)
+        from .trace import start_trace
+
+        self._active_trace = start_trace(self.pipeline_name)
+        self.last_trace = self._active_trace
+        try:
+            extract_info = self.extract(
+                data,
+                table_name=table_name,
+                write_disposition=write_disposition,
+                primary_key=primary_key,
+                merge_key=merge_key,
+                merge_strategy=merge_strategy,
+                incremental=incremental,
+                columns=columns,
+                max_table_nesting=max_table_nesting,
+                refresh=refresh,
+            )
+            norm_info = self.normalize(extract_info, boundary_timestamp=boundary_timestamp)
+            return self.load(norm_info)
+        finally:
+            self._active_trace.finished_at = (
+                self._active_trace.steps[-1].finished_at
+                if self._active_trace.steps and self._active_trace.steps[-1].finished_at
+                else _dt.datetime.now(_dt.timezone.utc)
+            )
+            self._active_trace = None
 
     # -- three-stage API (reference pipeline.py:428/527/581) --
 
     def extract(self, data: Any, refresh: Optional[str] = None, **hints: Any) -> ExtractInfo:
         """Materialize resources into DataFrames (reference extract stage,
         ``pipeline.py:428``).  Lazy plans — nothing executes yet."""
-        resources = self._as_resources(data, **hints)
-        if refresh:
-            self._apply_refresh(refresh, resources)
-        info = ExtractInfo()
-        for res in resources:
-            info.resources.append((res, res.materialize(self.spark)))
-        self._pending_extract = info
+        with self._trace_step("extract") as st:
+            resources = self._as_resources(data, **hints)
+            if refresh:
+                self._apply_refresh(refresh, resources)
+            info = ExtractInfo()
+            for res in resources:
+                info.resources.append((res, res.materialize(self.spark)))
+            self._pending_extract = info
+            st.step_info = info
         return info
 
     def normalize(
@@ -155,15 +231,17 @@ class Pipeline:
         extract_info = extract_info or self._pending_extract
         if extract_info is None:
             raise ValueError("nothing extracted; call extract() first")
-        load_id = self._new_load_id()
-        info = NormalizeInfo()
-        for res, tables in extract_info.resources:
-            for tname, df in tables.items():
-                root = self._normalize_and_register(res, tname, df, load_id, boundary_timestamp)
-                info.chains.append((res, root["schema"], root.pop("__tables__")))
-        info.load_id = load_id  # type: ignore[attr-defined]
-        info.extract_info = extract_info  # type: ignore[attr-defined]
-        self._pending_normalize = info
+        with self._trace_step("normalize") as st:
+            load_id = self._new_load_id()
+            info = NormalizeInfo()
+            for res, tables in extract_info.resources:
+                for tname, df in tables.items():
+                    root = self._normalize_and_register(res, tname, df, load_id, boundary_timestamp)
+                    info.chains.append((res, root["schema"], root.pop("__tables__")))
+            info.load_id = load_id  # type: ignore[attr-defined]
+            info.extract_info = extract_info  # type: ignore[attr-defined]
+            self._pending_normalize = info
+            st.step_info = info
         return info
 
     def load(self, norm_info: Optional[NormalizeInfo] = None) -> LoadInfo:
@@ -172,29 +250,32 @@ class Pipeline:
         norm_info = norm_info or self._pending_normalize
         if norm_info is None:
             raise ValueError("nothing normalized; call normalize() first")
-        load_id = getattr(norm_info, "load_id", None) or self._new_load_id()
-        loader = LoadStage(self.spark, self.store, self.schema)
-        info = LoadInfo(self.pipeline_name, load_id, self.dataset_name)
-        seen_inc = set()
-        for res, root_schema, tables in norm_info.chains:
-            loader.write_chain(tables, root_schema, load_id)
-            info.tables.extend(tables.keys())
-            if res.incremental is not None and id(res) not in seen_inc:
-                seen_inc.add(id(res))
-                extract_info = getattr(norm_info, "extract_info", None)
-                if extract_info is not None:
-                    for r2, raw_tables in extract_info.resources:
-                        if r2 is res:
-                            for df in raw_tables.values():
-                                res.incremental.update_state(res.incremental.apply(df))
-                rstate = self.state.resource_state(self.dataset_name, res.name)
-                rstate["incremental"] = res.incremental.to_state()
-        self.schema.bump_version()
-        loader.commit_schema()
-        self.state.persist(self.spark, self.store, load_id)
-        loader.commit_load(load_id, status=0)
-        self._pending_extract = None
-        self._pending_normalize = None
+        with self._trace_step("load") as st:
+            load_id = getattr(norm_info, "load_id", None) or self._new_load_id()
+            loader = LoadStage(self.spark, self.store, self.schema)
+            info = LoadInfo(self.pipeline_name, load_id, self.dataset_name)
+            seen_inc = set()
+            for res, root_schema, tables in norm_info.chains:
+                loader.write_chain(tables, root_schema, load_id)
+                info.tables.extend(tables.keys())
+                if res.incremental is not None and id(res) not in seen_inc:
+                    seen_inc.add(id(res))
+                    extract_info = getattr(norm_info, "extract_info", None)
+                    if extract_info is not None:
+                        for r2, raw_tables in extract_info.resources:
+                            if r2 is res:
+                                for df in raw_tables.values():
+                                    res.incremental.update_state(res.incremental.apply(df))
+                    rstate = self.state.resource_state(self.dataset_name, res.name)
+                    rstate["incremental"] = res.incremental.to_state()
+            self.schema.bump_version()
+            loader.commit_schema()
+            self.state.persist(self.spark, self.store, load_id)
+            loader.commit_load(load_id, status=0)
+            self._pending_extract = None
+            self._pending_normalize = None
+            self._export_schema()
+            st.step_info = info
         return info
 
     def dataset(self) -> Dataset:
@@ -312,6 +393,20 @@ class Pipeline:
 
         root_name = self.schema.naming.normalize_table_identifier(table_name)
 
+        # x_embed column hints (vector_adapter): materialize
+        # <col>__embedding siblings on the root before registration —
+        # one projection, JVM-side, no shuffle
+        embed_cols = [
+            c.get("name")
+            for c in (res.columns or {}).values()
+            if isinstance(c, dict) and c.get("x_embed")
+        ]
+        if embed_cols:
+            from ..dataops.vector import embed_columns, hash_embedding
+
+            embedder = getattr(res, "_embedder", None) or hash_embedding
+            tables[root_name] = embed_columns(tables[root_name], embed_cols, embedder)
+
         # preferred types by name regex -> cast before registration
         # (reference preferred_types, schema.py:626)
         if self.schema.settings.get("preferred_types"):
@@ -405,6 +500,48 @@ class Pipeline:
         return df
 
 
+class CannotAttachPipeline(Exception):
+    """No restorable pipeline at the destination (reference
+    ``CannotRestorePipelineException``)."""
+
+
+def attach(
+    pipeline_name: str,
+    destination: str,
+    dataset_name: str = "default",
+    spark: Optional[SparkSession] = None,
+) -> Pipeline:
+    """Attach to a pipeline previously run against ``destination``
+    (reference ``dlt.attach``, ``dlt/pipeline/__init__.py:185``): the
+    schema comes back from the newest committed ``_dlt_version`` row and
+    the state (incremental cursors, user state) from
+    ``_dlt_pipeline_state`` — no sources need re-declaring; the next
+    ``run()`` resumes exactly where the last one committed."""
+    from ..schema.typing import VERSION_TABLE_NAME
+
+    pipe = Pipeline(pipeline_name, destination, dataset_name, spark)
+    if not pipe.store.exists(VERSION_TABLE_NAME):
+        raise CannotAttachPipeline(
+            f"no schema history at {destination!r}/{dataset_name!r} —"
+            " nothing to attach to"
+        )
+    from pyspark.sql import functions as F
+
+    rows = (
+        pipe.store.read(VERSION_TABLE_NAME)
+        .filter(F.col("schema_name") == dataset_name)
+        .orderBy(F.col("version").desc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise CannotAttachPipeline(
+            f"no schema named {dataset_name!r} at {destination!r}"
+        )
+    pipe.schema = Schema.from_json(rows[0]["schema"])
+    return pipe
+
+
 def pipeline(
     pipeline_name: str = "dlt_spark_pipeline",
     destination: Optional[str] = None,
@@ -413,6 +550,8 @@ def pipeline(
     dev_mode: bool = False,
     naming: str = "snake_case",
     max_identifier_length: int = 0,
+    import_schema_path: Optional[str] = None,
+    export_schema_path: Optional[str] = None,
 ) -> Pipeline:
     """Pipeline factory.  ``destination`` / ``dataset_name`` omitted fall
     back to config (``pipelines.<name>.destination`` then bare keys —
@@ -431,4 +570,6 @@ def pipeline(
     return Pipeline(
         pipeline_name, destination, dataset_name, spark, dev_mode,
         naming=naming, max_identifier_length=max_identifier_length,
+        import_schema_path=import_schema_path,
+        export_schema_path=export_schema_path,
     )

@@ -1,0 +1,63 @@
+"""Pipeline trace tests (reference tests/pipeline/test_pipeline_trace.py
+shapes: steps recorded for a run, timings present, failures captured,
+standalone step gets its own trace)."""
+
+import pytest
+
+import dlt_spark
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    return dlt_spark.pipeline(
+        "trace_pipe", destination=str(tmp_path / "d"), dataset_name="ds", spark=spark
+    )
+
+
+def test_run_records_three_steps(pipe):
+    pipe.run([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], table_name="t")
+    tr = pipe.last_trace
+    assert tr is not None
+    assert [s.step for s in tr.steps] == ["extract", "normalize", "load"]
+    assert all(s.elapsed is not None and s.elapsed >= 0 for s in tr.steps)
+    assert tr.elapsed is not None
+    # load launches distributed work; the tracker must see jobs
+    assert tr.last_step("load").spark_jobs >= 1
+    # step_info carries the stage results
+    assert tr.last_step("load").step_info.tables == ["t"]
+    d = tr.asdict()
+    assert len(d["steps"]) == 3 and d["pipeline_name"] == "trace_pipe"
+    assert "load COMPLETED" in tr.asstr()
+
+
+def test_second_run_replaces_trace(pipe):
+    pipe.run([{"id": 1}], table_name="t")
+    t1 = pipe.last_trace.transaction_id
+    pipe.run([{"id": 2}], table_name="t")
+    assert pipe.last_trace.transaction_id != t1
+    assert len(pipe.last_trace.steps) == 3
+
+
+def test_failed_step_captured(pipe):
+    with pytest.raises(ValueError):
+        pipe.load()  # nothing normalized
+    # the failure happened before any traced step — now fail inside one
+    class Boom:
+        def __iter__(self):
+            raise RuntimeError("source exploded")
+
+    with pytest.raises(RuntimeError, match="source exploded"):
+        pipe.run(Boom(), table_name="t")
+    tr = pipe.last_trace
+    assert tr.steps[0].step == "extract"
+    assert "source exploded" in (tr.steps[0].step_exception or "")
+    assert tr.finished_at is not None
+
+
+def test_standalone_step_gets_own_trace(pipe):
+    pipe.extract([{"id": 1}], table_name="t")
+    tr = pipe.last_trace
+    assert [s.step for s in tr.steps] == ["extract"]
+    assert tr.finished_at is not None
+    pipe.normalize()
+    assert [s.step for s in pipe.last_trace.steps] == ["normalize"]
