@@ -1,0 +1,83 @@
+"""Vector-destination adapter: declarative "embed this column on load".
+
+Re-expression of the reference's ``lancedb_adapter``
+(``dlt/destinations/impl/lancedb/lancedb_adapter.py:14`` — the
+``x-lancedb-embed`` column hint) for the Spark engine: the adapter tags
+text columns with an ``x_embed`` hint; at normalize time the pipeline
+materializes ``<col>__embedding array<float>`` siblings with the
+configured embedder, so the loaded table is immediately usable by the
+similarity operators (``dataops/similarity.py``).
+
+Embedders are pluggable ``Column -> Column`` builders.  The default is a
+deterministic hash-projection embedding (sha256-seeded pseudo-random
+projection of the token multiset — no model weights involved, stable
+across engines, useful for plumbing and tests).  Swap in a real model by
+passing ``embedder=`` a function that returns an ``array<float>`` Column
+(e.g. a pandas_udf over a sentence-transformer); the rest of the
+pipeline — schema, hints, load, ANN — is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMBED_HINT = "x_embed"
+
+
+def hash_embedding(col: Column, dims: int = 16) -> Column:
+    """Deterministic pseudo-embedding: project the token multiset into
+    ``dims`` float components via per-dimension seeded xxhash64 of each
+    token, averaged.  Pure Column expr (codegen, no Python); identical
+    input text -> identical vector, cosine-comparable across runs.  A
+    plumbing/test embedder, NOT a semantic model."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    comps = []
+    for d in range(dims):
+        # xxhash64 is int64; normalize to [-0.5, 0.5]
+        comps.append(
+            F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + (F.xxhash64(t, F.lit(d)) / F.lit(float(2**64))).cast("double"),
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        )
+    return F.array(*[c.cast("float") for c in comps])
+
+
+def vector_adapter(
+    resource: Any,
+    embed: Union[str, Sequence[str]],
+    embedder: Optional[Callable[[Column], Column]] = None,
+    dims: int = 16,
+) -> Any:
+    """Tag ``embed`` columns of a resource (or raw data, which is wrapped
+    like the reference's ``get_resource_for_adapter``) for embedding on
+    load.  Returns the resource for chaining."""
+    from ..pipeline.resources import DltResource, resource as make_resource
+
+    if not embed:
+        raise ValueError("embed must name at least one column")
+    if isinstance(embed, str):
+        embed = [embed]
+    if not isinstance(resource, DltResource):
+        resource = make_resource(resource, name="content")
+    for name in embed:
+        col = resource.columns.setdefault(name, {"name": name})
+        col[EMBED_HINT] = True
+    resource._embedder = embedder or (lambda c: hash_embedding(c, dims))  # type: ignore[attr-defined]
+    return resource
+
+
+def embed_columns(df, columns: List[str], embedder: Callable[[Column], Column]):
+    """Materialize ``<col>__embedding`` siblings for the hinted columns —
+    called by the pipeline during normalize (one projection, no shuffle)."""
+    out = df
+    for name in columns:
+        if name in out.columns:
+            out = out.withColumn(f"{name}__embedding", embedder(F.col(name)))
+    return out
