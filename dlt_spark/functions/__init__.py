@@ -92,6 +92,23 @@ def wei_to_double(col: Column) -> Column:
     return col.cast("double")
 
 
+def bigint_to_binary_le(col: Column) -> Column:
+    """Non-negative bigint -> minimal little-endian bytes (reference
+    ``type_helpers.py:193``: ``v.to_bytes((v.bit_length()+7)//8,
+    'little')`` — the wei/EVM-uint edge).  ``0`` -> 0 bytes, negatives ->
+    NULL (``int.to_bytes`` raises there; NULL is the vectorized analog).
+    Pure Column expr: hex -> even-pad -> byte-pair reverse -> unhex, all
+    inside codegen."""
+    h = F.hex(col)  # big-endian, no leading zeros
+    h = F.when(F.length(h) % 2 == 1, F.concat(F.lit("0"), h)).otherwise(h)
+    le_hex = F.array_join(F.reverse(F.regexp_extract_all(h, F.lit("(..)"), 1)), "")
+    return (
+        F.when(col < 0, F.lit(None).cast("binary"))
+        .when(col == 0, F.unhex(F.lit("")))
+        .otherwise(F.unhex(le_hex))
+    )
+
+
 def digest128(*cols: Column) -> Column:
     """128-bit deterministic content digest over columns — the engine's
     row/key hash (reference utils.py digest128; recipe re-specified as

@@ -30,6 +30,21 @@ def test_text_to_bigint(one):
     assert _scalar(one, fn.text_to_bigint(F.lit("nope"))) is None
 
 
+def test_bigint_to_binary_le(spark):
+    # oracle: int.to_bytes(..., "little") — the reference's exact recipe
+    values = [0, 1, 255, 256, 2**16, 2**31 - 1, 2**40 + 7, 2**62, -5]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", fn.bigint_to_binary_le(F.col("v")).alias("b")).collect()
+    }
+    for v in values:
+        if v < 0:
+            assert got[v] is None
+        else:
+            assert got[v] == v.to_bytes((v.bit_length() + 7) // 8, "little"), v
+
+
 def test_str2bool(one):
     assert _scalar(one, fn.str2bool(F.lit("True"))) is True
     assert _scalar(one, fn.str2bool(F.lit("0"))) is False
