@@ -98,6 +98,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
+    _print_diff_vs_previous(timings, total, sf)
     print(
         json.dumps(
             {
@@ -109,6 +110,65 @@ def main() -> None:
             }
         )
     )
+
+
+def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
+    """Round-over-round regression visibility: diff against the newest
+    BENCH_r*.json in the repo root (stderr only — stdout stays one JSON
+    line for the driver)."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        # driver wraps the line in metadata on some rounds
+        if "queries" not in prev and "tail" in prev:
+            m = _re.search(r'\{"metric".*\}', prev.get("tail", ""))
+            prev = json.loads(m.group(0)) if m else {}
+        prev_q = prev.get("queries") or {}
+        prev_sf = prev.get("sf")
+    except Exception as ex:  # diff is best-effort, never break the bench
+        print(f"# bench-diff: could not read {prev_path}: {ex}", file=sys.stderr)
+        return
+    if not prev_q:
+        return
+    tag = os.path.basename(prev_path)
+    if prev_sf is not None and prev_sf != sf:
+        print(
+            f"# bench-diff vs {tag}: SKIPPED (prev sf={prev_sf}, now sf={sf})",
+            file=sys.stderr,
+        )
+        return
+    prev_total = sum(v for k, v in prev_q.items() if k in timings)
+    now_total = sum(v for k, v in timings.items() if k in prev_q)
+    print(
+        f"# bench-diff vs {tag}: total {prev_total:.1f}s -> {now_total:.1f}s"
+        f" ({(now_total - prev_total) / max(prev_total, 1e-9) * 100:+.0f}%)",
+        file=sys.stderr,
+    )
+    for name, now in sorted(
+        timings.items(),
+        key=lambda kv: kv[1] - prev_q.get(kv[0], kv[1]),
+        reverse=True,
+    ):
+        if name not in prev_q:
+            print(f"#   {name}: NEW {now:.2f}s", file=sys.stderr)
+            continue
+        delta = now - prev_q[name]
+        if abs(delta) >= 0.3:  # below that is session noise
+            print(
+                f"#   {name}: {prev_q[name]:.2f}s -> {now:.2f}s ({delta:+.2f}s)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
