@@ -14,9 +14,10 @@ and streams chunked SELECTs through Python; on Spark the same contract is
   fetch loop — N executors each own a key range),
 - table reflection via the JDBC catalog (``JDBC_METADATA_QUERY``).
 
-No JDBC driver ships in this container, so tests cover predicate/option
-construction; the read call itself is exercised only when a driver jar is
-on the classpath.
+Exercised end-to-end against embedded Apache Derby (the JDBC database
+that ships on Spark's classpath) in ``tests/test_sql_database_e2e.py`` —
+real writes via the insert-values path, cursor-windowed reads, parallel
+range scans, and filter pushdown.
 """
 
 from __future__ import annotations
@@ -35,20 +36,32 @@ def _render_literal(v: Any) -> str:
         escaped = v.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(v, dt.datetime):
-        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        # JDBC escape syntax: translated by every compliant driver into
+        # the database's own literal form (Derby rejects ANSI TIMESTAMP
+        # '...' literals; Postgres/MySQL/Oracle drivers all accept {ts})
+        return f"{{ts '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'}}"
     if isinstance(v, dt.date):
-        return f"DATE '{v.isoformat()}'"
+        return f"{{d '{v.isoformat()}'}}"
     return str(v)
 
 
-def build_incremental_where(inc: Incremental) -> Optional[str]:
+def build_incremental_where(
+    inc: Incremental, identifier_quote: Optional[str] = None
+) -> Optional[str]:
     """Render the cursor window as SQL (reference ``incremental/sql.py``):
-    pushed to the source database via the JDBC ``predicates`` option."""
+    pushed to the source database via the JDBC ``predicates`` option.
+
+    ``identifier_quote``: quote the cursor column (``'"'`` for ANSI
+    databases — Derby/Postgres/Oracle fold unquoted identifiers, so a
+    table created with quoted lowercase columns needs quoted references;
+    ``'`'`` for MySQL).  Default leaves the identifier as written."""
     conds: List[str] = []
     start = inc._start_bound()
     asc = inc.last_value_func == "max"
     closed_start = inc.range_start == "closed" or inc.lag is not None
     c = inc.cursor_path
+    if identifier_quote and not c.startswith(identifier_quote):
+        c = f"{identifier_quote}{c}{identifier_quote}"
     if start is not None:
         op = (">=" if closed_start else ">") if asc else ("<=" if closed_start else "<")
         conds.append(f"{c} {op} {_render_literal(start)}")
@@ -71,11 +84,12 @@ def sql_table_options(
     lower_bound: Optional[Any] = None,
     upper_bound: Optional[Any] = None,
     num_partitions: int = 8,
+    identifier_quote: Optional[str] = None,
 ) -> Dict[str, str]:
     """Build the option dict for ``spark.read.format('jdbc')``: dbtable is
     a pushdown subquery embedding the incremental WHERE (the JDBC source
     additionally pushes later ``.filter``s)."""
-    where = build_incremental_where(incremental) if incremental else None
+    where = build_incremental_where(incremental, identifier_quote) if incremental else None
     dbtable = f"(SELECT * FROM {table}" + (f" WHERE {where}" if where else "") + f") AS {table}_src"
     opts: Dict[str, str] = {"dbtable": dbtable}
     if partition_column:
@@ -100,6 +114,7 @@ def sql_table(
     upper_bound: Optional[Any] = None,
     num_partitions: int = 8,
     driver: Optional[str] = None,
+    identifier_quote: Optional[str] = None,
     **jdbc_options: str,
 ) -> DataFrame:
     """One table as a (possibly parallel, cursor-windowed) JDBC scan —
@@ -127,7 +142,8 @@ def sql_table(
         spark.read.format("jdbc")
         .option("url", connection_url)
         .options(**sql_table_options(
-            table, incremental, partition_column, lower_bound, upper_bound, num_partitions
+            table, incremental, partition_column, lower_bound, upper_bound,
+            num_partitions, identifier_quote,
         ))
         .options(**jdbc_options)
     )
