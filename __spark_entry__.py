@@ -909,8 +909,8 @@ def _q_tfidf_top_terms(spark, sf_dir):
 
 def _q_curate_corpus(spark, sf_dir):
     """Composed curation pipeline (exact dedup + quality/length filters +
-    MinHash near-dedup) — rows-only check; each constituent operator is
-    oracle-verified on its own."""
+    MinHash near-dedup); the oracle reproduces the whole composition in
+    one DuckDB SQL statement."""
     from dlt_spark.dataops.text import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -1650,6 +1650,76 @@ def oracle_sql() -> dict[str, str]:
           ON a.vec_id < b.vec_id
         WHERE a.vec_id < 200 AND b.vec_id < 200
           AND round({pcos}, 6) >= 0.3
+    """
+
+    # curate_corpus: the composed curation pipeline reproduced end-to-end
+    # in SQL — exact dedup (keep min id per content fingerprint), token/
+    # quality filters, then the full MinHash-LSH near-dedup (64 hashes,
+    # 16 bands x 4 rows, 3-shingles, seed-0 base hash) with true-Jaccard
+    # verification at 0.8 and greedy drop-larger-id.
+    cur_rpb = 4
+    cur_minhash_exprs = ", ".join(
+        f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_params(64)
+    )
+    cur_band_exprs = ", ".join(
+        "'{b}#' || sha256({parts})".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"CAST(sg[{b * cur_rpb + r + 1}] AS VARCHAR)" for r in range(cur_rpb)
+            ),
+        )
+        for b in range(16)
+    )
+    cur_qual = (
+        f"round(len(list_distinct({toks})) * 1.0 / len({toks}) * 0.5"
+        f" + (CASE WHEN len({toks}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4"
+        f" + (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) * 1.0"
+        f" / length(text)) * 0.1, 6)"
+    )
+    sql["curate_corpus"] = f"""
+        WITH keep1 AS (
+            SELECT * FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY sha256({norm_text}) ORDER BY doc_id) AS rn
+                FROM documents d
+            ) WHERE rn = 1
+        ), filt AS (
+            SELECT doc_id, text, lang, source, n_chars FROM keep1
+            WHERE len({toks}) BETWEEN 3 AND 100000 AND {cur_qual} >= 0.4
+        ), t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM filt WHERE text IS NOT NULL
+        ), shl AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+            )) AS shs
+            FROM t
+        ), based AS (
+            SELECT doc_id, list_transform(shs,
+                s -> CAST(('0x' || substr(sha256('0:' || s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}
+            ) AS bh
+            FROM shl
+        ), sig AS (
+            SELECT doc_id, [{cur_minhash_exprs}] AS sg FROM based
+        ), buckets AS (
+            SELECT doc_id, unnest([{cur_band_exprs}]) AS bucket FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b USING (bucket)
+            WHERE a.doc_id < b.doc_id
+        ), ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN shl sa ON sa.doc_id = c.id_a
+            JOIN shl sb ON sb.doc_id = c.id_b
+            WHERE len(list_intersect(sa.shs, sb.shs)) * 1.0
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                  >= 0.8
+        ), losers AS (SELECT DISTINCT id_b FROM ver)
+        SELECT f.* FROM filt f LEFT JOIN losers l ON f.doc_id = l.id_b
+        WHERE l.id_b IS NULL
     """
 
     return sql
