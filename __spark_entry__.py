@@ -917,6 +917,56 @@ def _q_curate_corpus(spark, sf_dir):
     return curate_corpus(docs, min_quality=0.4, min_tokens=3, near_dedup=True)
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition measures.  The corpus is single-line, so
+    the query first re-lines it deterministically (newline every 8
+    tokens via regexp_replace — identical RE2/Java semantics) to
+    exercise the line-level signal."""
+    from dlt_spark.dataops.text import (
+        dup_line_fraction, dup_ngram_fraction, top_ngram_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n")
+    return docs.select(
+        "doc_id",
+        dup_line_fraction(lined).alias("dup_line_frac"),
+        dup_ngram_fraction(F.col("text"), 2).alias("dup_2gram_frac"),
+        top_ngram_fraction(F.col("text"), 2).alias("top_2gram_frac"),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus with deterministically injected PII
+    (the synthetic docs contain none): email + IPv4 + intl phone per
+    doc, then the redaction chain and per-category audit counts."""
+    from dlt_spark.dataops.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org ip 10.1."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 tel +15550"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    )
+    counts = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        redact_pii(injected).alias("clean"),
+        *[v.cast("bigint").alias(k) for k, v in counts.items()],
+    )
+
+
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-style rule filter with per-rule audit booleans."""
+    from dlt_spark.dataops.text import gopher_filter
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return gopher_filter(docs.select("doc_id", "text")).drop("text")
+
+
 def _q_stats_summary(spark, sf_dir):
     """Statistical aggregates: interpolated percentiles + sample stddev
     per group (the exact forms; approx_percentile/HLL are the same plan
@@ -988,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "curate_corpus": _q_curate_corpus,
         "stats_summary": _q_stats_summary,
+        "repetition_signals": _q_repetition_signals,
+        "pii_redaction": _q_pii_redaction,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -1650,6 +1703,81 @@ def oracle_sql() -> dict[str, str]:
           ON a.vec_id < b.vec_id
         WHERE a.vec_id < 200 AND b.vec_id < 200
           AND round({pcos}, 6) >= 0.3
+    """
+
+    ltoks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+    sql["repetition_signals"] = f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, '((?:\\S+\\s+){{7}}\\S+)\\s+',
+                                  '\\1' || chr(10), 'g') AS lined
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT doc_id,
+                   string_split(lined, chr(10)) AS lines,
+                   list_transform(
+                       generate_series(1, greatest(len({ltoks}) - 1, 1)),
+                       i -> array_to_string(list_slice({ltoks}, i, i + 1), ' ')
+                   ) AS ng,
+                   len({toks}) AS n
+            FROM d
+        )
+        SELECT doc_id,
+               round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+                   AS dup_line_frac,
+               round((len(ng) - len(list_distinct(ng))) * 1.0 / len(ng), 6)
+                   AS dup_2gram_frac,
+               round(list_max(list_transform(list_distinct(ng),
+                         g -> len(list_filter(ng, x -> x = g)))) * 2.0 / n, 6)
+                   AS top_2gram_frac
+        FROM m
+    """
+
+    # plain strings (not f-strings): single braces survive into the SQL
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_phone = "\\+\\d{7,15}"
+    sql["pii_redaction"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.org ip 10.1.'
+                        || CAST(doc_id % 250 AS VARCHAR) || '.7 tel +15550'
+                        || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS inj
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(inj,
+                   '{_pii_email}', '<EMAIL>', 'g'),
+                   '{_pii_ip}', '<IP>', 'g'),
+                   '{_pii_phone}', '<PHONE>', 'g') AS clean,
+               CAST(len(regexp_extract_all(inj, '{_pii_email}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(inj, '{_pii_ip}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(inj, '{_pii_phone}')) AS BIGINT) AS n_phone
+        FROM d
+    """
+
+    _stop_en = "('the','a','and','of','to','in','is','that','it','for')"
+    sql["gopher_filter"] = f"""
+        WITH m AS (
+            SELECT doc_id, text, {toks} AS t, {ltoks} AS lt
+            FROM documents WHERE text IS NOT NULL
+        ), r AS (
+            SELECT doc_id,
+                   len(t) BETWEEN 10 AND 100000 AS r_len,
+                   round(length(array_to_string(t, '')) * 1.0 / len(t), 6)
+                       BETWEEN 3.0 AND 12.0 AS r_mean_len,
+                   round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                       * 1.0 / len(t), 6) >= 0.7 AS r_alpha,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                       * 1.0 / len(t), 6) <= 0.1 AS r_symbol,
+                   len(list_filter(lt, x -> x IN {_stop_en})) >= 1 AS r_stop
+            FROM m
+        )
+        SELECT doc_id, r_len, r_mean_len, r_alpha, r_symbol, r_stop,
+               (r_len AND r_mean_len AND r_alpha AND r_symbol AND r_stop) AS keep
+        FROM r
     """
 
     # curate_corpus: the composed curation pipeline reproduced end-to-end

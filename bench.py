@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "stats_summary",
     "tfidf_top_terms",
     "curate_corpus",
+    "repetition_signals",
+    "pii_redaction",
+    "gopher_filter",
 ]
 
 

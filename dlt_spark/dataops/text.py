@@ -212,6 +212,153 @@ def curate_corpus(
     return out
 
 
+# ---------------------------------------------------- repetition signals
+# Gopher-style repetition measures (Rae et al. 2021 "Scaling Language
+# Models", table A1): heavily-repetitive documents are low-quality
+# training data.  All pure Column exprs — map-side only, no shuffle, so
+# they run at scan speed over a 100 TB corpus.
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike :func:`dedup.shingles`,
+    which dedups for set-Jaccard).  SQL: ``list_transform(
+    generate_series(1, greatest(len(toks)-n+1, 1)),
+    i -> array_to_string(list_slice(toks, i, i+n-1), ' '))``."""
+    t = tokens(F.lower(text))
+    cnt = F.greatest(F.size(t) - n + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(t, i, n), " ")
+    )
+
+
+def dup_line_fraction(text: Column, decimals: int = 6) -> Column:
+    """Fraction of duplicate lines: ``(total - distinct) / total`` over
+    newline-split lines.  SQL: same over ``string_split(text, chr(10))``."""
+    lines = F.split(text, r"\n")
+    return F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), decimals
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int = 2, decimals: int = 6) -> Column:
+    """Fraction of duplicate word n-grams: ``(total - distinct)/total``."""
+    g = word_ngrams(text, n)
+    return F.round(
+        (F.size(g) - F.size(F.array_distinct(g))) / F.size(g), decimals
+    )
+
+
+def top_ngram_fraction(text: Column, n: int = 2, decimals: int = 6) -> Column:
+    """Fraction of tokens covered by the single most frequent n-gram:
+    ``max_count * n / token_count``.
+
+    The max count is a sorted-run scan — ``array_sort`` then one
+    ``aggregate`` pass tracking (prev, run, best) — O(m log m) per doc
+    inside codegen, instead of the O(m^2) count-each-distinct form (the
+    oracle uses the quadratic form, which is fine at oracle scale)."""
+    sng = F.array_sort(word_ngrams(text, n))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(sng, init, step)["best"]
+    return F.round(best * n / token_count(text), decimals)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the repetition columns in one projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "dup_line_frac": dup_line_fraction(c),
+            "dup_2gram_frac": dup_ngram_fraction(c, 2),
+            "top_2gram_frac": top_ngram_fraction(c, 2),
+        }
+    )
+
+
+# -------------------------------------------------------- PII redaction
+
+# patterns restricted to the syntax subset Java regex and RE2 share, so
+# the DuckDB oracle applies the byte-identical transformation
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and +intl phone numbers with typed
+    placeholders.  Order matters (emails contain dotted digits).  Pure
+    ``regexp_replace`` chain — codegen, no UDF."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Dict[str, Column]:
+    """Match counts per category (audit columns for a redaction pass)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+# ----------------------------------------------- Gopher-style doc filter
+
+
+def gopher_rules(
+    text: Column,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 3.0,
+    max_mean_tok_len: float = 12.0,
+    min_alpha_frac: float = 0.7,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 1,
+) -> Dict[str, Column]:
+    """The individual boolean rules of a Gopher-style document filter
+    (Rae et al. 2021, A1.1): length window, mean word length window,
+    alphabetic-word fraction, symbol soup ratio (# and ellipses per
+    token), and minimum stopword evidence.  Returned separately so a
+    pipeline can audit WHY a doc failed, not just that it did."""
+    t = tokens(text)
+    n = token_count(text)
+    alpha_frac = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n
+    symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0)))
+    stop_hits = stopword_hits(text, "en")
+    return {
+        "r_len": (n >= min_tokens) & (n <= max_tokens),
+        "r_mean_len": (mean_token_length(text) >= min_mean_tok_len)
+        & (mean_token_length(text) <= max_mean_tok_len),
+        "r_alpha": F.round(alpha_frac, 6) >= min_alpha_frac,
+        "r_symbol": F.round(symbols / n, 6) <= max_symbol_ratio,
+        "r_stop": stop_hits >= min_stop_hits,
+    }
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Attach the rule booleans plus the conjunction ``keep``."""
+    rules = gopher_rules(F.col(text_col), **thresholds)
+    out = df.withColumns(rules)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all metrics as columns in a single projection."""
     c = F.col(text_col)

@@ -1,0 +1,93 @@
+"""Unit tests for repetition signals, PII redaction, and the
+Gopher-style document filter (dataops/text.py) with hand-computed
+expected values."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_spark.dataops.text import (
+    dup_line_fraction,
+    dup_ngram_fraction,
+    gopher_filter,
+    pii_counts,
+    redact_pii,
+    repetition_signals,
+    top_ngram_fraction,
+    word_ngrams,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([Row(text=text)]).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_word_ngrams_keep_multiplicity(spark):
+    got = _one(spark, "a b a b a", word_ngrams(F.col("text"), 2))
+    assert got == ["a b", "b a", "a b", "b a"]
+
+
+def test_dup_line_fraction(spark):
+    # 4 lines, 2 distinct -> (4-2)/4
+    assert _one(spark, "x\ny\nx\ny", dup_line_fraction(F.col("text"))) == 0.5
+    assert _one(spark, "only one line", dup_line_fraction(F.col("text"))) == 0.0
+
+
+def test_dup_ngram_fraction(spark):
+    # 2-grams of "a b a b a": [a b, b a, a b, b a] -> (4-2)/4
+    assert _one(spark, "a b a b a", dup_ngram_fraction(F.col("text"), 2)) == 0.5
+    assert _one(spark, "w x y z", dup_ngram_fraction(F.col("text"), 2)) == 0.0
+
+
+def test_top_ngram_fraction(spark):
+    # "a b a b a b": top 2-gram "a b" occurs 3x -> 3*2/6 = 1.0
+    assert _one(spark, "a b a b a b", top_ngram_fraction(F.col("text"), 2)) == 1.0
+    # "p q r s": every 2-gram unique -> 1*2/4 = 0.5
+    assert _one(spark, "p q r s", top_ngram_fraction(F.col("text"), 2)) == 0.5
+
+
+def test_repetition_signals_columns(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b a")])
+    row = repetition_signals(df).collect()[0]
+    assert row["dup_2gram_frac"] == 0.5 and row["dup_line_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    raw = "mail bob.smith+x@corp.example.org or 192.168.0.1 or +14155550123 end"
+    got = _one(spark, raw, redact_pii(F.col("text")))
+    assert got == "mail <EMAIL> or <IP> or <PHONE> end"
+
+
+def test_pii_counts(spark):
+    raw = "a@b.co c@d.io 10.0.0.1 +1234567890"
+    df = spark.createDataFrame([Row(text=raw)]).select(
+        *[v.alias(k) for k, v in pii_counts(F.col("text")).items()]
+    )
+    row = df.collect()[0]
+    assert (row["n_email"], row["n_ip"], row["n_phone"]) == (2, 1, 1)
+
+
+def test_redact_order_email_before_ip(spark):
+    # the dotted-digits inside an email must not be double-redacted
+    got = _one(spark, "u1.2.3.4@ex.com", redact_pii(F.col("text")))
+    assert got == "<EMAIL>"
+
+
+def test_gopher_filter_rules(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    symbol_soup = "# " * 12 + "the end of it all now here gone"
+    short = "too short"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text=symbol_soup), Row(doc_id=3, text=short)]
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["r_symbol"] is False
+    assert out[3]["keep"] is False and out[3]["r_len"] is False
+
+
+def test_gopher_alpha_rule(spark):
+    digits = "11 22 33 44 55 66 77 88 99 00 12 34"
+    df = spark.createDataFrame([Row(text=digits)])
+    row = gopher_filter(df).collect()[0]
+    assert row["r_alpha"] is False and row["keep"] is False
