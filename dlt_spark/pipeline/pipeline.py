@@ -161,6 +161,22 @@ class Pipeline:
 
         return cm()
 
+    def _save_trace(self) -> None:
+        """Persist the last trace next to the dataset (best-effort) so
+        the CLI's ``pipeline <name> trace`` works from another process
+        (the reference keeps trace.json in the pipeline working dir)."""
+        import json
+        import os
+
+        root = getattr(self.store, "root", None)
+        if not root or self.last_trace is None:
+            return
+        try:
+            with open(os.path.join(root, "_last_trace.json"), "w", encoding="utf-8") as f:
+                json.dump(self.last_trace.asdict(), f, indent=2)
+        except OSError:
+            pass
+
     # -- public API (mirrors dlt.Pipeline.run, pipeline.py:639) --
 
     def run(
@@ -204,6 +220,7 @@ class Pipeline:
                 else _dt.datetime.now(_dt.timezone.utc)
             )
             self._active_trace = None
+            self._save_trace()
 
     # -- three-stage API (reference pipeline.py:428/527/581) --
 

@@ -86,6 +86,41 @@ class DltResource:
         self._max_time: Optional[float] = None
         self._selected_tables: Optional[List[str]] = None
 
+    def apply_hints(
+        self,
+        table_name: Optional[Union[str, Callable[[Any], str]]] = None,
+        write_disposition: Optional[str] = None,
+        primary_key: Optional[Sequence[str]] = None,
+        merge_key: Optional[Sequence[str]] = None,
+        columns: Optional[dict] = None,
+        incremental: Optional[Incremental] = None,
+        merge_strategy: Optional[str] = None,
+        max_table_nesting: Optional[int] = None,
+    ) -> "DltResource":
+        """Set or modify load hints after creation (reference
+        ``extract/hints.py:395 apply_hints``): ``None`` leaves the
+        existing hint, an empty value of the hint's type ("" / [] / {})
+        removes it.  Returns self for chaining."""
+        if table_name is not None:
+            self.table_name = table_name or self.name
+        if write_disposition is not None:
+            self.write_disposition = write_disposition or "append"
+        if primary_key is not None:
+            pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+            self.primary_key = pk or None
+        if merge_key is not None:
+            mk = [merge_key] if isinstance(merge_key, str) else list(merge_key)
+            self.merge_key = mk or None
+        if columns is not None:
+            self.columns = columns
+        if incremental is not None:
+            self.incremental = incremental or None
+        if merge_strategy is not None:
+            self.merge_strategy = merge_strategy or None
+        if max_table_nesting is not None:
+            self.max_table_nesting = max_table_nesting
+        return self
+
     # -- pipe steps (reference resource.py:327-447) --
 
     def add_map(self, f: Callable[[Any], Any]) -> "DltResource":

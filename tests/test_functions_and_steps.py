@@ -163,3 +163,35 @@ def test_custom_destination(spark, tmp_path):
     batches = [int(x) for x in sink_file.read_text().split()]
     assert sum(batches) == 5
     assert max(batches) <= 2
+
+
+# --------------------------------------------------------- apply_hints
+
+def test_apply_hints_set_and_remove():
+    from dlt_spark.pipeline.resources import DltResource
+    from dlt_spark.incremental import Incremental
+
+    r = DltResource(data=[], name="t")
+    out = r.apply_hints(
+        table_name="renamed",
+        write_disposition="merge",
+        primary_key="id",
+        merge_key=["a", "b"],
+        incremental=Incremental(cursor_path="ts"),
+        merge_strategy="upsert",
+    )
+    assert out is r  # chaining
+    assert r.table_name == "renamed"
+    assert r.write_disposition == "merge"
+    assert r.primary_key == ["id"]
+    assert r.merge_key == ["a", "b"]
+    assert r.incremental.cursor_path == "ts"
+    assert r.merge_strategy == "upsert"
+
+    # None leaves hints untouched; empty values remove them
+    r.apply_hints(write_disposition=None)
+    assert r.write_disposition == "merge"
+    r.apply_hints(table_name="", write_disposition="", primary_key=[], merge_key=[])
+    assert r.table_name == "t"
+    assert r.write_disposition == "append"
+    assert r.primary_key is None and r.merge_key is None
