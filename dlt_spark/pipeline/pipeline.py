@@ -193,6 +193,7 @@ class Pipeline:
         max_table_nesting: Optional[int] = None,
         refresh: Optional[str] = None,
         boundary_timestamp: Optional[str] = None,
+        load_id: Optional[str] = None,
     ) -> LoadInfo:
         from .trace import start_trace
 
@@ -211,7 +212,9 @@ class Pipeline:
                 max_table_nesting=max_table_nesting,
                 refresh=refresh,
             )
-            norm_info = self.normalize(extract_info, boundary_timestamp=boundary_timestamp)
+            norm_info = self.normalize(
+                extract_info, boundary_timestamp=boundary_timestamp, load_id=load_id
+            )
             return self.load(norm_info)
         finally:
             self._active_trace.finished_at = (
@@ -242,14 +245,16 @@ class Pipeline:
         self,
         extract_info: Optional[ExtractInfo] = None,
         boundary_timestamp: Optional[str] = None,
+        load_id: Optional[str] = None,
     ) -> NormalizeInfo:
         """Relational normalization + schema registration (reference
-        normalize stage, ``pipeline.py:527``)."""
+        normalize stage, ``pipeline.py:527``).  An explicit ``load_id``
+        makes the whole run idempotent-by-id (streaming replay)."""
         extract_info = extract_info or self._pending_extract
         if extract_info is None:
             raise ValueError("nothing extracted; call extract() first")
         with self._trace_step("normalize") as st:
-            load_id = self._new_load_id()
+            load_id = load_id or self._new_load_id()
             info = NormalizeInfo()
             for res, tables in extract_info.resources:
                 for tname, df in tables.items():

@@ -155,8 +155,16 @@ class StreamingPipeline:
     checkpoint + idempotent load ids)."""
 
     def __init__(self, pipe: Pipeline, checkpoint_dir: str) -> None:
+        import hashlib
+
         self.pipe = pipe
         self.checkpoint_dir = checkpoint_dir
+        # stable stream identity: the checkpoint IS the stream (Spark ties
+        # batch_id progression to it), so derive the load-id prefix from it
+        self.stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _batch_load_id(self, batch_id: int) -> str:
+        return f"stream-{self.stream_id}-{batch_id:012d}"
 
     def write_stream(
         self,
@@ -167,8 +175,20 @@ class StreamingPipeline:
         **run_kwargs: Any,
     ):
         def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # exactly-once under replay: the load id is a deterministic
+            # function of (stream, batch); a micro-batch re-delivered
+            # after a sink failure finds its id already committed in
+            # `_dlt_loads` and becomes a no-op instead of a double load
+            lid = self._batch_load_id(batch_id)
+            try:
+                committed = set(self.pipe.dataset().load_ids())
+            except FileNotFoundError:
+                committed = set()  # first batch: no _dlt_loads yet
+            if lid in committed:
+                return
             self.pipe.run(
-                batch_df, table_name=table_name, write_disposition=write_disposition, **run_kwargs
+                batch_df, table_name=table_name, write_disposition=write_disposition,
+                load_id=lid, **run_kwargs,
             )
 
         writer = (

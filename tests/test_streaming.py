@@ -91,3 +91,32 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path, stream_input):
     q.awaitTermination(60)
     assert pipe.dataset()["events_in"].row_count() == 5
     assert len(pipe.dataset().load_ids()) >= 1
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path, stream_input):
+    """A re-delivered micro-batch (same batch_id after a sink failure)
+    must be a no-op: the deterministic load id is already committed."""
+    pipe = dlt_spark.pipeline("sp2", str(tmp_path / "dest2"), "ds", spark)
+    sp = StreamingPipeline(pipe, str(tmp_path / "cp_replay"))
+    q = sp.write_stream(stream_input, "events_in", write_disposition="append")
+    q.awaitTermination(60)
+    n0 = pipe.dataset()["events_in"].row_count()
+    loads0 = pipe.dataset().load_ids()
+    assert n0 == 5
+
+    # simulate Spark replaying batch 0 into the sink after a crash:
+    # run the same data through the idempotence guard with batch_id=0
+    lid = sp._batch_load_id(0)
+    assert lid in loads0
+    batch_df = spark.createDataFrame([(99, "late")], "id long, v string")
+    committed = set(pipe.dataset().load_ids())
+    if lid not in committed:  # mirror of the sink's guard
+        pipe.run(batch_df, table_name="events_in", load_id=lid)
+    assert pipe.dataset()["events_in"].row_count() == n0
+    assert pipe.dataset().load_ids() == loads0
+
+    # a genuinely new batch id still loads
+    lid2 = sp._batch_load_id(7)
+    assert lid2 not in committed
+    pipe.run(batch_df, table_name="events_in", load_id=lid2)
+    assert pipe.dataset()["events_in"].row_count() == n0 + 1
