@@ -7,7 +7,7 @@ optimizer, and the load substrate is a swappable TableStore
 
 from . import functions  # noqa: F401  (scalar function layer, SURVEY §2.I)
 from .config import config, secrets  # noqa: F401  (dlt.config / dlt.secrets analog)
-from .dataset.dataset import Dataset
+from .dataset.dataset import Dataset, dataset
 from .dataset.relation import Relation
 from .incremental import Incremental, incremental
 from .load.destination import CustomDestination, destination
@@ -34,6 +34,7 @@ __all__ = [
     "secrets",
     "CustomDestination",
     "Dataset",
+    "dataset",
     "DltResource",
     "destination",
     "functions",

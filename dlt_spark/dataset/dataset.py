@@ -102,3 +102,30 @@ class Dataset:
         if out is None:
             raise ValueError("no tables in dataset")
         return Relation(out, "row_counts", dataset=self)
+
+
+def dataset(
+    destination: str,
+    dataset_name: str = "default",
+    spark: Optional[SparkSession] = None,
+) -> Dataset:
+    """Standalone dataset access without a pipeline (reference
+    ``dlt.dataset(destination, dataset_name)``,
+    ``dlt/dataset/dataset.py:457``): open the store read-only and restore
+    the newest committed schema from ``_dlt_version`` when present."""
+    from ..store.table_store import ParquetTableStore
+
+    spark = spark or SparkSession.builder.getOrCreate()
+    store = ParquetTableStore(spark, destination, dataset_name)
+    schema: Optional[Schema] = None
+    if store.exists(VERSION_TABLE_NAME):
+        rows = (
+            store.read(VERSION_TABLE_NAME)
+            .filter(F.col("schema_name") == dataset_name)
+            .orderBy(F.col("version").desc())
+            .limit(1)
+            .collect()
+        )
+        if rows:
+            schema = Schema.from_json(rows[0]["schema"])
+    return Dataset(spark, store, schema)

@@ -198,3 +198,24 @@ class StreamingPipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def stream_files(
+    spark: "SparkSession",
+    path: str,
+    format: str = "parquet",
+    schema: Optional["StructType"] = None,
+    **options: str,
+) -> DataFrame:
+    """File-watch streaming source (the auto-ingest/auto-loader pattern):
+    ``readStream`` over a growing directory — new files become
+    micro-batches, checkpoint tracks which files were consumed, so
+    drop-files-in-a-bucket ingestion is exactly-once end to end when
+    paired with :class:`StreamingPipeline`.
+
+    Structured Streaming requires an explicit schema; when omitted it is
+    inferred from the files already present (one driver-side metadata
+    read, not a data scan for parquet)."""
+    if schema is None:
+        schema = spark.read.format(format).options(**options).load(path).schema
+    return spark.readStream.format(format).schema(schema).options(**options).load(path)

@@ -48,3 +48,16 @@ def test_attach_restores_schema_and_state(spark, tmp_path):
 def test_attach_missing_raises(spark, tmp_path):
     with pytest.raises(dlt_spark.CannotAttachPipeline):
         dlt_spark.attach("nope", str(tmp_path / "empty"), "ds", spark)
+
+
+def test_standalone_dataset_access(spark, tmp_path):
+    """dlt.dataset(destination, name) opens a dataset without a pipeline
+    and restores the committed schema."""
+    dest = str(tmp_path / "dest_ds")
+    pipe = dlt_spark.pipeline("dsp", destination=dest, dataset_name="ds", spark=spark)
+    pipe.run([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], table_name="items")
+
+    ds = dlt_spark.dataset(dest, "ds", spark=spark)
+    assert ds["items"].row_count() == 2
+    assert ds.schema is not None and "items" in ds.schema.tables
+    assert ds.latest_load_id is not None

@@ -120,3 +120,26 @@ def test_streaming_replay_is_idempotent(spark, tmp_path, stream_input):
     assert lid2 not in committed
     pipe.run(batch_df, table_name="events_in", load_id=lid2)
     assert pipe.dataset()["events_in"].row_count() == n0 + 1
+
+
+def test_stream_files_source(spark, tmp_path):
+    """Auto-ingest: files dropped into a directory become micro-batches."""
+    from dlt_spark.streaming import stream_files
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)\
+        .write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("sf", str(tmp_path / "dest_sf"), "ds", spark)
+    sp = StreamingPipeline(pipe, str(tmp_path / "cp_sf"))
+    q = sp.write_stream(stream_files(spark, str(src)), "files_in")
+    q.awaitTermination(60)
+    assert pipe.dataset()["files_in"].row_count() == 2
+
+    # drop another file; a second availableNow pass picks up only the new one
+    spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1)\
+        .write.mode("append").parquet(str(src))
+    q2 = sp.write_stream(stream_files(spark, str(src)), "files_in")
+    q2.awaitTermination(60)
+    assert pipe.dataset()["files_in"].row_count() == 3
