@@ -682,6 +682,20 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """LSH candidate pairs resolved into duplicate clusters by iterative
+    smallest-label propagation; the oracle computes the same components
+    with a recursive transitive-closure CTE over the identical candidate
+    SQL."""
+    from dlt_spark.dataops.dedup import connected_components, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
+    )
+    return connected_components(pairs).select("id", "component")
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates; the sha256 bit-vote recipe is fully
     reproduced in the DuckDB oracle (60 per-bit vote sums)."""
@@ -1038,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "curate_corpus": _q_curate_corpus,
         "stats_summary": _q_stats_summary,
+        "dup_clusters": _q_dup_clusters,
         "repetition_signals": _q_repetition_signals,
         "pii_redaction": _q_pii_redaction,
         "gopher_filter": _q_gopher_filter,
@@ -1506,6 +1521,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b USING (bucket)
         WHERE a.doc_id < b.doc_id
+    """
+
+    # duplicate clusters: transitive closure over the SAME candidate SQL
+    # (nested WITH), min-reachable-id label per node — exactly the
+    # fixpoint the iterative smallest-label propagation converges to
+    sql["dup_clusters"] = f"""
+        WITH RECURSIVE cand AS ({sql["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM cand
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
     """
 
     # SimHash candidates: full SQL reproduction of simhash64 —

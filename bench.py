@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "stats_summary",
     "tfidf_top_terms",
     "curate_corpus",
+    "dup_clusters",
     "repetition_signals",
     "pii_redaction",
     "gopher_filter",
