@@ -973,6 +973,23 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_remove_boilerplate(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal.  The corpus is
+    re-lined deterministically, then a synthetic footer (same line in
+    every doc) is appended — the op must strip the footer everywhere
+    while leaving per-doc content lines (which rarely recur) intact."""
+    from dlt_spark.dataops.text import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lined = F.concat(
+        F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n"),
+        F.lit("\nsite footer terms apply"),
+    )
+    return remove_boilerplate(
+        docs.select("doc_id", lined.alias("text")), min_docs=50
+    )
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-style rule filter with per-rule audit booleans."""
     from dlt_spark.dataops.text import gopher_filter
@@ -1055,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "repetition_signals": _q_repetition_signals,
         "pii_redaction": _q_pii_redaction,
+        "remove_boilerplate": _q_remove_boilerplate,
         "gopher_filter": _q_gopher_filter,
     }
 
@@ -1790,6 +1808,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(inj, '{_pii_ip}')) AS BIGINT) AS n_ip,
                CAST(len(regexp_extract_all(inj, '{_pii_phone}')) AS BIGINT) AS n_phone
         FROM d
+    """
+
+    sql["remove_boilerplate"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\\S+\\s+){{7}}\\S+)\\s+',
+                                  '\\1' || chr(10), 'g')
+                   || chr(10) || 'site footer terms apply' AS text
+            FROM documents WHERE text IS NOT NULL
+        ), l AS (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (x, i) -> {{'pos': i, 'line': x}})) AS s
+            FROM d
+        ), lines AS (
+            SELECT doc_id, s.pos AS pos, s.line AS line FROM l
+        ), bp AS (
+            SELECT line FROM lines GROUP BY line
+            HAVING count(DISTINCT doc_id) >= 50
+        ), kept AS (
+            SELECT lines.doc_id, lines.pos, lines.line
+            FROM lines LEFT JOIN bp ON lines.line = bp.line
+            WHERE bp.line IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        FROM d LEFT JOIN rebuilt r USING (doc_id)
     """
 
     _stop_en = "('the','a','and','of','to','in','is','that','it','for')"

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "repetition_signals",
     "pii_redaction",
+    "remove_boilerplate",
     "gopher_filter",
 ]
 

@@ -287,6 +287,69 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------- corpus-level boilerplate
+# C4-style boilerplate removal (Raffel et al. 2020 §2.2): a line that
+# recurs across many documents (cookie banners, nav menus, license
+# headers) is template noise, not content.  This is the corpus-level
+# complement of the per-doc signals above: one explode + one count agg +
+# one anti-join — all shuffle-parallel, no driver state, so the
+# boilerplate set can be billions of lines without changing the plan.
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Lines appearing in >= ``min_docs`` distinct documents.
+    Returns (line, n_docs)."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\n")).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document, preserving the
+    original order of surviving lines.  Documents whose lines are all
+    boilerplate come back with empty text (drop with a filter if
+    unwanted — keeping them makes the operation row-count-preserving)."""
+    bp = boilerplate_lines(df, id_col, text_col, min_docs).select("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    kept = lines.join(bp, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    # left join keeps all-boilerplate docs (they lose every line)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+    )
+
+
 # -------------------------------------------------------- PII redaction
 
 # patterns restricted to the syntax subset Java regex and RE2 share, so

@@ -91,3 +91,35 @@ def test_gopher_alpha_rule(spark):
     df = spark.createDataFrame([Row(text=digits)])
     row = gopher_filter(df).collect()[0]
     assert row["r_alpha"] is False and row["keep"] is False
+
+
+def test_boilerplate_lines_and_removal(spark):
+    from pyspark.sql import Row
+    from dlt_spark.dataops.text import boilerplate_lines, remove_boilerplate
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="unique one\nCOOKIE BANNER\nreal content a"),
+        Row(doc_id=2, text="COOKIE BANNER\nreal content b"),
+        Row(doc_id=3, text="COOKIE BANNER\nreal content c\nCOOKIE BANNER"),
+        Row(doc_id=4, text="COOKIE BANNER"),
+    ])
+    bp = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs, min_docs=3).collect()}
+    assert bp == {"COOKIE BANNER": 4}  # distinct docs, not occurrences
+
+    out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert out[1] == "unique one\nreal content a"
+    assert out[2] == "real content b"
+    assert out[3] == "real content c"
+    assert out[4] == ""  # all-boilerplate doc is kept, emptied
+
+
+def test_remove_boilerplate_preserves_line_order(spark):
+    from pyspark.sql import Row
+    from dlt_spark.dataops.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"z last {i}\nBP\na first {i}\nBP\nm mid {i}") for i in range(3)]
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert out[0] == "z last 0\na first 0\nm mid 0"
+    assert out[2] == "z last 2\na first 2\nm mid 2"
