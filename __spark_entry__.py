@@ -990,6 +990,21 @@ def _q_remove_boilerplate(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + 10% sample flag, both
+    pure functions of the key hash — the exact recipe is reproduced in
+    the oracle, proving cross-engine reproducibility of the splits."""
+    from dlt_spark.dataops.sampling import hash_fraction, hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select(
+        "doc_id",
+        "split",
+        (hash_fraction(F.col("doc_id"), "sample") < 0.1).alias("in_sample"),
+    )
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-style rule filter with per-rule audit booleans."""
     from dlt_spark.dataops.text import gopher_filter
@@ -1073,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "pii_redaction": _q_pii_redaction,
         "remove_boilerplate": _q_remove_boilerplate,
+        "hash_split": _q_hash_split,
         "gopher_filter": _q_gopher_filter,
     }
 
@@ -1837,6 +1853,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
         FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+    # hash split/sample: 52-bit sha prefix over salted key -> exact double
+    _hf = (
+        "CAST(('0x' || substr(sha256('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+        " AS BIGINT) / 4503599627370496.0"
+    )
+    _hf_split, _hf_sample = _hf.format(salt="split"), _hf.format(salt="sample")
+    sql["hash_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_hf_split} < 0.8 THEN 'train'
+                    WHEN {_hf_split} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split,
+               {_hf_sample} < 0.1 AS in_sample
+        FROM documents
     """
 
     _stop_en = "('the','a','and','of','to','in','is','that','it','for')"

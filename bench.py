@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "pii_redaction",
     "remove_boilerplate",
+    "hash_split",
     "gopher_filter",
 ]
 

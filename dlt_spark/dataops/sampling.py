@@ -1,0 +1,74 @@
+"""Deterministic, key-based sampling and dataset splitting.
+
+``df.sample()`` is seeded per-partition, so its output changes with
+partitioning, task retries, and cluster size — unacceptable for training
+pipelines where "the 1% sample" and "the validation split" must be the
+same rows on every run, every cluster, and in every downstream engine.
+These operators derive a uniform [0,1) value from a sha256 of the key
+column, giving:
+
+- reproducibility: the sample/split of a row depends only on its key;
+- stability under growth: new rows join a split without reshuffling old
+  ones (the property behind hash-bucketed A/B assignment);
+- cross-engine verifiability: the exact recipe is one SQL expression
+  (see the DuckDB oracles in ``__spark_entry__``).
+
+All pure Column expressions — codegen, zero shuffle, scan-speed.
+The hash uses 13 hex chars (52 bits) so the int is exactly
+representable in a double: both engines compute bit-identical
+fractions, with no float-rounding drift at split boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 52  # 13 hex chars: exact in IEEE double
+_SCALE = float(1 << _BITS)
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0,1) from the key: ``sha256(salt:key)`` first 52 bits /
+    2^52.  ``salt`` decorrelates independent sampling decisions on the
+    same key (sampling vs splitting vs A/B arms).
+    SQL: ``CAST(('0x' || substr(sha256(salt || ':' || CAST(k AS
+    VARCHAR)), 1, 13)) AS BIGINT) / 2^52``."""
+    h = F.sha2(F.concat(F.lit(f"{salt}:"), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_SCALE)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash — same rows every run,
+    every cluster, every engine."""
+    return df.filter(hash_fraction(F.col(key), salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Dict[str, float],
+    salt: str = "split",
+    label_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with probabilities ``weights``
+    (e.g. ``{"train": .9, "val": .05, "test": .05}``).  Weights must sum
+    to 1; assignment is the interval the key's hash fraction falls in,
+    in the given insertion order."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    frac = hash_fraction(F.col(key), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(label_col, expr)

@@ -1,0 +1,61 @@
+"""Deterministic sampling/splitting tests: reproducibility, partition
+independence, rate accuracy, and split stability under growth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.dataops.sampling import deterministic_sample, hash_fraction, hash_split
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id"))
+
+
+def test_sample_is_deterministic_and_partition_independent(spark, ids):
+    a = sorted(r["id"] for r in deterministic_sample(ids, "id", 0.2).collect())
+    b = sorted(r["id"] for r in deterministic_sample(ids.repartition(13), "id", 0.2).collect())
+    assert a == b and len(a) > 0
+
+
+def test_sample_rate_is_approximately_honored(ids):
+    n = deterministic_sample(ids, "id", 0.3).count()
+    assert 0.25 * 2000 < n < 0.35 * 2000
+
+
+def test_nested_sample_rates(ids):
+    # a lower-rate sample is a subset of a higher-rate one (same salt)
+    lo = set(r["id"] for r in deterministic_sample(ids, "id", 0.1).collect())
+    hi = set(r["id"] for r in deterministic_sample(ids, "id", 0.4).collect())
+    assert lo < hi
+
+
+def test_salt_decorrelates(ids):
+    a = set(r["id"] for r in deterministic_sample(ids, "id", 0.2, salt="s1").collect())
+    b = set(r["id"] for r in deterministic_sample(ids, "id", 0.2, salt="s2").collect())
+    assert a != b
+
+
+def test_hash_split_covers_and_is_stable_under_growth(spark, ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["id"]: r["split"] for r in hash_split(ids, "id", w).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.75 * 2000 < n_train < 0.85 * 2000
+    # rows keep their split when the dataset grows
+    half = spark.range(0, 1000).select(F.col("id"))
+    sub = {r["id"]: r["split"] for r in hash_split(half, "id", w).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_hash_split_rejects_bad_weights(ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, "id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_fraction_range(spark, ids):
+    row = ids.select(
+        F.min(hash_fraction(F.col("id"))).alias("lo"),
+        F.max(hash_fraction(F.col("id"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
