@@ -62,13 +62,18 @@ def _ship_package(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read ns as long and convert to µs timestamps
-        # (values are µs-aligned, so the division is exact)
+        # events.parquet has carried two physical types for `ts` across
+        # testdata generations: TIMESTAMP(NANOS) (read as long via the
+        # legacy conf, ns→µs exact) and TIMESTAMP(MICROS) (read natively,
+        # arrives as TIMESTAMP_NTZ). Normalize both to session-tz (UTC)
+        # TimestampType so downstream epoch/window arithmetic is identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
