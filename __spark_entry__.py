@@ -1032,6 +1032,96 @@ def _q_stats_summary(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: per-doc word-8-gram overlap between the
+    corpus (doc_id % 37 != 0) and a benchmark set (doc_id % 37 == 0).
+    Corpus grams stream map-side into a join against the (small,
+    planner-broadcast) benchmark gram set; one shuffle for the per-doc
+    aggregation.  Beyond-reference dataop (SURVEY §2.L)."""
+    from dlt_spark.dataops.contamination import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return ngram_overlap(corpus, bench, "doc_id", "text", n=8)
+
+
+def _q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: docs sharded by key hash, then
+    cumulative token counts within each shard (window partitioned by
+    shard — parallel, no global sort) map every doc to its training
+    sequence id + offset.  Integer arithmetic end-to-end; the oracle is
+    one window SQL."""
+    from dlt_spark.dataops.packing import pack_sequences
+    from dlt_spark.dataops.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_sequences(docs, "doc_id", "n_toks", seq_len=256, num_shards=8)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Corpus balancing: per-language deterministic keep rates via the
+    52-bit sha fraction — row-local Column expression, zero shuffle."""
+    from dlt_spark.dataops.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "fr": 1.0, "de": 0.5}, default_rate=0.05
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """Top-3 longest docs per language: ranked window with a filter the
+    optimizer turns into WindowGroupLimit (per-partition heaps — no
+    group materializes more than k rows at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: five-way join where the
+    dimension tables (nation, region) are broadcast and the fact-fact
+    joins shuffle on their keys; decimal-cast products keep the sum
+    associative and cross-engine exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1095,6 +1185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "hash_split": _q_hash_split,
         "gopher_filter": _q_gopher_filter,
+        "decontamination": _q_decontamination,
+        "sequence_packing": _q_sequence_packing,
+        "stratified_sample": _q_stratified_sample,
+        "topk_per_group": _q_topk_per_group,
+        "tpch_q5": _q_tpch_q5,
     }
 
 
@@ -1965,6 +2060,86 @@ def oracle_sql() -> dict[str, str]:
         ), losers AS (SELECT DISTINCT id_b FROM ver)
         SELECT f.* FROM filt f LEFT JOIN losers l ON f.doc_id = l.id_b
         WHERE l.id_b IS NULL
+    """
+
+    sql["decontamination"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ), g AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - 7, 0)),
+                i -> array_to_string(list_slice(tk, i, i + 7), ' ')
+            )) AS gs
+            FROM t
+        ), bench AS (
+            SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 37 = 0
+        ), doc AS (
+            SELECT doc_id AS id, len(gs) AS doc_ngrams, unnest(gs) AS gram
+            FROM g WHERE doc_id % 37 <> 0
+        )
+        SELECT id, count(*) AS overlap_ngrams, min(doc_ngrams) AS doc_ngrams,
+               round(count(*) * 1.0 / min(doc_ngrams), 6) AS overlap_frac
+        FROM doc JOIN bench USING (gram)
+        GROUP BY id
+    """
+
+    sql["sequence_packing"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % 8 AS shard,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING
+                   ) AS cum_end
+            FROM base
+        )
+        SELECT id, shard, n_tokens,
+               shard * 1099511627776 + (cum_end - n_tokens) // 256 AS begin_seq,
+               (cum_end - n_tokens) % 256 AS begin_offset,
+               shard * 1099511627776 + (cum_end - 1) // 256 AS end_seq
+        FROM c
+    """
+
+    _hf_strat = _hf.format(salt="stratified")
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_hf_strat} < CASE lang WHEN 'en' THEN 0.2 WHEN 'fr' THEN 1.0
+                                      WHEN 'de' THEN 0.5 ELSE 0.05 END
+    """
+
+    sql["topk_per_group"] = """
+        SELECT lang, doc_id, n_chars, rn FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 3
+    """
+
+    sql["tpch_q5"] = """
+        SELECT n_name,
+               round(CAST(sum(CAST(
+                   CAST(l_extendedprice AS DECIMAL(38,4)) *
+                   (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
     """
 
     return sql

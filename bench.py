@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "remove_boilerplate",
     "hash_split",
     "gopher_filter",
+    "decontamination",
+    "sequence_packing",
+    "stratified_sample",
+    "topk_per_group",
+    "tpch_q5",
 ]
 
 

@@ -48,6 +48,28 @@ def deterministic_sample(
     return df.filter(hash_fraction(F.col(key), salt) < rate)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-balancing
+    primitive (e.g. keep 100% of rare languages, 10% of English).
+    ``rates`` maps stratum value → keep fraction; strata not listed get
+    ``default_rate``.  Row-local Column expression: no shuffle, no
+    per-group pass — scan speed at any number of strata."""
+    frac = hash_fraction(F.col(key), salt)
+    rate = None
+    for value, r in rates.items():
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.filter(frac < rate)
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -1,0 +1,109 @@
+"""Tests for the round-3 curation operators: benchmark decontamination,
+sequence packing, stratified sampling, and their scale-shape guarantees.
+These are beyond-reference dataops (SURVEY §2.L) — no dlt analog."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dlt_spark.dataops.contamination import (
+    decontaminate,
+    ngram_overlap,
+    word_ngram_set,
+)
+from dlt_spark.dataops.packing import pack_sequences, sequences_needed
+from dlt_spark.dataops.sampling import stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="pack my box with five dozen liquor jugs"),
+        Row(doc_id=3, text="the quick brown fox jumps over a sleeping cat"),
+        Row(doc_id=4, text="completely unrelated text with no shared grams"),
+        Row(doc_id=5, text="short"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_word_ngram_set_basics(spark, docs):
+    out = docs.select("doc_id", word_ngram_set(F.col("text"), 3).alias("g"))
+    got = {r["doc_id"]: r["g"] for r in out.collect()}
+    assert got[1][0] == "the quick brown"
+    assert len(got[1]) == 7  # 9 tokens -> 7 trigrams
+    assert got[5] == []  # shorter than n -> empty, not an error
+
+
+def test_ngram_overlap_and_decontaminate(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    flagged = ngram_overlap(corpus, bench, n=3)
+    got = {r["id"]: r["overlap_ngrams"] for r in flagged.collect()}
+    # doc 3 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    # "fox jumps over" with doc 1; docs 2/4/5 share nothing
+    assert set(got) == {3}
+    assert got[3] == 4
+    clean = decontaminate(corpus, bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4, 5]
+
+
+def test_decontaminate_threshold(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    # doc 3 overlap: 4/7 grams ≈ 0.571 — survives a 0.6 threshold
+    loose = decontaminate(corpus, bench, n=3, max_overlap_frac=0.6)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [2, 3, 4, 5]
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_toks")
+    )
+    packed = pack_sequences(df, "doc_id", "n_toks", seq_len=128, num_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        assert r["begin_offset"] < 128
+        assert r["end_seq"] >= r["begin_seq"]
+    # per shard: ordered by id, sequences tile the token stream exactly
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["begin_seq"] % (1 << 40) == cum // 128
+        assert r["begin_offset"] == cum % 128
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+    summary = sequences_needed(packed).collect()
+    assert {r["shard"] for r in summary} == {0, 1, 2, 3}
+    for s in summary:
+        total = by_shard[s["shard"]]
+        assert s["tokens"] == total
+        assert s["sequences"] == (total - 1) // 128 + 1
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit(37).alias("n_toks")
+    )
+    a = pack_sequences(df.repartition(1), "doc_id", "n_toks", 64, 8).collect()
+    b = pack_sequences(df.repartition(13), "doc_id", "n_toks", 64, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(0, 6000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "fr")
+        .otherwise("zz")
+        .alias("lang"),
+    )
+    out = stratified_sample(df, "id", "lang", {"en": 0.5, "fr": 1.0}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang.get("fr") == 2000  # rate 1.0 keeps everything
+    assert "zz" not in by_lang  # default rate 0.0 drops the stratum
+    assert 850 <= by_lang.get("en", 0) <= 1150  # ~50% of 2000
+    again = stratified_sample(df, "id", "lang", {"en": 0.5, "fr": 1.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
