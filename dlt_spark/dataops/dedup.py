@@ -407,22 +407,60 @@ def minhash_dedup(
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash over shingle hashes: sign-sum each bit position.
-    Built from bitwise column ops — no UDF."""
+    Pure Column expression (for per-row use inside wider selects); each
+    shingle is sha256-hashed ONCE and all 60 bit votes accumulate in a
+    single array-accumulator pass — the earlier 60-aggregate formulation
+    recomputed the (expensive, interpreted) hash per bit and was ~60x
+    slower.  For whole-table signatures prefer :func:`simhash_table`,
+    whose explode+groupBy shape stays in whole-stage codegen."""
     sh = shingles(text, shingle_n)
     hashes = F.transform(sh, lambda s: portable_hash64(s, seed=7))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.array(*[
+            F.element_at(acc, i + 1)
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(60)
+        ]),
+    )
+    # fold winning bits; distinct powers of two, so sum == bitwise OR
+    # (2^i via pow() is exact: powers of two are exact doubles)
+    bitvals = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(bitvals, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
 
-    def vote_bit(i: int):
-        mask = F.lit(1 << i)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
 
-    bits = []
-    for i in range(60):  # portable_hash64 yields 60-bit values
-        votes = F.aggregate(hashes, F.lit(0), vote_bit(i))
-        bits.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """Per-row 64-bit SimHash as ``(_id, _sim)`` via explode + grouped
+    bit-vote sums.  Unlike the Column recipe, every expression here is
+    whole-stage-codegen-able (no higher-order functions in the hot path
+    after the explode): one sha256 per shingle, 60 conditional sums in
+    one hash aggregate, one shuffle on the id.  This is the scale path —
+    the same shape the DuckDB oracle uses."""
+    hashes = F.transform(shingles(F.col(text_col), shingle_n), lambda s: portable_hash64(s, seed=7))
+    hs = df.select(F.col(id_col).alias("_id"), F.explode(hashes).alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(60)
+    ]
+    agg = hs.groupBy("_id").agg(*votes)
+    sim = None
+    for i in range(60):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return agg.select("_id", sim.alias("_sim"))
 
 
 def simhash_candidates(
@@ -430,7 +468,7 @@ def simhash_candidates(
 ) -> DataFrame:
     """Candidate near-dups: equal SimHash block in >=1 of ``blocks``
     15-bit blocks (pigeonhole: hamming<=blocks-1 guarantees a match)."""
-    sim = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sim"))
+    sim = simhash_table(df, id_col, text_col)
     width = 60 // blocks
     buckets = sim.select(
         "_id",
