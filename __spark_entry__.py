@@ -1122,6 +1122,23 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_pivot_agg(spark, sf_dir):
+    """Native pivot (long→wide conditional aggregation): per-user event
+    counts by type.  The explicit value list keeps the plan a single
+    hash aggregate — no second pass to discover pivot values."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; a count should read 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1190,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "topk_per_group": _q_topk_per_group,
         "tpch_q5": _q_tpch_q5,
+        "pivot_agg": _q_pivot_agg,
     }
 
 
@@ -2140,6 +2158,17 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """
+
+    sql["pivot_agg"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS n_click,
+               count(*) FILTER (event_type = 'error')    AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup')   AS n_signup,
+               count(*) FILTER (event_type = 'view')     AS n_view
+        FROM events WHERE user_id < 100
+        GROUP BY user_id
     """
 
     return sql

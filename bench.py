@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "topk_per_group",
     "tpch_q5",
+    "pivot_agg",
 ]
 
 

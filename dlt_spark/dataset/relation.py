@@ -253,6 +253,26 @@ class Relation:
         returns an ibis table (``to_ibis()``), we return the DataFrame."""
         return self._df
 
+    def to_ibis(self):
+        """API-parity port of ``Relation.to_ibis`` (reference
+        ``dlt/dataset/relation.py:293``): hand the relation to ibis'
+        pyspark backend as an unbound-then-bound table expression.  ibis
+        is an optional dependency (not in this container) — the DataFrame
+        from :meth:`spark_df` is the native escape hatch; this method
+        exists so reference code calling ``to_ibis()`` ports unchanged
+        where ibis IS installed."""
+        try:
+            import ibis  # noqa: F401
+            import ibis.backends.pyspark  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - ibis absent here
+            raise ImportError(
+                "to_ibis() requires the optional 'ibis-framework[pyspark]' "
+                "package; use spark_df() for the native DataFrame escape hatch"
+            ) from exc
+        con = ibis.pyspark.connect(self._df.sparkSession)  # pragma: no cover
+        self._df.createOrReplaceTempView(f"_ibis_{self.name}")  # pragma: no cover
+        return con.table(f"_ibis_{self.name}")  # pragma: no cover
+
     def df(self):
         return self._df.toPandas()
 

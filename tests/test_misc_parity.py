@@ -62,3 +62,21 @@ def test_arrow_fetch_surfaces(spark, tmp_path):
     batches = list(rel.iter_fetch(chunk_size=2))
     assert [len(b) for b in batches] == [2, 2, 1]
     assert rel.fetchmany(3) == [(0,), (1,), (2,)]
+
+
+def test_to_ibis_is_gated_on_optional_dependency(spark):
+    """to_ibis (reference relation.py:293) exists for API parity; without
+    the optional ibis package it must fail with a pointer to spark_df()."""
+    from dlt_spark.dataset.relation import Relation
+
+    rel = Relation(spark.range(3).toDF("id"), "t")
+    try:
+        import ibis  # noqa: F401
+
+        tbl = rel.to_ibis()
+        assert tbl.count().execute() == 3
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match="spark_df"):
+            rel.to_ibis()
