@@ -1122,6 +1122,23 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Cross-corpus incremental dedup: new docs (doc_id >= 350) deduped
+    against the already-ingested corpus (doc_id < 350) — exact
+    fingerprint layer + MinHash bucket-join near layer, both bucketed.
+    Returns the surviving new docs."""
+    from dlt_spark.dataops.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 350)
+    new = docs.filter(F.col("doc_id") >= 350)
+    out = dedup_against(
+        new, ref, "doc_id",
+        num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_pivot_agg(spark, sf_dir):
     """Native pivot (long→wide conditional aggregation): per-user event
     counts by type.  The explicit value list keeps the plan a single
@@ -1208,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "tpch_q5": _q_tpch_q5,
         "pivot_agg": _q_pivot_agg,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2169,6 +2187,49 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (event_type = 'view')     AS n_view
         FROM events WHERE user_id < 100
         GROUP BY user_id
+    """
+
+    sql["dedup_incremental"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - {_MINHASH_SHINGLE - 1}, 1)),
+                i -> array_to_string(list_slice(toks, i, i + {_MINHASH_SHINGLE - 1}), ' ')
+            )) AS shs
+            FROM t
+        ), based AS (
+            SELECT doc_id, list_transform(shs,
+                s -> CAST(('0x' || substr(sha256('0:' || s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}
+            ) AS bh
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, [{minhash_exprs}] AS sg FROM based
+        ), buckets AS (
+            SELECT doc_id, unnest([{band_exprs}]) AS bucket FROM sig
+        ), fp AS (
+            SELECT doc_id, sha256({norm_text}) AS f FROM documents
+        ), exact_losers AS (
+            SELECT DISTINCT n.doc_id FROM fp n JOIN fp r ON n.f = r.f
+            WHERE n.doc_id >= 350 AND r.doc_id < 350
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+            FROM buckets a JOIN buckets b USING (bucket)
+            WHERE a.doc_id >= 350 AND b.doc_id < 350
+        ), near_losers AS (
+            SELECT DISTINCT c.new_id AS doc_id FROM cand c
+            JOIN sh sa ON sa.doc_id = c.new_id
+            JOIN sh sb ON sb.doc_id = c.ref_id
+            WHERE len(list_intersect(sa.shs, sb.shs)) * 1.0
+                  / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                  >= 0.8
+        ), losers AS (
+            SELECT doc_id FROM exact_losers UNION SELECT doc_id FROM near_losers
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN losers l USING (doc_id)
+        WHERE d.doc_id >= 350 AND l.doc_id IS NULL
     """
 
     return sql

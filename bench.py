@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "topk_per_group",
     "tpch_q5",
     "pivot_agg",
+    "dedup_incremental",
 ]
 
 

@@ -290,47 +290,24 @@ def minhash_lsh_candidates(
     kernel (bit-identical, ~6-8x faster: the column path's nested
     higher-order functions are CodegenFallback/interpreted); ``False``
     keeps the pure-column reference path."""
-    # null texts produce null signatures, which all collapse onto one
-    # constant band hash (concat_ws skips nulls) — at corpus scale that
-    # is a quadratic candidate blow-up verification would then discard;
-    # they can never be near-dups, so drop them before signing
-    df = df.filter(F.col(text_col).isNotNull())
-    if use_arrow:
-        sig = df.select(
-            F.col(id_col).alias("_id"),
-            _minhash_signature_arrow(num_hashes, shingle_n)(F.col(text_col)).alias("_sig"),
-        )
-    else:
-        # two projections: base hashes materialize once per row, then the k
-        # permutations reference the column (no 32x re-inline of the sha256)
-        base = df.select(
-            F.col(id_col).alias("_id"),
-            F.transform(
-                shingles(F.col(text_col), shingle_n),
-                lambda s: portable_hash64(s, seed=0) % MINHASH_PRIME,
-            ).alias("_bh"),
-        )
+    buckets = minhash_buckets(df, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
+    a = buckets.withColumnRenamed("_id", "id_a")
+    b = buckets.withColumnRenamed("_id", "id_b")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
-        # one flat array_min expression per permutation: nested higher-order
-        # functions fall back to the interpreted evaluator (~6x slower,
-        # measured), while the flat form stays in codegen
-        def permute(a: int, b: int):
-            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-        sig = base.select(
-            "_id",
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("_bh"), permute(a, b)))
-                    for a, b in minhash_params(num_hashes)
-                ]
-            ).alias("_sig"),
-        )
+def _sig_to_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, _sig array) → exploded (_id, _bucket) band-bucket table."""
     rows_per_band = num_hashes // bands
     # materialize the signatures once: (a) CollapseProject would otherwise
     # inline the signature expression into every per-band element access,
     # recomputing the whole shingle+hash pipeline per band (measured 30x+
-    # slower), and (b) the bucket self-join consumes the lineage twice.
+    # slower), and (b) the bucket join consumes the lineage twice.
     # The signature table is tiny relative to the corpus ((id, k x int64)
     # per doc) — at full scale this is exactly the "persist the signature
     # index" step, so the materialization is the intended design, not a
@@ -344,7 +321,7 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("_id", *band_cols)
-    buckets = banded.select(
+    return banded.select(
         "_id",
         F.explode(
             F.array(*[
@@ -352,14 +329,57 @@ def minhash_lsh_candidates(
             ])
         ).alias("_bucket"),
     )
-    a = buckets.withColumnRenamed("_id", "id_a")
-    b = buckets.withColumnRenamed("_id", "id_b")
-    return (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+
+
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Banded MinHash bucket table ``(_id, _bucket)`` for a corpus — the
+    persistable LSH index consumed by self-join (within-corpus) and
+    cross-corpus (:func:`dedup_against`) candidate generation.
+
+    Null texts produce null signatures, which would all collapse onto one
+    constant band hash (concat_ws skips nulls) — at corpus scale that is
+    a quadratic candidate blow-up verification would then discard; they
+    can never be near-dups, so they are dropped before signing."""
+    df = df.filter(F.col(text_col).isNotNull())
+    if use_arrow:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            _minhash_signature_arrow(num_hashes, shingle_n)(F.col(text_col)).alias("_sig"),
+        )
+    else:
+        # two projections: base hashes materialize once per row, then the k
+        # permutations reference the column (no 32x re-inline of the sha256);
+        # flat array_min per permutation — nested higher-order functions
+        # fall back to the interpreted evaluator (~6x slower, measured)
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                shingles(F.col(text_col), shingle_n),
+                lambda s: portable_hash64(s, seed=0) % MINHASH_PRIME,
+            ).alias("_bh"),
+        )
+
+        def permute(a: int, b: int):
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+        sig = base.select(
+            "_id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_bh"), permute(a, b)))
+                    for a, b in minhash_params(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
+    return _sig_to_buckets(sig, num_hashes, bands)
 
 
 def minhash_dedup(
@@ -400,6 +420,81 @@ def minhash_dedup(
     # greedy: drop the larger id of each verified pair
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup: drop rows of ``new`` that are
+    exact or near duplicates of the existing ``ref`` corpus — the
+    "dedup this crawl against everything already ingested" operator.
+
+    Two layers, both bucketed (never all-pairs):
+
+    1. exact — content-fingerprint anti-join (one shuffle on the hash);
+    2. near — MinHash band buckets of both corpora joined on bucket,
+       candidates verified by true shingle Jaccard.  The ref side of the
+       verification is first semi-joined down to candidate ids, so the
+       ref corpus is never re-shingled in full.
+
+    At production scale the ref fingerprint and bucket tables are
+    persisted once per corpus version and only ``new`` is signed per
+    batch (:func:`minhash_buckets` is the persistable index).
+    """
+    from .text import fingerprint
+
+    new = new.filter(F.col(text_col).isNotNull()).persist()
+    ref_nn = ref.filter(F.col(text_col).isNotNull())
+
+    # exact layer
+    ref_fp = ref_nn.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    new_fp = new.withColumn("_fp", fingerprint(F.col(text_col)))
+    exact_losers = new_fp.join(ref_fp, "_fp", "left_semi").select(
+        F.col(id_col).alias("_loser")
+    )
+
+    # near layer: cross-corpus bucket join
+    nb = minhash_buckets(new, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
+    rb = minhash_buckets(ref_nn, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
+    cand = (
+        nb.withColumnRenamed("_id", "new_id")
+        .join(rb.withColumnRenamed("_id", "ref_id"), "_bucket")
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sh_expr = (
+        _shingles_arrow(shingle_n)(F.col(text_col))
+        if use_arrow
+        else shingles(F.col(text_col), shingle_n)
+    )
+    ref_cand = ref_nn.join(
+        cand.select(F.col("ref_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    new_sh = new.select(F.col(id_col).alias("new_id"), sh_expr.alias("_sha"))
+    ref_sh = ref_cand.select(F.col(id_col).alias("ref_id"), sh_expr.alias("_shb"))
+    near_losers = (
+        cand.join(new_sh, "new_id")
+        .join(ref_sh, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("new_id").alias("_loser"))
+        .distinct()
+    )
+
+    losers = exact_losers.union(near_losers).distinct().withColumnRenamed("_loser", id_col)
+    return new.join(losers, id_col, "left_anti")
 
 
 # ------------------------------------------------------------- simhash

@@ -164,3 +164,35 @@ def test_arrow_column_path_parity(docs):
     ref = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(
         docs, "doc_id", num_hashes=32, bands=16, shingle_n=2, use_arrow=False).collect()}
     assert fast == ref
+
+
+def test_dedup_against_cross_corpus(spark):
+    """Incremental dedup: new batch vs existing corpus — exact dup,
+    near dup, and fresh docs each take their lane."""
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines and pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (11, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (12, "genuinely novel text with nothing shared at all"),
+            (13, None),  # null text: dropped by the not-null gate
+        ],
+        "doc_id long, text string",
+    )
+    kept = dd.dedup_against(
+        new, ref, "doc_id", num_hashes=32, bands=16, shingle_n=2,
+        jaccard_threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]
+    # higher threshold keeps the near dup
+    kept_strict = dd.dedup_against(
+        new, ref, "doc_id", num_hashes=32, bands=16, shingle_n=2,
+        jaccard_threshold=0.99,
+    )
+    assert sorted(r["doc_id"] for r in kept_strict.collect()) == [11, 12]
