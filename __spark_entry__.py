@@ -1139,6 +1139,34 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_per_source_cap(spark, sf_dir):
+    """Per-domain cap: keep at most 10 docs per source, chosen by key
+    hash (stable under reruns/growth).  Rank-filter compiles to
+    WindowGroupLimit — one shuffle, per-partition heaps."""
+    from dlt_spark.dataops.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_group(docs, "doc_id", "source", 10)
+
+
+def _q_clean_text(spark, sf_dir):
+    """Encoding/whitespace normalization over synthetically dirtied text
+    (control char + tab/newline runs injected identically on both
+    engines).  Pure regexp_replace chain, codegen."""
+    from dlt_spark.dataops.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("  \t"),
+        F.col("text"),
+        F.expr("char(7)"),
+        F.lit("  trailing\t\tstuff \n"),
+    )
+    return docs.select("doc_id", clean_text(dirty).alias("clean")).withColumn(
+        "n_clean_chars", F.length("clean")
+    )
+
+
 def _q_pivot_agg(spark, sf_dir):
     """Native pivot (long→wide conditional aggregation): per-user event
     counts by type.  The explicit value list keeps the plan a single
@@ -1226,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "pivot_agg": _q_pivot_agg,
         "dedup_incremental": _q_dedup_incremental,
+        "per_source_cap": _q_per_source_cap,
+        "clean_text": _q_clean_text,
     }
 
 
@@ -2230,6 +2260,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d LEFT JOIN losers l USING (doc_id)
         WHERE d.doc_id >= 350 AND l.doc_id IS NULL
+    """
+
+    _hf_cap = _hf.format(salt="cap")
+    sql["per_source_cap"] = f"""
+        SELECT doc_id, source, lang FROM (
+            SELECT doc_id, source, lang,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY {_hf_cap}, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 10
+    """
+
+    _dirty = ("'  ' || chr(9) || text || chr(7) || '  trailing' || chr(9) ||"
+              " chr(9) || 'stuff ' || chr(10)")
+    _cleaned = (
+        "trim(regexp_replace(regexp_replace(" + _dirty + ","
+        " '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    )
+    sql["clean_text"] = f"""
+        SELECT doc_id, {_cleaned} AS clean, length({_cleaned}) AS n_clean_chars
+        FROM documents
     """
 
     return sql

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tpch_q5",
     "pivot_agg",
     "dedup_incremental",
+    "per_source_cap",
+    "clean_text",
 ]
 
 

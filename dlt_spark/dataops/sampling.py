@@ -70,6 +70,33 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-domain/source cap: keep at most ``cap`` rows per group,
+    selected deterministically by key hash (so the kept set is stable
+    under reruns and only changes minimally as the group grows — the
+    web-crawl "max N pages per domain" primitive).
+
+    One shuffle on the group column; the rank-filter pattern compiles to
+    WindowGroupLimit, so no group ever materializes more than ``cap``
+    rows per partition at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key), salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key: str,

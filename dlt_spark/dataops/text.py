@@ -361,6 +361,20 @@ PII_PATTERNS = (
 )
 
 
+def clean_text(text: Column) -> Column:
+    """Encoding/whitespace normalization (the ftfy-lite pass every crawl
+    pipeline runs before filtering): strip C0/C1 control characters
+    (except the whitespace ones), collapse whitespace runs to a single
+    space, and trim.  Pure ``regexp_replace`` chain — codegen, no UDF.
+
+    Regexes use explicit character classes shared by Java regex (Spark)
+    and RE2 (DuckDB oracle): ``\\s`` differs between the two engines
+    (Java includes ``\\x0B``, RE2 does not), so it is never used here."""
+    out = F.regexp_replace(text, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
+    out = F.regexp_replace(out, "[ \\t\\n\\x0B\\f\\r]+", " ")
+    return F.trim(out)
+
+
 def redact_pii(text: Column) -> Column:
     """Replace emails, IPv4 addresses, and +intl phone numbers with typed
     placeholders.  Order matters (emails contain dotted digits).  Pure

@@ -107,3 +107,39 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert 850 <= by_lang.get("en", 0) <= 1150  # ~50% of 2000
     again = stratified_sample(df, "id", "lang", {"en": 0.5, "fr": 1.0}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cap_per_group_keeps_at_most_cap(spark):
+    from dlt_spark.dataops.sampling import cap_per_group
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("grp")
+    )
+    out = cap_per_group(df, "id", "grp", 20).collect()
+    counts = {}
+    for r in out:
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert all(c == 20 for c in counts.values())  # every group has >20 rows
+    # deterministic: same kept set on rerun and under different partitioning
+    again = cap_per_group(df.repartition(11), "id", "grp", 20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # growth stability: adding rows keeps most of the old selection
+    grown = spark.range(0, 1100).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("grp")
+    )
+    kept_old = {tuple(r) for r in out}
+    kept_new = {tuple(r) for r in cap_per_group(grown, "id", "grp", 20).collect()}
+    assert len(kept_old & kept_new) >= 100  # of 140
+
+
+def test_clean_text(spark):
+    from dlt_spark.dataops.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  a\t\tb\x07c\nd  "), (2, "already clean"), (3, "\x00\x01")],
+        "id long, t string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text(F.col("t")).alias("c")).collect()}
+    assert got[1] == "a bc d"
+    assert got[2] == "already clean"
+    assert got[3] == ""
