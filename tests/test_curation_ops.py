@@ -31,7 +31,7 @@ def test_word_ngram_set_basics(spark, docs):
     got = {r["doc_id"]: r["g"] for r in out.collect()}
     assert got[1][0] == "the quick brown"
     assert len(got[1]) == 7  # 9 tokens -> 7 trigrams
-    assert got[5] == []  # shorter than n -> empty, not an error
+    assert got[5] == ["short"]  # shorter than n -> one truncated gram
 
 
 def test_ngram_overlap_and_decontaminate(spark, docs):
