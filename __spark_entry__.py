@@ -1139,6 +1139,19 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch over event_id (p=8, 256
+    buckets): deterministic sha-based hash, integer-scaled harmonic sum
+    — the full estimate pipeline is reproduced in the DuckDB oracle.
+    The sketch table itself is mergeable across batches (bucket-wise
+    max), making distinct counts over an unbounded event log a per-batch
+    increment."""
+    from dlt_spark.dataops.sketches import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_sketch(ev, "event_id", p=8), p=8)
+
+
 def _q_per_source_cap(spark, sf_dir):
     """Per-domain cap: keep at most 10 docs per source, chosen by key
     hash (stable under reruns/growth).  Rank-filter compiles to
@@ -1255,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_agg": _q_pivot_agg,
         "dedup_incremental": _q_dedup_incremental,
         "per_source_cap": _q_per_source_cap,
+        "hll_distinct": _q_hll_distinct,
         "clean_text": _q_clean_text,
     }
 
@@ -2283,6 +2297,34 @@ def oracle_sql() -> dict[str, str]:
     sql["clean_text"] = f"""
         SELECT doc_id, {_cleaned} AS clean, length({_cleaned}) AS n_clean_chars
         FROM documents
+    """
+
+    sql["hll_distinct"] = """
+        WITH h AS (
+            SELECT CAST(('0x' || substr(sha256('hll:' || CAST(event_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS hv
+            FROM events
+        ), b AS (
+            SELECT hv >> 44 AS bucket, hv & 17592186044415 AS w FROM h
+        ), rk AS (
+            SELECT bucket,
+                   CASE WHEN w = 0 THEN 45
+                        ELSE strpos(lpad(bin(w), 44, '0'), '1') END AS rho
+            FROM b
+        ), sk AS (
+            SELECT bucket, max(rho) AS r FROM rk GROUP BY bucket
+        ), agg AS (
+            SELECT CAST(sum(CAST(pow(2, 45 - r) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS used
+            FROM sk
+        )
+        SELECT CAST(used AS BIGINT) AS used_buckets,
+               round(CASE WHEN 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
+                               <= 640.0 AND used < 256
+                          THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE))
+                          ELSE 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
+                     END, 2) AS estimate
+        FROM agg
     """
 
     return sql

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "per_source_cap",
     "clean_text",
+    "hll_distinct",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Mergeable distinct-count sketches (HyperLogLog) as DataFrame programs.
+
+The reference engine has no approximate/statistical operators at all
+(SURVEY §2.H note); Spark's built-in ``approx_count_distinct`` gives an
+estimate but not a *persistable, mergeable* sketch.  This module builds
+classic HLL (Flajolet et al. 2007) from plain DataFrame ops:
+
+- ``hll_sketch``  — per-bucket max-rank table: the sketch.  Tiny
+  (≤ 2^p rows), persistable as a table, and **mergeable**: the sketch of
+  a union is the bucket-wise max of the sketches, so per-batch/partition
+  sketches combine without re-scanning history (the property that makes
+  distinct-user counts over a 100 TB event log a per-batch increment).
+- ``hll_merge``   — that bucket-wise max.
+- ``hll_estimate``— harmonic-mean estimate with the standard
+  small-range (linear counting) correction.
+
+Determinism/portability: the hash is the repo's standard 52-bit sha256
+recipe (cross-engine, partition/retry independent — same as
+:mod:`dlt_spark.dataops.sampling`), ranks are integers derived via
+string ops (no float log2 at bit boundaries), and the harmonic sum is
+computed in *scaled integer space* (``2^(rmax+1-r)`` per bucket, exact
+in BIGINT) so bucket order cannot perturb a floating sum.  The whole
+estimate is reproduced verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 52  # 13 hex chars of sha256: exact in BIGINT and double
+
+
+def _hash52(col: Column, salt: str = "hll") -> Column:
+    h = F.sha2(F.concat(F.lit(f"{salt}:"), col.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 8, salt: str = "hll") -> DataFrame:
+    """Build the sketch: ``(bucket, r)`` with at most ``2^p`` rows.
+
+    bucket = top ``p`` hash bits; ``r`` = max over values of the 1-based
+    position of the first set bit in the remaining ``52-p`` bits
+    (``52-p+1`` when they are all zero).  One shuffle on ``bucket``
+    after a map-side partial max — scan-bound at any scale.
+    """
+    rbits = _BITS - p
+    h = _hash52(F.col(col), salt)
+    bucket = F.shiftright(h, rbits)
+    w = h.bitwiseAND(F.lit((1 << rbits) - 1))
+    # rank via lpad(bin()) + instr: pure integer/string ops — no float
+    # log2 whose rounding at exact powers of two differs across engines
+    binw = F.lpad(F.bin(w), rbits, "0")
+    rho = F.when(w == 0, F.lit(rbits + 1)).otherwise(F.instr(binw, "1"))
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches (bucket-wise max) — sketch(A ∪ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """One-row ``(used_buckets, estimate)`` from a sketch.
+
+    The harmonic sum runs in scaled integers: each bucket contributes
+    ``2^(rmax+1-r)`` (exact BIGINT; absent buckets ``2^(rmax+1)``), so
+    the only floating arithmetic is the final constant multiply/divide —
+    bit-identical across engines and aggregation orders.
+    """
+    m = 1 << p
+    rbits = _BITS - p
+    scale = 1 << (rbits + 1)
+    alpha = hll_alpha(m)
+    term = F.pow(F.lit(2.0), F.lit(rbits + 1) - F.col("r")).cast("bigint")
+    agg = sketch.agg(
+        F.sum(term).alias("s"), F.count(F.lit(1)).alias("used")
+    )
+    denom = (F.col("s") + (F.lit(m) - F.col("used")) * F.lit(scale)).cast("double")
+    raw = F.lit(alpha * m * m * float(scale)) / denom
+    zeros = F.lit(m) - F.col("used")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.col("used").cast("bigint").alias("used_buckets"),
+        F.round(est, 2).alias("estimate"),
+    )
+
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 8, salt: str = "hll") -> float:
+    """Convenience terminal: the scalar estimate."""
+    return hll_estimate(hll_sketch(df, col, p, salt), p).collect()[0]["estimate"]
+
+
+def hll_std_error(p: int) -> float:
+    """Expected relative standard error of the estimate (~1.04/sqrt(m))."""
+    return 1.04 / math.sqrt(1 << p)
