@@ -1,0 +1,43 @@
+"""Deterministic in-process REST transport for tests and demos.
+
+Serves a synthetic paged API with no network: 230 users at 25/page
+(``/users?page=N``, page-number style with ``total_pages`` in the body)
+and the same rows offset-style (``/items?offset=N&limit=M`` with
+``total``).  Lives inside the package so Spark's Python executors can
+import it by path (``transport="dlt_spark.sources.demo_transport:
+make_session"``) — the executor-side analog of the fake transports the
+rest_api tests inject driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+
+TOTAL = 230
+PAGE_SIZE = 25
+
+
+def make_session():
+    def session(method, url, headers, body):
+        parsed = urllib.parse.urlparse(url)
+        qs = dict(urllib.parse.parse_qsl(parsed.query))
+        if parsed.path.endswith("/users"):
+            page = int(qs.get("page", 1))
+            total_pages = (TOTAL + PAGE_SIZE - 1) // PAGE_SIZE
+            lo = (page - 1) * PAGE_SIZE
+            hi = min(lo + PAGE_SIZE, TOTAL)
+            users = [
+                {"id": i, "name": f"user_{i}", "page": page} for i in range(lo, hi)
+            ]
+            payload = {"users": users, "total_pages": total_pages}
+            return 200, {}, json.dumps(payload).encode()
+        if parsed.path.endswith("/items"):
+            offset = int(qs.get("offset", 0))
+            limit = int(qs.get("limit", 10))
+            lo, hi = offset, min(offset + limit, TOTAL)
+            payload = {"items": [{"id": i} for i in range(lo, hi)], "total": TOTAL}
+            return 200, {}, json.dumps(payload).encode()
+        return 404, {}, b"{}"
+
+    return session

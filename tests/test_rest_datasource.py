@@ -1,0 +1,97 @@
+"""Distributed REST source (Spark 4 Python Data Source API): page
+ranges fetched on executors, planning-time total probing, offset and
+page-number partitioning, sequential fallback."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.sources.demo_transport import PAGE_SIZE, TOTAL
+from dlt_spark.sources.rest_datasource import RestDataSource
+
+TRANSPORT = "dlt_spark.sources.demo_transport:make_session"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(RestDataSource)
+
+
+def _read_users(spark, **extra):
+    opts = {
+        "base_url": "https://api.example.com",
+        "path": "users",
+        "schema_ddl": "id long, name string, page long",
+        "data_selector": "users",
+        "transport": TRANSPORT,
+        "paginator": json.dumps(
+            {"type": "page_number", "total_path": "total_pages"}
+        ),
+        "probe_total": "true",
+        "pages_per_partition": "3",
+    }
+    opts.update(extra)
+    return spark.read.format("dlt_rest").options(**opts).load()
+
+
+def test_page_number_partitioned_fetch_is_complete(spark):
+    df = _read_users(spark)
+    assert df.count() == TOTAL
+    rows = df.collect()
+    assert sorted(r["id"] for r in rows) == list(range(TOTAL))
+    assert {r["name"] for r in rows if r["id"] == 7} == {"user_7"}
+
+
+def test_pages_fetched_by_multiple_partitions(spark):
+    df = _read_users(spark).withColumn("part", F.spark_partition_id())
+    parts = df.select("part").distinct().count()
+    # 10 pages / 3 per partition -> 4 partitions
+    assert parts == 4
+    # each page fetched exactly once: per-page counts match the API
+    per_page = {r["page"]: r["n"] for r in df.groupBy("page").agg(F.count("*").alias("n")).collect()}
+    assert per_page[1] == PAGE_SIZE
+    assert per_page[10] == TOTAL - 9 * PAGE_SIZE
+
+
+def test_offset_paginator_with_known_total(spark):
+    df = (
+        spark.read.format("dlt_rest")
+        .options(
+            base_url="https://api.example.com",
+            path="items",
+            schema_ddl="id long",
+            data_selector="items",
+            transport=TRANSPORT,
+            paginator=json.dumps({"type": "offset", "limit": 40, "total_pages": 6}),
+            pages_per_partition="2",
+        )
+        .load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == list(range(TOTAL))
+
+
+def test_offset_probe_total(spark):
+    df = (
+        spark.read.format("dlt_rest")
+        .options(
+            base_url="https://api.example.com",
+            path="items",
+            schema_ddl="id long",
+            data_selector="items",
+            transport=TRANSPORT,
+            paginator=json.dumps({"type": "offset", "limit": 50, "total_path": "total"}),
+            probe_total="true",
+            pages_per_partition="1",
+        )
+        .load()
+    )
+    assert df.count() == TOTAL
+
+
+def test_sequential_fallback_without_total(spark):
+    # no total and no probe: one partition, still complete (stops on the
+    # first short page)
+    df = _read_users(spark, probe_total="false", paginator=json.dumps({"type": "page_number"}))
+    assert df.withColumn("p", F.spark_partition_id()).select("p").distinct().count() == 1
+    assert df.count() == TOTAL
