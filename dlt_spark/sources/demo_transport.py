@@ -18,6 +18,26 @@ TOTAL = 230
 PAGE_SIZE = 25
 
 
+# mutable feed for the streaming reader demo/tests: grows page by page
+# (append-only page space — cursor-API semantics).  The stream reader
+# runs in Spark's Python planner worker — a separate process — so the
+# feed size lives in a file both processes can see, not a module global.
+FEED_FILE = "/tmp/dlt_demo_feed_total.txt"
+
+
+def set_feed_total(n: int) -> None:
+    with open(FEED_FILE, "w") as f:
+        f.write(str(n))
+
+
+def _feed_total() -> int:
+    try:
+        with open(FEED_FILE) as f:
+            return int(f.read().strip() or 0)
+    except OSError:
+        return 0
+
+
 def make_session():
     def session(method, url, headers, body):
         parsed = urllib.parse.urlparse(url)
@@ -32,6 +52,12 @@ def make_session():
             ]
             payload = {"users": users, "total_pages": total_pages}
             return 200, {}, json.dumps(payload).encode()
+        if parsed.path.endswith("/feed"):
+            page = int(qs.get("page", 1))
+            lo = (page - 1) * PAGE_SIZE
+            hi = min(lo + PAGE_SIZE, _feed_total())
+            events = [{"id": i, "kind": f"k{i % 3}"} for i in range(lo, hi)]
+            return 200, {}, json.dumps({"events": events}).encode()
         if parsed.path.endswith("/items"):
             offset = int(qs.get("offset", 0))
             limit = int(qs.get("limit", 10))

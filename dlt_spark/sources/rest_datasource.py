@@ -45,7 +45,12 @@ import importlib
 import json as _json
 from typing import Iterator, List, Optional
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _resolve_factory(path: str):
@@ -179,9 +184,82 @@ class RestReader(DataSourceReader):
                 yield tuple(item.get(f) for f in self.fields)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch REST polling: dlt's incremental-cursor model mapped
+    onto Structured Streaming offsets.
+
+    The offset is ``{"page": N}`` — the next page to poll.  Each batch
+    reads up to ``pages_per_batch`` pages and advances past every page
+    that returned items, so the page space is treated as append-only
+    (new data arrives as new pages — cursor-API semantics).  Replays
+    (``readBetweenOffsets``) re-fetch the exact page range, giving the
+    deterministic re-read Structured Streaming needs for exactly-once
+    sinks.  Page-number pagination only; runs on the driver (a poll
+    loop, not a scan — the heavy backfill path is the batch reader).
+    """
+
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.base_url = options["base_url"]
+        self.path = options.get("path", "")
+        self.params = _json.loads(options.get("params", "{}"))
+        self.paginator_cfg = _json.loads(options.get("paginator", '{"type": "page_number"}'))
+        if self.paginator_cfg.get("type") != "page_number":
+            raise ValueError("streaming REST source supports page_number pagination")
+        self.data_selector = options.get("data_selector")
+        self.transport = options.get("transport")
+        self.headers = _json.loads(options.get("headers", "{}"))
+        self.pages_per_batch = int(options.get("pages_per_batch", "10"))
+        self.start_page = int(self.paginator_cfg.get("start", 1))
+        self.fields = [f.name for f in schema.fields]
+
+    def _client(self):
+        from . import rest_api as ra
+
+        session = _resolve_factory(self.transport)() if self.transport else None
+        return ra.RESTClient(self.base_url, headers=self.headers, session=session,
+                             retry={"max_attempts": 3})
+
+    def initialOffset(self) -> dict:
+        return {"page": self.start_page}
+
+    def _fetch_pages(self, first_page: int, max_pages: int):
+        pag = _make_paginator(self.paginator_cfg, start_override=first_page)
+        rows, pages_with_items = [], 0
+        for items in self._client().paginate(
+            self.path,
+            params=dict(self.params),
+            paginator=pag,
+            data_selector=self.data_selector,
+            max_pages=max_pages,
+        ):
+            if not items:
+                break
+            pages_with_items += 1
+            rows.extend(tuple(item.get(f) for f in self.fields) for item in items)
+        return rows, pages_with_items
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        rows, n = self._fetch_pages(page, self.pages_per_batch)
+        return iter(rows), {"page": page + n}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        page = int(start["page"])
+        n = int(end["page"]) - page
+        if n <= 0:
+            return iter([])
+        rows, _ = self._fetch_pages(page, n)
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class RestDataSource(DataSource):
-    """``spark.read.format("dlt_rest")`` — register with
-    ``spark.dataSource.register(RestDataSource)``."""
+    """``spark.read.format("dlt_rest")`` (batch, partitioned) and
+    ``spark.readStream.format("dlt_rest")`` (incremental page polling) —
+    register with ``spark.dataSource.register(RestDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -192,3 +270,6 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> RestReader:
         return RestReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema) -> RestStreamReader:
+        return RestStreamReader(schema, dict(self.options))

@@ -95,3 +95,40 @@ def test_sequential_fallback_without_total(spark):
     df = _read_users(spark, probe_total="false", paginator=json.dumps({"type": "page_number"}))
     assert df.withColumn("p", F.spark_partition_id()).select("p").distinct().count() == 1
     assert df.count() == TOTAL
+
+
+def test_streaming_incremental_page_polling(spark, tmp_path):
+    """readStream over the REST source: each micro-batch polls new pages;
+    growth between batches arrives exactly once (append-only page space)."""
+    from dlt_spark.sources import demo_transport as dt
+
+    dt.set_feed_total(2 * dt.PAGE_SIZE)  # two full pages to start
+    seen = []
+
+    q = (
+        spark.readStream.format("dlt_rest")
+        .options(
+            base_url="https://api.example.com",
+            path="feed",
+            schema_ddl="id long, kind string",
+            data_selector="events",
+            transport=TRANSPORT,
+            paginator=json.dumps({"type": "page_number"}),
+            pages_per_batch="5",
+        )
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: seen.extend(r["id"] for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(2 * dt.PAGE_SIZE))
+        dt.set_feed_total(4 * dt.PAGE_SIZE)  # two more pages appear
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(4 * dt.PAGE_SIZE))
+        assert len(seen) == len(set(seen))  # exactly once
+    finally:
+        q.stop()
+        dt.set_feed_total(0)
