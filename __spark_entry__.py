@@ -1139,6 +1139,21 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN probe with a fully deterministic index (hash-ranked
+    seed centroids, iters=0): assigns every vector to its nearest of 8
+    centroids, probe the 3 cells nearest the query, exact re-rank.  The
+    whole index build + probe is reproduced in the DuckDB oracle."""
+    from dlt_spark.dataops.similarity import ivf_index, ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    indexed, cents = ivf_index(
+        em.filter(F.col("vec_id") != 0), num_centroids=8, iters=0, seed=42
+    )
+    return ivf_topk(indexed, cents, qvec, k=10, nprobe=3)
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -1269,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "per_source_cap": _q_per_source_cap,
         "hll_distinct": _q_hll_distinct,
+        "ivf_topk": _q_ivf_topk,
         "clean_text": _q_clean_text,
     }
 
@@ -2325,6 +2341,36 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
                      END, 2) AS estimate
         FROM agg
+    """
+
+    _c = lambda a, b: (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+                       f" * sqrt(list_dot_product({b}, {b})))")
+    _h42 = "CAST(('0x' || substr(sha256('42:' || CAST(vec_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+    sql["ivf_topk"] = f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id <> 0
+        ), seeds AS (
+            SELECT ev AS cv, row_number() OVER (ORDER BY {_h42}) - 1 AS ci
+            FROM v ORDER BY {_h42} LIMIT 8
+        ), asg AS (
+            SELECT vec_id, ev, ci, row_number() OVER (
+                PARTITION BY vec_id ORDER BY {_c("ev", "cv")} DESC, ci
+            ) AS rn
+            FROM v CROSS JOIN seeds
+        ), cells AS (
+            SELECT s.ci, row_number() OVER (
+                ORDER BY {_c("q.qv", "s.cv")} DESC, s.ci
+            ) AS qr
+            FROM seeds s, q
+        )
+        SELECT a.vec_id, round({_c("a.ev", "q.qv")}, 6) AS cosine
+        FROM asg a JOIN cells c ON a.ci = c.ci, q
+        WHERE a.rn = 1 AND c.qr <= 3
+        ORDER BY cosine DESC, a.vec_id ASC
+        LIMIT 10
     """
 
     return sql

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "per_source_cap",
     "clean_text",
     "hll_distinct",
+    "ivf_topk",
 ]
 
 

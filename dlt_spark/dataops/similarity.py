@@ -140,15 +140,27 @@ def ivf_index(
     iters: int = 2,
     seed: int = 42,
 ) -> tuple:
-    """Build an IVF-flat index: seeded-sample centroids refined with a few
-    Lloyd iterations, each an ``groupBy(centroid).avg`` DataFrame pass.
-    Returns (assigned_df_with `_ivf_cell`, centroids list).  At 100 TB the
-    assignment pass is one scan; centroids stay driver-side (tiny)."""
+    """Build an IVF-flat index: hash-ranked seed centroids refined with a
+    few Lloyd iterations, each a ``groupBy(centroid).avg`` DataFrame
+    pass.  Returns (assigned_df_with `_ivf_cell`, centroids list).  At
+    100 TB the assignment pass is one scan; centroids stay driver-side
+    (tiny).
+
+    Seeds are the ``num_centroids`` vectors with the smallest
+    ``sha256(seed:id)`` — deterministic across partitioning, task
+    retries, and engines (``df.sample`` is per-partition seeded, so its
+    output changes with the partition layout).  With ``iters=0`` the
+    whole index is bit-reproducible (Lloyd's float averages are
+    order-dependent), which is what the DuckDB oracle checks."""
+    hcol = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
     sample_rows = (
-        df.select(vec_col)
-        .sample(False, min(1.0, max(0.001, num_centroids * 50 / max(df.count(), 1))), seed=seed)
-        .limit(num_centroids * 50)
-        .collect()
+        df.select(F.col(vec_col), hcol.alias("_h")).orderBy("_h").limit(num_centroids).collect()
     )
     if len(sample_rows) < num_centroids:
         raise ValueError("not enough vectors to build IVF index")
