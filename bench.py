@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "clean_text",
     "hll_distinct",
     "ivf_topk",
+    "quality_probe",
 ]
 
 

@@ -81,3 +81,34 @@ def embed_columns(df, columns: List[str], embedder: Callable[[Column], Column]):
         if name in out.columns:
             out = out.withColumn(f"{name}__embedding", embedder(F.col(name)))
     return out
+
+
+def lcg_weights(dim: int, seed: int = 7) -> List[float]:
+    """Deterministic pseudo-random probe weights in (-1, 1) via the same
+    seeded LCG as the LSH hyperplanes — reproducible in any engine as a
+    literal list."""
+    out: List[float] = []
+    state = seed
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+def linear_probe(
+    vec: Column, weights: Sequence[float], bias: float = 0.0, decimals: int = 6
+) -> Column:
+    """Apply a trained linear classifier head (quality/toxicity/domain
+    probe — the fasttext-scorer analog) to an embedding column:
+    ``logit = w·x + b``.  Pure mul/add column expression — codegen,
+    zero shuffle, deterministic across engines and row order (the logit
+    is emitted rather than the sigmoid: exp() is not ulp-identical
+    between libm implementations, a scan-speed score does not need it,
+    and any threshold on the sigmoid is a threshold on the logit)."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(dot + F.lit(float(bias)), decimals)
