@@ -1139,6 +1139,22 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_incremental_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance: events split into two batches,
+    each reduced to partial-aggregate state (bucket × type: count / sum
+    / min / max), states merged additively — merging equals recomputing
+    because the counters are associative (decimal sums).  The oracle
+    computes the rollup over the full data in one pass."""
+    from dlt_spark.dataops.rollup import rollup_finalize, rollup_merge, rollup_state
+
+    ev = _t(spark, sf_dir, "events")
+    batch1 = ev.filter(F.col("event_id") % 2 == 0)
+    batch2 = ev.filter(F.col("event_id") % 2 == 1)
+    s1 = rollup_state(batch1, "ts", ["event_type"], "value", bucket_seconds=21600)
+    s2 = rollup_state(batch2, "ts", ["event_type"], "value", bucket_seconds=21600)
+    return rollup_finalize(rollup_merge(s1, s2))
+
+
 def _q_quality_probe(spark, sf_dir):
     """Model-based quality scoring: a linear classifier head applied to
     the embedding column (logit = w·x + b, deterministic LCG weights).
@@ -1302,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
+        "incremental_rollup": _q_incremental_rollup,
         "clean_text": _q_clean_text,
     }
 
@@ -2397,6 +2414,20 @@ def oracle_sql() -> dict[str, str]:
                round(list_dot_product(CAST(embedding AS DOUBLE[]),
                      [-0.013575466321541052, 0.9113190768105721, 0.8131516439852262, -0.4545069772279662, -0.46724106988652125, -0.7231576408768399, -0.1942291480091669, -0.35588262566614715, 0.9626428737806072, 0.41922914114387266, -0.15891122483355535, 0.11828844536618233, -0.612110077710609, 0.27101622597019936, -0.5463099799376179, -0.8735366740103043, 0.7848176935679656, -0.6864284392700803, -0.8379249156270729, 0.9198972278060495, 0.9201924433951347, -0.2749339033462386, 0.25440364162390483, -0.5695631033884787, 0.6042018809673759, 0.597030744791871, -0.8615104325720726, 0.552680456669693, -0.40198856096324365, 0.2089718437349466, -0.5359668955190875, -0.6749912222075158, -0.429049575127717, 0.5130982505801287, 0.4652965345297513, -0.24485204796432458, -0.11767504244774085, -0.972185765273361, -0.8435080304376612, -0.23950829341487312, -0.8155306596711112, -0.6049130934598987, 0.30334523320295603, 0.5208413926187185, 0.9851222449296482, 0.32126877476097926, 0.11580333152682454, 0.8399714536842549, 0.5010224154649849, -0.7016522188877019, -0.16816319136428048, -0.8640393330868537, 0.3253626947445971, -0.551936361897867, -0.11742464200141245, -0.8689630516572533, -0.8849185107003248, 0.18610063267335097, 0.2464138743238098, 0.5197047996803286, 0.8314005427874547, 0.03753445061608529, 0.1904364108436143, -0.1230846753474295]) + 0.25, 6) > 0 AS keep
         FROM embeddings
+    """
+
+    sql["incremental_rollup"] = """
+        SELECT CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP)
+                   AS bucket,
+               event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6)
+                   AS avg_v
+        FROM events
+        GROUP BY 1, 2
     """
 
     return sql

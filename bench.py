@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "ivf_topk",
     "quality_probe",
+    "incremental_rollup",
 ]
 
 

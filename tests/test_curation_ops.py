@@ -143,3 +143,31 @@ def test_clean_text(spark):
     assert got[1] == "a bc d"
     assert got[2] == "already clean"
     assert got[3] == ""
+
+
+def test_rollup_merge_equals_recompute(spark):
+    """Incremental refresh invariant: merging per-batch states equals
+    recomputing the rollup over the union — exactly."""
+    from dlt_spark.dataops.rollup import rollup_finalize, rollup_merge, rollup_state
+
+    df = spark.range(0, 5000).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 97).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 1000 / 7.0).alias("v"),
+    )
+    whole = rollup_state(df, "ts", ["k"], "v", 3600)
+    parts = [
+        rollup_state(df.filter(F.col("v") < 50), "ts", ["k"], "v", 3600),
+        rollup_state(df.filter(F.col("v") >= 50), "ts", ["k"], "v", 3600),
+    ]
+    merged = rollup_merge(*parts)
+    a = sorted(map(tuple, rollup_finalize(whole).collect()))
+    b = sorted(map(tuple, rollup_finalize(merged).collect()))
+    assert a == b
+    # three-way merge associativity
+    thirds = [
+        rollup_state(df.filter(F.col("id") % 3 == i), "ts", ["k"], "v", 3600)
+        for i in range(3)
+    ]
+    c = sorted(map(tuple, rollup_finalize(rollup_merge(*thirds)).collect()))
+    assert a == c
