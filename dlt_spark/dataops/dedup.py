@@ -598,12 +598,14 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: iterative smallest-label
-    propagation (the standard large-scale connected-components algorithm
-    — alternating large/small-star joins simplified to neighbor-min
-    until fixpoint).  Each iteration is two joins + one aggregation; the
-    iteration count is O(log(diameter)), and dup-cluster diameters are
-    tiny in practice.  Returns (id, component) where component is the
-    smallest id in the cluster."""
+    propagation with path halving.  Each iteration takes the min over
+    neighbor labels (propagates one hop) and then jumps every label to
+    its label's label (halves pointer chains), so convergence is
+    O(log(diameter)) iterations — neighbor-min alone is O(diameter),
+    which a pathological near-dup chain (boilerplate ladders) can make
+    large at corpus scale.  Dup-cluster diameters are tiny in practice;
+    the halving join is insurance, not the common-case cost.  Returns
+    (id, component) where component is the smallest id in the cluster."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -626,6 +628,20 @@ def connected_components(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # path halving: jump each label to its label's label.  Labels are
+        # node ids, so the lookup table is new_labels itself.
+        jump = new_labels.select(
+            F.col("id").alias("jid"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels["component"] == jump["jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
                 ).alias("component"),
             )
         )

@@ -119,3 +119,16 @@ def test_minhash_then_cluster(spark):
     clusters = {r["id"]: r["component"] for r in connected_components(cand, "id_a", "id_b").collect()}
     assert clusters.get(1) == clusters.get(2) == 1
     assert 4 not in clusters  # no candidate pair touched it
+
+
+def test_connected_components_long_chain(spark):
+    """Path halving: a 100-node chain (diameter 99) must converge inside
+    the default 20-iteration cap — neighbor-min alone would need ~99."""
+    from dlt_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 100
+    assert {r["component"] for r in out} == {0}
