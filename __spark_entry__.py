@@ -1139,6 +1139,48 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Funnel analysis without self-joins: per-user first-touch times
+    via conditional aggregation, ordered-stage checks on one row — the
+    join-free formulation that scales as a single groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    stage2 = (F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup"))).alias(
+        "reached_click"
+    )
+    stage3 = (
+        F.col("t_signup").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).alias("reached_purchase")
+    return per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("reached_signup"),
+        stage2,
+        stage3,
+    )
+
+
+def _q_quality_tiers(spark, sf_dir):
+    """Curriculum bucketing: quartile tiers of the quality score via
+    ntile — one window, used to stage training data easy→hard."""
+    from dlt_spark.dataops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id", "q", F.ntile(4).over(w).cast("bigint").alias("tier")
+    )
+
+
 def _q_incremental_rollup(spark, sf_dir):
     """Continuous-aggregate maintenance: events split into two batches,
     each reduced to partial-aggregate state (bucket × type: count / sum
@@ -1319,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "event_funnel": _q_event_funnel,
+        "quality_tiers": _q_quality_tiers,
         "clean_text": _q_clean_text,
     }
 
@@ -2428,6 +2472,41 @@ def oracle_sql() -> dict[str, str]:
                    AS avg_v
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["event_funnel"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) FILTER (event_type = 'signup') AS t_signup,
+                   min(ts) FILTER (event_type = 'click') AS t_click,
+                   min(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               t_signup IS NOT NULL AS reached_signup,
+               t_signup IS NOT NULL AND t_click > t_signup AS reached_click,
+               t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                   AS reached_purchase
+        FROM per_user
+    """
+
+    sql["quality_tiers"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({toks}) AS n,
+                   len(list_distinct({toks})) AS u,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) AS p,
+                   length(text) AS chars
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   round(u * 1.0 / n * 0.5
+                         + (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+                         + (1.0 - p * 1.0 / chars) * 0.1, 6) AS q
+            FROM m
+        )
+        SELECT doc_id, q, ntile(4) OVER (ORDER BY q DESC, doc_id) AS tier
+        FROM scored
     """
 
     return sql

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "ivf_topk",
     "quality_probe",
     "incremental_rollup",
+    "event_funnel",
+    "quality_tiers",
 ]
 
 
