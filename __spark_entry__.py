@@ -1168,17 +1168,15 @@ def _q_event_funnel(spark, sf_dir):
 
 def _q_quality_tiers(spark, sf_dir):
     """Curriculum bucketing: quartile tiers of the quality score via
-    ntile — one window, used to stage training data easy→hard."""
+    percentile boundaries + scan-speed CASE assignment — NOT ntile over
+    a global window, which would funnel every row through one partition
+    at scale."""
+    from dlt_spark.dataops.sampling import percentile_tiers
     from dlt_spark.dataops.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", quality_score(F.col("text")).alias("q")
-    )
-    w = Window.orderBy(F.col("q").desc(), F.col("doc_id"))
-    return scored.select(
-        "doc_id", "q", F.ntile(4).over(w).cast("bigint").alias("tier")
-    )
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    return percentile_tiers(scored, "q", tiles=4)
 
 
 def _q_incremental_rollup(spark, sf_dir):
@@ -2505,7 +2503,11 @@ def oracle_sql() -> dict[str, str]:
                          + (1.0 - p * 1.0 / chars) * 0.1, 6) AS q
             FROM m
         )
-        SELECT doc_id, q, ntile(4) OVER (ORDER BY q DESC, doc_id) AS tier
+        SELECT doc_id, q,
+               CASE WHEN q >= (SELECT quantile_cont(q, 0.75) FROM scored) THEN 1
+                    WHEN q >= (SELECT quantile_cont(q, 0.50) FROM scored) THEN 2
+                    WHEN q >= (SELECT quantile_cont(q, 0.25) FROM scored) THEN 3
+                    ELSE 4 END AS tier
         FROM scored
     """
 

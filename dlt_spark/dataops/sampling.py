@@ -121,3 +121,33 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(label_col, expr)
+
+
+def percentile_tiers(
+    df: DataFrame,
+    col: str,
+    tiles: int = 4,
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Tier rows by value quantiles WITHOUT a global sort: compute the
+    tile boundaries with one aggregation (interpolated percentiles),
+    then assign tiers with a scan-speed CASE comparison.  ntile() over a
+    global window would funnel every row through ONE partition — the
+    classic non-scalable formulation; this is two scan-shaped jobs.
+    Tier 1 holds the highest values.  Ties at a boundary go to the
+    higher tier (value-based, not count-based, so tiles can be uneven
+    under heavy ties — the price of scale-safety).
+
+    At extreme scale swap the exact percentile for approx_percentile —
+    same plan shape, sketch-merged boundaries."""
+    probs = [i / tiles for i in range(1, tiles)]
+    cuts = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("c")
+    ).collect()[0]["c"]
+    expr = None
+    for i, cut in enumerate(reversed(cuts)):  # highest boundary first
+        cond = F.col(col) >= F.lit(float(cut))
+        branch = F.lit(i + 1)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    expr = expr.otherwise(F.lit(tiles)).cast("bigint")
+    return df.withColumn(tier_col, expr)

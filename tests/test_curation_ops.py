@@ -171,3 +171,20 @@ def test_rollup_merge_equals_recompute(spark):
     ]
     c = sorted(map(tuple, rollup_finalize(rollup_merge(*thirds)).collect()))
     assert a == c
+
+
+def test_percentile_tiers_scan_shaped(spark):
+    from dlt_spark.dataops.sampling import percentile_tiers
+
+    df = spark.range(0, 1000).select((F.col("id") / 10.0).alias("v"))
+    out = percentile_tiers(df, "v", tiles=4)
+    counts = {r["tier"]: r["n"] for r in out.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(200 <= c <= 300 for c in counts.values())  # ~250 each
+    # tier 1 holds the highest values
+    top = out.filter(F.col("tier") == 1).agg(F.min("v")).collect()[0][0]
+    bot = out.filter(F.col("tier") == 4).agg(F.max("v")).collect()[0][0]
+    assert top > bot
+    # no global single-partition window in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
