@@ -167,12 +167,21 @@ def ivf_index(
     centroids = [list(map(float, sample_rows[i][0])) for i in range(num_centroids)]
 
     def assign(frame: DataFrame) -> DataFrame:
-        best_idx, best_dot = F.lit(0), F.lit(-1e30)
-        for i, c in enumerate(centroids):
-            d = cosine_sim(F.col(vec_col), _vec_lit(c))
-            best_idx = F.when(d > best_dot, F.lit(i)).otherwise(best_idx)
-            best_dot = F.when(d > best_dot, d).otherwise(best_dot)
-        return frame.withColumn("_ivf_cell", best_idx)
+        # all centroid cosines land in ONE array column so each is
+        # evaluated once — a when-chain argmax re-inlines every
+        # (interpreted, higher-order-function) cosine into the nested
+        # branches and blows the expression tree up combinatorially
+        # (measured ~6x slower at 8 centroids).  array_position of the
+        # max takes the FIRST hit, preserving smallest-index tie-breaks.
+        cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
+        return (
+            frame.withColumn("_ivf_cos", cos_arr)
+            .withColumn(
+                "_ivf_cell",
+                (F.array_position(F.col("_ivf_cos"), F.array_max(F.col("_ivf_cos"))) - 1).cast("int"),
+            )
+            .drop("_ivf_cos")
+        )
 
     for _ in range(iters):
         assigned = assign(df)
