@@ -616,43 +616,40 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
+        # carry the old label through the update so convergence can be
+        # checked on the CHECKPOINTED result — checking before
+        # materializing would execute the whole join lineage twice per
+        # iteration (once for the check, again for the checkpoint)
+        upd = labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left").select(
+            "id",
+            F.col("component").alias("old_c"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("new_c"),
+        )
+        # path halving: jump each label to its label's label (labels are
+        # node ids, so the lookup table is the update itself).  Skipped
+        # on the first pass: typical dup clusters have diameter ≤ 2 and
+        # converge before halving helps — it pays only on long chains,
+        # where it turns O(diameter) into O(log diameter).
+        if it > 0:
+            jump = upd.select(F.col("id").alias("jid"), F.col("new_c").alias("jcomp"))
+            upd = upd.join(jump, upd["new_c"] == jump["jid"], "left").select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+                "old_c",
+                F.least(F.col("new_c"), F.coalesce(F.col("jcomp"), F.col("new_c"))).alias(
+                    "new_c"
+                ),
             )
-        )
-        # path halving: jump each label to its label's label.  Labels are
-        # node ids, so the lookup table is new_labels itself.
-        jump = new_labels.select(
-            F.col("id").alias("jid"), F.col("component").alias("jcomp")
-        )
-        new_labels = (
-            new_labels.join(jump, new_labels["component"] == jump["jid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        upd = upd.localCheckpoint(eager=True)
+        changed = upd.filter(F.col("new_c") < F.col("old_c")).limit(1).count()
+        labels = upd.select("id", F.col("new_c").alias("component"))
         if not changed:
             break
     return labels
