@@ -24,10 +24,12 @@ from .pipeline.resources import (
     transformer,
 )
 from .schema.schema import Schema, SchemaContractViolation
+from .session import spark_session
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "spark_session",
     "attach",
     "CannotAttachPipeline",
     "config",

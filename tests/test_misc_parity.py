@@ -80,3 +80,15 @@ def test_to_ibis_is_gated_on_optional_dependency(spark):
 
         with pytest.raises(ImportError, match="spark_df"):
             rel.to_ibis()
+
+
+def test_spark_session_factory_scale_posture(spark):
+    """The session factory applies the engine's scale defaults without
+    clobbering an existing session's master."""
+    import dlt_spark
+    from dlt_spark.session import SCALE_DEFAULTS
+
+    s = dlt_spark.spark_session(shuffle_partitions=8, overrides={"spark.sql.session.timeZone": "UTC"})
+    for k in ("spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled"):
+        assert s.conf.get(k) == "true"
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC"
