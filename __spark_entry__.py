@@ -1139,6 +1139,19 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_corpus_mix(spark, sf_dir):
+    """Training-mixture sampling: hit target language proportions (60%
+    en / 25% de / 15% fr of 200 rows) with per-stratum rates computed
+    from one counts pass, rows kept by key hash — deterministic,
+    growth-stable, no data shuffle."""
+    from dlt_spark.dataops.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus(
+        docs, "doc_id", "lang", {"en": 0.6, "de": 0.25, "fr": 0.15}, total_rows=200
+    )
+
+
 def _q_event_funnel(spark, sf_dir):
     """Funnel analysis without self-joins: per-user first-touch times
     via conditional aggregation, ordered-stage checks on one row — the
@@ -1359,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "corpus_mix": _q_corpus_mix,
         "event_funnel": _q_event_funnel,
         "quality_tiers": _q_quality_tiers,
         "clean_text": _q_clean_text,
@@ -2509,6 +2523,18 @@ def oracle_sql() -> dict[str, str]:
                     WHEN q >= (SELECT quantile_cont(q, 0.25) FROM scored) THEN 3
                     ELSE 4 END AS tier
         FROM scored
+    """
+
+    _hf_mix = _hf.format(salt="mix")
+    sql["corpus_mix"] = f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN c ON d.lang = c.lang
+        WHERE d.lang IN ('en', 'de', 'fr')
+          AND {_hf_mix} < least(1.0,
+                200 * CASE d.lang WHEN 'en' THEN 0.6
+                                  WHEN 'de' THEN 0.25
+                                  ELSE 0.15 END / c.n)
     """
 
     return sql

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "quality_probe",
     "incremental_rollup",
+    "corpus_mix",
     "event_funnel",
     "quality_tiers",
 ]

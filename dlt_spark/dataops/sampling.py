@@ -151,3 +151,34 @@ def percentile_tiers(
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     expr = expr.otherwise(F.lit(tiles)).cast("bigint")
     return df.withColumn(tier_col, expr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    proportions: Dict[str, float],
+    total_rows: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data mixing: sample so the output approximates
+    ``total_rows`` rows with the given per-stratum proportions (the
+    training-mixture step — e.g. 60% web / 30% code / 10% books).
+
+    Per-stratum keep rates are ``min(1, total*p_s / n_s)`` from one
+    counts aggregation (strata with too little data keep everything —
+    upsampling/repetition is a separate, explicit choice).  Rows are
+    then kept by the usual key-hash fraction: reproducible, growth-
+    stable, one aggregation + one scan, no shuffle of the data itself.
+    Strata not named in ``proportions`` are dropped.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] in proportions
+    }
+    rates = {
+        s: min(1.0, total_rows * p / counts[s]) if counts.get(s) else 0.0
+        for s, p in proportions.items()
+    }
+    return stratified_sample(df, key, strata_col, rates, default_rate=0.0, salt=salt)

@@ -188,3 +188,24 @@ def test_percentile_tiers_scan_shaped(spark):
     # no global single-partition window in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_mix_corpus_hits_target_proportions(spark):
+    from dlt_spark.dataops.sampling import mix_corpus
+
+    df = spark.range(0, 30000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 7, "web")
+        .when(F.col("id") % 10 < 9, "code")
+        .otherwise("books")
+        .alias("src"),
+    )  # 21k web, 6k code, 3k books
+    out = mix_corpus(df, "id", "src", {"web": 0.5, "code": 0.3, "books": 0.2}, 5000)
+    by = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(by["web"] - 2500) < 250
+    assert abs(by["code"] - 1500) < 200
+    assert abs(by["books"] - 1000) < 150
+    # scarce stratum keeps everything rather than silently upsampling
+    tight = mix_corpus(df, "id", "src", {"web": 0.1, "books": 0.9}, 10000)
+    nb = tight.filter(F.col("src") == "books").count()
+    assert nb == 3000  # min(1, 9000/3000) -> rate 1.0
