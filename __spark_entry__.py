@@ -1139,6 +1139,61 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue: pure filter + aggregate — every
+    predicate reaches the parquet scan (PushedFilters), one partial+
+    final agg, zero joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)"))
+                .cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: top-20 customers by lost
+    revenue — fact-fact shuffle joins, broadcast nation dim, decimal-
+    exact revenue, TakeOrdered top-N (no global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Training-mixture sampling: hit target language proportions (60%
     en / 25% de / 15% fr of 200 rows) with per-stratum rates computed
@@ -1372,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
         "corpus_mix": _q_corpus_mix,
         "event_funnel": _q_event_funnel,
         "quality_tiers": _q_quality_tiers,
@@ -2535,6 +2592,37 @@ def oracle_sql() -> dict[str, str]:
                 200 * CASE d.lang WHEN 'en' THEN 0.6
                                   WHEN 'de' THEN 0.25
                                   ELSE 0.15 END / c.n)
+    """
+
+    sql["tpch_q6"] = """
+        SELECT round(CAST(sum(CAST(
+                   CAST(l_extendedprice AS DECIMAL(38,4)) *
+                   CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS DOUBLE), 6)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """
+
+    sql["tpch_q10"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(CAST(sum(CAST(
+                   CAST(l_extendedprice AS DECIMAL(38,4)) *
+                   (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """
 
     return sql

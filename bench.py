@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "topk_per_group",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
     "pivot_agg",
     "dedup_incremental",
     "per_source_cap",
