@@ -2009,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["time_bucket_rollup"] = """
-        SELECT CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP) AS bucket,
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) AS TIMESTAMP) AS bucket,
                event_type,
                count(*) AS n,
                round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value,
@@ -2530,15 +2530,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["incremental_rollup"] = """
-        SELECT CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS TIMESTAMP)
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) AS TIMESTAMP)
                    AS bucket,
                event_type,
                count(*) AS n,
                round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_v,
                round(min(value), 6) AS min_v,
                round(max(value), 6) AS max_v,
-               round(CAST(sum(CAST(value AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6)
-                   AS avg_v
+               floor(CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                     AS DOUBLE) / count(*)) / 1000000.0 AS avg_v
         FROM events
         GROUP BY 1, 2
     """

@@ -82,5 +82,16 @@ def rollup_finalize(state: DataFrame, decimals: int = 6) -> DataFrame:
         F.round(F.col("sum_v").cast("double"), decimals).alias("sum_v"),
         F.round(F.col("min_v"), decimals).alias("min_v"),
         F.round(F.col("max_v"), decimals).alias("max_v"),
-        F.round((F.col("sum_v") / F.col("n")).cast("double"), decimals).alias("avg_v"),
+        # avg in exact micro-units: the decimal sum is an exact integer at
+        # scale `decimals`; floor of its double division by n is
+        # bit-identical everywhere.  Engine round() at half boundaries is
+        # NOT (Spark rounds the exact decimal expansion, DuckDB rounds a
+        # float-scaled value) — found by the sf0.1 oracle stress run.
+        (
+            F.floor(
+                (F.col("sum_v") * F.lit(10 ** decimals)).cast("bigint").cast("double")
+                / F.col("n")
+            )
+            / F.lit(float(10 ** decimals))
+        ).alias("avg_v"),
     )
