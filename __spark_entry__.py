@@ -1139,6 +1139,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_sample_exact_k(spark, sf_dir):
+    """Fixed-size deterministic sample: the 50 smallest key hashes —
+    TakeOrdered (per-partition heaps), no global sort, engine-portable
+    selection."""
+    from dlt_spark.dataops.sampling import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_exact_k(docs, "doc_id", 50)
+
+
 def _q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast-revenue: pure filter + aggregate — every
     predicate reaches the parquet scan (PushedFilters), one partial+
@@ -1427,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "sample_exact_k": _q_sample_exact_k,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
         "corpus_mix": _q_corpus_mix,
@@ -2623,6 +2634,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+
+    _hf_k = _hf.format(salt="samplek")
+    sql["sample_exact_k"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        ORDER BY {_hf_k} ASC, doc_id ASC
+        LIMIT 50
     """
 
     return sql

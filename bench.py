@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "quality_probe",
     "incremental_rollup",
     "corpus_mix",
+    "sample_exact_k",
     "event_funnel",
     "quality_tiers",
 ]

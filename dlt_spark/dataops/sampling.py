@@ -182,3 +182,21 @@ def mix_corpus(
         for s, p in proportions.items()
     }
     return stratified_sample(df, key, strata_col, rates, default_rate=0.0, salt=salt)
+
+
+def sample_exact_k(
+    df: DataFrame, key: str, k: int, salt: str = "samplek"
+) -> DataFrame:
+    """Exactly ``k`` rows, chosen deterministically: the k smallest key
+    hashes.  Rate-based sampling gives a binomial-sized output; this
+    gives a fixed size — and executes as TakeOrdered (per-partition
+    heaps of k), never a global sort.  Replacing a rate with a size
+    changes stability: adding rows can displace up to the new rows'
+    share of the old selection (bounded turnover, like consistent
+    hashing)."""
+    return (
+        df.withColumn("_hf", hash_fraction(F.col(key), salt))
+        .orderBy(F.col("_hf").asc(), F.col(key).asc())
+        .limit(k)
+        .drop("_hf")
+    )

@@ -209,3 +209,17 @@ def test_mix_corpus_hits_target_proportions(spark):
     tight = mix_corpus(df, "id", "src", {"web": 0.1, "books": 0.9}, 10000)
     nb = tight.filter(F.col("src") == "books").count()
     assert nb == 3000  # min(1, 9000/3000) -> rate 1.0
+
+
+def test_sample_exact_k(spark):
+    from dlt_spark.dataops.sampling import sample_exact_k
+
+    df = spark.range(0, 5000).select(F.col("id"))
+    out = sample_exact_k(df, "id", 100).collect()
+    assert len(out) == 100
+    again = sample_exact_k(df.repartition(13), "id", 100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # bounded turnover under growth
+    grown = sample_exact_k(spark.range(0, 5500).select(F.col("id")), "id", 100).collect()
+    kept = {r["id"] for r in out} & {r["id"] for r in grown}
+    assert len(kept) >= 80
