@@ -2354,9 +2354,10 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         )
         SELECT id, shard, n_tokens,
-               shard * 1099511627776 + (cum_end - n_tokens) // 256 AS begin_seq,
-               (cum_end - n_tokens) % 256 AS begin_offset,
-               shard * 1099511627776 + (cum_end - 1) // 256 AS end_seq
+               CAST(shard * 1099511627776 + (cum_end - n_tokens) // 256 AS BIGINT)
+                   AS begin_seq,
+               CAST((cum_end - n_tokens) % 256 AS BIGINT) AS begin_offset,
+               CAST(shard * 1099511627776 + (cum_end - 1) // 256 AS BIGINT) AS end_seq
         FROM c
     """
 
