@@ -253,6 +253,30 @@ class Relation:
         returns an ibis table (``to_ibis()``), we return the DataFrame."""
         return self._df
 
+    def source_files(self) -> list:
+        """Files this relation's plan reads — the physical provenance."""
+        return list(self._df.inputFiles())
+
+    def source_tables(self) -> list:
+        """Table-level provenance (reference ``dlt/dataset/lineage.py:82``
+        derives lineage via sqlglot; the Catalyst analog reads the
+        resolved scan inputs).  Maps input files back through the
+        store's ``<table>/v<N>/`` (and any hive ``k=v`` partition)
+        layout to table names."""
+        import os
+
+        tables = set()
+        for f in self.source_files():
+            d = os.path.dirname(f)
+            while "=" in os.path.basename(d):  # hive partition dirs
+                d = os.path.dirname(d)
+            base = os.path.basename(d)
+            if base.startswith("v") and base[1:].lstrip("_").isdigit():  # store versions (v_00000000)
+                d = os.path.dirname(d)
+                base = os.path.basename(d)
+            tables.add(base.removesuffix(".parquet"))
+        return sorted(tables)
+
     def to_ibis(self):
         """API-parity port of ``Relation.to_ibis`` (reference
         ``dlt/dataset/relation.py:293``): hand the relation to ibis'

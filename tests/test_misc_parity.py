@@ -92,3 +92,16 @@ def test_spark_session_factory_scale_posture(spark):
     for k in ("spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled"):
         assert s.conf.get(k) == "true"
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_source_tables_lineage(spark, tmp_path):
+    """Table-level provenance through joins (reference lineage analog)."""
+    import dlt_spark
+
+    pipe = dlt_spark.pipeline("lin", str(tmp_path / "d"), "ds", spark)
+    pipe.run([{"id": i, "v": i * 2} for i in range(5)], table_name="a")
+    pipe.run([{"id": i, "w": i * 3} for i in range(5)], table_name="b")
+    ds = pipe.dataset()
+    rel = ds["a"].join(ds["b"], kind="inner", on=["id"])
+    assert set(rel.source_tables()) >= {"a", "b"}
+    assert len(rel.source_files()) >= 2
