@@ -1139,6 +1139,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / long-context ingestion):
+    one narrow generator per doc, chunk count bounded by doc length, no
+    shuffle."""
+    from dlt_spark.dataops.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def _q_sample_exact_k(spark, sf_dir):
     """Fixed-size deterministic sample: the 50 smallest key hashes —
     TakeOrdered (per-partition heaps), no global sort, engine-portable
@@ -1437,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
@@ -2642,6 +2653,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM documents
         ORDER BY {_hf_k} ASC, doc_id ASC
         LIMIT 50
+    """
+
+    sql["chunk_documents"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents WHERE doc_id < 100
+        ), c AS (
+            SELECT doc_id AS id, tk,
+                   unnest(generate_series(0,
+                       CAST(greatest(ceil((len(tk) - 8) / 24.0), 1) AS BIGINT) - 1
+                   )) AS chunk_idx
+            FROM t
+        )
+        SELECT id, chunk_idx,
+               CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+               CAST(len(list_slice(tk, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                    AS BIGINT) AS n_tok,
+               array_to_string(list_slice(tk, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+                   AS chunk_text
+        FROM c
     """
 
     return sql

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "incremental_rollup",
     "corpus_mix",
     "sample_exact_k",
+    "chunk_documents",
     "event_funnel",
     "quality_tiers",
 ]

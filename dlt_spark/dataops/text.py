@@ -450,3 +450,38 @@ def add_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    long-context ingestion primitive.  One narrow generator (explode of
+    a computed index range) per doc: no shuffle, chunk count bounded by
+    document length.  Output: ``(id, chunk_idx, start_tok, n_tok,
+    chunk_text)`` with ``start_tok`` 0-based; the final chunk may be
+    short.  SQL twin: ``generate_series`` + ``list_slice``."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    num_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), num_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * step
+    piece = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return base.select(
+        "id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

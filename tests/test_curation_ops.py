@@ -223,3 +223,32 @@ def test_sample_exact_k(spark):
     grown = sample_exact_k(spark.range(0, 5500).select(F.col("id")), "id", 100).collect()
     kept = {r["id"] for r in out} & {r["id"] for r in grown}
     assert len(kept) >= 80
+
+
+def test_chunk_documents_reconstruction(spark):
+    from dlt_spark.dataops.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: ceil((100-8)/24) = 4 chunks, strides of 24, window 32
+    assert len(by_doc[1]) == 4
+    assert [r["start_tok"] for r in by_doc[1]] == [0, 24, 48, 72]
+    assert by_doc[1][0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert by_doc[1][-1]["n_tok"] == 28  # tail chunk is short
+    # consecutive chunks overlap by 8 tokens
+    a = by_doc[1][0]["chunk_text"].split()
+    b = by_doc[1][1]["chunk_text"].split()
+    assert a[-8:] == b[:8]
+    # short doc: one chunk, whole doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny doc"
+    # every token position covered
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(100))
