@@ -105,6 +105,16 @@ class LoadStage:
             df = align_with_variants(df, dest)
             df = self._apply_data_type_contract(df, dest, name)
 
+        # `sort` hint → cluster rows inside each written file so parquet
+        # row-group min/max statistics prune scans on the sorted column
+        # (the reference's per-destination ORDER BY/cluster hint analog).
+        # sortWithinPartitions is a narrow, per-task sort — no shuffle.
+        sort_by = _hint_cols(table, "sort")
+        if sort_by:
+            present = [c for c in sort_by if c in df.columns]
+            if present:
+                df = df.sortWithinPartitions(*present)
+
         if disposition == "append":
             if dest is None:
                 self.store.append(df, name, partition_by=partition_by)

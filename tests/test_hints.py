@@ -30,3 +30,23 @@ def test_preferred_types_cast(spark, tmp_path):
     types = dict(df.dtypes)
     assert types["click_count"] == "bigint"
     assert types["price_usd"].startswith("decimal")
+
+
+def test_sort_hint_clusters_written_files(spark, tmp_path):
+    """The `sort` column hint orders rows inside written files so parquet
+    row-group stats can prune scans (reference cluster/sort hint analog)."""
+    import pyarrow.parquet as pq
+
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    rows = [{"id": i, "ts": (i * 7919) % 1000} for i in range(2000)]
+    res = DltResource(rows, name="sorted_t")
+    res.apply_hints(columns={"ts": {"name": "ts", "sort": True}})
+    pipe = dlt_spark.pipeline("sorthint", str(tmp_path / "d"), "ds", spark)
+    pipe.run(res)
+    files = [f for f in pipe.dataset()["sorted_t"].source_files() if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        ts = pq.read_table(f.replace("file:", ""), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts)  # rows clustered within every file
