@@ -140,6 +140,42 @@ def _minhash_signature_arrow(num_hashes: int, shingle_n: int):
     return _udf
 
 
+def _shingles_and_signature_arrow(num_hashes: int, shingle_n: int):
+    """pandas_udf: text -> struct(sh array<string>, sig array<bigint>) —
+    the fused kernel for :func:`minhash_dedup`, which needs BOTH the
+    shingle sets (Jaccard verification) and the signatures (LSH
+    buckets).  Separate kernels shingle every document twice; fusing
+    them halves the Python-side text pass.  Bit-identical outputs to
+    ``_shingles_arrow`` / ``_minhash_signature_arrow``."""
+    params = minhash_params(num_hashes)
+    av = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("struct<sh: array<string>, sig: array<bigint>>")
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        shs_list, sig_list = [], []
+        for t in texts:
+            shs = _shingle_set_py(t, shingle_n)
+            if shs is None:
+                shs_list.append(None)
+                sig_list.append(None)
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.sha256(("0:" + s).encode("utf-8")).hexdigest()[:15], 16)
+                    % MINHASH_PRIME
+                    for s in shs
+                ),
+                dtype=np.int64,
+                count=len(shs),
+            )
+            shs_list.append(shs)
+            sig_list.append(((hs[None, :] * av + bv) % MINHASH_PRIME).min(axis=1))
+        return pd.DataFrame({"sh": shs_list, "sig": sig_list})
+
+    return _udf
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -301,7 +337,9 @@ def minhash_lsh_candidates(
     )
 
 
-def _sig_to_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _sig_to_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, checkpoint: bool = True
+) -> DataFrame:
     """(_id, _sig array) → exploded (_id, _bucket) band-bucket table."""
     rows_per_band = num_hashes // bands
     # materialize the signatures once: (a) CollapseProject would otherwise
@@ -311,8 +349,9 @@ def _sig_to_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     # The signature table is tiny relative to the corpus ((id, k x int64)
     # per doc) — at full scale this is exactly the "persist the signature
     # index" step, so the materialization is the intended design, not a
-    # workaround.
-    sig = sig.localCheckpoint(eager=True)
+    # workaround.  ``checkpoint=False`` when the caller already did.
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=True)
     band_cols = [
         F.sha2(
             F.concat_ws(",", *[F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]),
@@ -398,15 +437,33 @@ def minhash_dedup(
     # verification table, the final anti-join); persist so an upstream
     # pipeline (filters, a prior window dedup) runs once, not three times
     df = df.persist()
-    cand = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, use_arrow=use_arrow
-    )
-    sh_expr = (
-        _shingles_arrow(shingle_n)(F.col(text_col))
-        if use_arrow
-        else shingles(F.col(text_col), shingle_n)
-    )
-    sh = df.select(F.col(id_col).alias("_id"), sh_expr.alias("_sh"))
+    if use_arrow:
+        # fused kernel: one Python text pass yields BOTH the shingle sets
+        # (verification) and the signatures (buckets) — separate kernels
+        # shingle every document twice
+        both = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("_id"),
+            _shingles_and_signature_arrow(num_hashes, shingle_n)(F.col(text_col)).alias("_ss"),
+        )
+        both = both.localCheckpoint(eager=True)
+        sig = both.select("_id", F.col("_ss.sig").alias("_sig"))
+        buckets = _sig_to_buckets(sig, num_hashes, bands, checkpoint=False)
+        ba = buckets.withColumnRenamed("_id", "id_a")
+        bb = buckets.withColumnRenamed("_id", "id_b")
+        cand = (
+            ba.join(bb, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh = both.select("_id", F.col("_ss.sh").alias("_sh"))
+    else:
+        cand = minhash_lsh_candidates(
+            df, id_col, text_col, num_hashes, bands, shingle_n, use_arrow=False
+        )
+        sh = df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
