@@ -132,3 +132,46 @@ def test_streaming_incremental_page_polling(spark, tmp_path):
     finally:
         q.stop()
         dt.set_feed_total(0)
+
+
+def test_streaming_rest_to_store_exactly_once(spark, tmp_path):
+    """Full streaming ELT: readStream dlt_rest -> StreamingPipeline sink
+    -> versioned store, across source growth — every event loaded once,
+    each micro-batch an atomic _dlt_loads commit."""
+    import dlt_spark
+    from dlt_spark.sources import demo_transport as dt
+    from dlt_spark.streaming import StreamingPipeline
+
+    dt.set_feed_total(2 * dt.PAGE_SIZE)
+    pipe = dlt_spark.pipeline("restst", str(tmp_path / "dest"), "ds", spark)
+    sp = StreamingPipeline(pipe, str(tmp_path / "cp"))
+    stream = (
+        spark.readStream.format("dlt_rest")
+        .options(
+            base_url="https://api.example.com",
+            path="feed",
+            schema_ddl="id long, kind string",
+            data_selector="events",
+            transport=TRANSPORT,
+            paginator=json.dumps({"type": "page_number"}),
+            pages_per_batch="5",
+        )
+        .load()
+    )
+    try:
+        # drain 1 (availableNow trigger: terminates when caught up)
+        q = sp.write_stream(stream, "feed_events", write_disposition="append")
+        q.awaitTermination(120)
+        assert pipe.dataset()["feed_events"].row_count() == 2 * dt.PAGE_SIZE
+        # source grows; restart from the SAME checkpoint — the stream
+        # resumes at its committed page offset
+        dt.set_feed_total(4 * dt.PAGE_SIZE)
+        q2 = sp.write_stream(stream, "feed_events", write_disposition="append")
+        q2.awaitTermination(120)
+        rel = pipe.dataset()["feed_events"]
+        assert rel.row_count() == 4 * dt.PAGE_SIZE
+        ids = [r["id"] for r in rel.select("id").spark_df().collect()]
+        assert sorted(ids) == list(range(4 * dt.PAGE_SIZE))  # exactly once
+        assert len(pipe.dataset().load_ids()) >= 2  # one commit per batch
+    finally:
+        dt.set_feed_total(0)
