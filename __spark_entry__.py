@@ -1139,6 +1139,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_cross_doc_repetition(spark, sf_dir):
+    """Cross-document repeated-span fractions (exact-substring-dedup
+    signal): gram-hash explode → docs-per-gram count → join back — one
+    shuffle on 60-bit hashes, no pair enumeration."""
+    from dlt_spark.dataops.text import cross_doc_repeated_fraction
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return cross_doc_repeated_fraction(docs, n=6)
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (RAG / long-context ingestion):
     one narrow generator per doc, chunk count bounded by doc length, no
@@ -1447,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "cross_doc_repetition": _q_cross_doc_repetition,
         "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
         "tpch_q6": _q_tpch_q6,
@@ -2673,6 +2684,36 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(tk, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
                    AS chunk_text
         FROM c
+    """
+
+    sql["cross_doc_repetition"] = """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents WHERE doc_id < 250
+        ), pos AS (
+            SELECT doc_id AS id,
+                   unnest(generate_series(1, greatest(len(tk) - 5, 1))) AS p,
+                   tk
+            FROM t
+        ), g AS (
+            SELECT id, p,
+                   CAST(('0x' || substr(sha256('13:' ||
+                        array_to_string(list_slice(tk, p, p + 5), ' ')), 1, 15))
+                        AS BIGINT) AS gh
+            FROM pos
+        ), dpg AS (
+            SELECT gh FROM (
+                SELECT gh, count(DISTINCT id) AS ndocs FROM g GROUP BY gh
+            ) WHERE ndocs >= 2
+        ), tot AS (
+            SELECT id, count(*) AS total_pos FROM g GROUP BY id
+        ), rep AS (
+            SELECT g.id, count(*) AS rep_pos FROM g JOIN dpg USING (gh) GROUP BY g.id
+        )
+        SELECT t.id, t.total_pos,
+               COALESCE(r.rep_pos, 0) AS rep_pos,
+               round(COALESCE(r.rep_pos, 0) * 1.0 / t.total_pos, 6) AS repeated_frac
+        FROM tot t LEFT JOIN rep r USING (id)
     """
 
     return sql

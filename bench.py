@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "sample_exact_k",
     "chunk_documents",
+    "cross_doc_repetition",
     "event_funnel",
     "quality_tiers",
 ]

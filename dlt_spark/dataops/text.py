@@ -485,3 +485,61 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_tok"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def cross_doc_repeated_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span signal (the scalable cousin of
+    exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for each document, the fraction of
+    its token n-gram positions whose n-gram also appears in at least
+    ``min_docs - 1`` OTHER documents.  High values mark boilerplate /
+    templated / plagiarized content that per-document repetition and
+    line-level boilerplate signals both miss.
+
+    Plan shape: explode n-gram hashes with their positions (narrow),
+    count documents per distinct gram (one shuffle on the 60-bit gram
+    hash — never gram strings), join the repeated-gram set back
+    (planner/AQE picks broadcast when it fits), one per-doc aggregation.
+    No pair enumeration anywhere — cost is corpus-gram-count, not
+    pairs."""
+    from .dedup import portable_hash64
+
+    toks = tokens(F.lower(F.col(text_col)))
+    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: portable_hash64(F.array_join(F.slice(toks, i, n), " "), seed=13),
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos", "gh"),
+    )
+    docs_per_gram = (
+        pos.select("id", "gh").distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+    )
+    flagged = pos.join(docs_per_gram.select("gh"), "gh")
+    per_doc = (
+        pos.groupBy("id").agg(F.count(F.lit(1)).alias("total_pos"))
+        .join(
+            flagged.groupBy("id").agg(F.count(F.lit(1)).alias("rep_pos")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "total_pos",
+            F.coalesce(F.col("rep_pos"), F.lit(0)).alias("rep_pos"),
+        )
+    )
+    return per_doc.withColumn(
+        "repeated_frac", F.round(F.col("rep_pos") / F.col("total_pos"), 6)
+    )

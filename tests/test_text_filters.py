@@ -123,3 +123,24 @@ def test_remove_boilerplate_preserves_line_order(spark):
     out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(docs, min_docs=3).collect()}
     assert out[0] == "z last 0\na first 0\nm mid 0"
     assert out[2] == "z last 2\na first 2\nm mid 2"
+
+
+def test_cross_doc_repeated_fraction(spark):
+    from dlt_spark.dataops.text import cross_doc_repeated_fraction
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here"),
+            (2, shared + " other totally different ending text"),
+            (3, "completely independent document with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in cross_doc_repeated_fraction(df, n=4).collect()}
+    # docs 1/2 share the 8-token prefix: its 5 full 4-gram starts repeat
+    assert out[1]["rep_pos"] == 5
+    assert out[2]["rep_pos"] == 5
+    assert out[3]["rep_pos"] == 0
+    assert out[3]["repeated_frac"] == 0.0
+    assert 0 < out[1]["repeated_frac"] < 1
