@@ -1139,6 +1139,22 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_event_deltas(spark, sf_dir):
+    """Per-user inter-event gaps via lead/lag windows — integer epoch
+    arithmetic (engine-portable), one shuffle on the partition key."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis("ts") - F.unix_millis(prev_ts)).alias("ms_since_prev"),
+        (F.unix_millis(next_ts) - F.unix_millis("ts")).alias("ms_until_next"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
 def _q_cross_doc_repetition(spark, sf_dir):
     """Cross-document repeated-span fractions (exact-substring-dedup
     signal): gram-hash explode → docs-per-gram count → join back — one
@@ -1457,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "event_deltas": _q_event_deltas,
         "cross_doc_repetition": _q_cross_doc_repetition,
         "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
@@ -2714,6 +2731,15 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(r.rep_pos, 0) AS rep_pos,
                round(COALESCE(r.rep_pos, 0) * 1.0 / t.total_pos, 6) AS repeated_frac
         FROM tot t LEFT JOIN rep r USING (id)
+    """
+
+    sql["event_deltas"] = """
+        SELECT user_id, event_id,
+               epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
+               epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS ms_until_next,
+               row_number() OVER w AS seq
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
     return sql

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "sample_exact_k",
     "chunk_documents",
     "cross_doc_repetition",
+    "event_deltas",
     "event_funnel",
     "quality_tiers",
 ]
