@@ -1139,6 +1139,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dups (|A∩B|/min(|A|,|B|)): catches
+    excerpt/quote duplication that symmetric Jaccard dilutes away.
+    Same inverted-index + skew-guard plan as dedup_ngram_jaccard."""
+    from dlt_spark.dataops.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_pairs(docs, "doc_id", n=3, threshold=0.5)
+
+
 def _q_event_deltas(spark, sf_dir):
     """Per-user inter-event gaps via lead/lag windows — integer epoch
     arithmetic (engine-portable), one shuffle on the partition key."""
@@ -1473,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "dedup_containment": _q_dedup_containment,
         "event_deltas": _q_event_deltas,
         "cross_doc_repetition": _q_cross_doc_repetition,
         "chunk_documents": _q_chunk_documents,
@@ -2740,6 +2751,33 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER w AS seq
         FROM events WHERE user_id < 50
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["dedup_containment"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE doc_id < 300
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   ))) AS s
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(common * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+               CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS contained
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.5
     """
 
     return sql

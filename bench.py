@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "cross_doc_repetition",
     "event_deltas",
+    "dedup_containment",
     "event_funnel",
     "quality_tiers",
 ]

@@ -268,6 +268,57 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = 1000,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    ``|A∩B| / min(|A|,|B|)`` — flags a short document quoted/excerpted
+    inside a long one, which symmetric Jaccard structurally misses (the
+    union term dilutes the score).  Same inverted-index plan and skew
+    guard as :func:`jaccard_pairs`; output ``(id_a, id_b, containment,
+    contained)`` with ``contained`` naming the smaller (contained) doc.
+    """
+    sh_expr = (
+        _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)
+    )
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
+    sh = sh.persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    if max_shingle_freq:
+        freq_ok = (
+            sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_f")).filter(F.col("_f") <= max_shingle_freq)
+        )
+        sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
+    a = sh.withColumnRenamed("_id", "id_a")
+    b = sh.withColumnRenamed("_id", "id_b")
+    common = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("_common") / F.least(F.col("_sza"), F.col("_szb")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained",
+            F.when(F.col("_sza") <= F.col("_szb"), F.col("id_a")).otherwise(F.col("id_b")),
+        )
+        .select("id_a", "id_b", "containment", "contained")
+    )
+
+
 # --------------------------------------------------------- minhash lsh
 
 # 30-bit prime field for the universal-hash permutation family: products

@@ -196,3 +196,22 @@ def test_dedup_against_cross_corpus(spark):
         jaccard_threshold=0.99,
     )
     assert sorted(r["doc_id"] for r in kept_strict.collect()) == [11, 12]
+
+
+def test_containment_pairs_catch_excerpts(spark):
+    """A short doc fully contained in a long one: jaccard misses it at
+    a high threshold, containment flags it."""
+    long_text = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 22))  # 12-token slice
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    cont = dd.containment_pairs(df, "doc_id", n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment"] == 1.0  # every excerpt shingle is in the long doc
+    assert r["contained"] == 2  # the smaller doc is the contained one
+    jac = dd.jaccard_pairs(df, "doc_id", n=3, threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard dilutes the excerpt away
