@@ -1139,6 +1139,40 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_interval_join(spark, sf_dir):
+    """Interval-overlap join via bucketized equi-join (order fulfilment
+    windows × shipping windows): never the quadratic theta-join — both
+    sides explode to covered time buckets, pair by bucket, verify the
+    exact overlap predicate."""
+    from dlt_spark.dataset.joins import interval_overlap_join
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("o_end"),
+        )
+    )
+    ship = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("s_start"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 3 DAYS")).alias("s_end"),
+        )
+    )
+    out = interval_overlap_join(
+        orders, "o_start", "o_end", ship, "s_start", "s_end", bucket_seconds=86400 * 5
+    )
+    return out.select("o_orderkey", "l_orderkey", "l_linenumber").orderBy(
+        "o_orderkey", "l_orderkey", "l_linenumber"
+    )
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Asymmetric containment near-dups (|A∩B|/min(|A|,|B|)): catches
     excerpt/quote duplication that symmetric Jaccard dilutes away.
@@ -1483,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "interval_join": _q_interval_join,
         "dedup_containment": _q_dedup_containment,
         "event_deltas": _q_event_deltas,
         "cross_doc_repetition": _q_cross_doc_repetition,
@@ -2778,6 +2813,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.5
+    """
+
+    sql["interval_join"] = """
+        SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+        FROM (
+            SELECT o_orderkey, o_orderdate AS o_start,
+                   o_orderdate + INTERVAL 10 DAY AS o_end
+            FROM orders WHERE o_orderkey % 100 = 0
+        ) o
+        JOIN (
+            SELECT l_orderkey, l_linenumber, l_shipdate AS s_start,
+                   l_shipdate + INTERVAL 3 DAY AS s_end
+            FROM lineitem WHERE l_orderkey % 97 = 0
+        ) l
+        ON o.o_start < l.s_end AND l.s_start < o.o_end
+        ORDER BY o.o_orderkey, l.l_orderkey, l.l_linenumber
     """
 
     return sql

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "cross_doc_repetition",
     "event_deltas",
     "dedup_containment",
+    "interval_join",
     "event_funnel",
     "quality_tiers",
 ]

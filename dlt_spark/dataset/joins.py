@@ -116,3 +116,51 @@ def range_join(
         (F.col(point_col) >= F.col(range_start)) & (F.col(point_col) < F.col(range_end))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    left_start: str,
+    left_end: str,
+    right: DataFrame,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join rows whose half-open intervals overlap
+    (``l.start < r.end AND r.start < l.end``) without the quadratic
+    theta-join: both sides explode to the time buckets their interval
+    covers, pair up by bucket equi-join, dedup, and verify the exact
+    predicate.  Pick ``bucket_seconds`` near the median interval length
+    so each interval spans O(1) buckets — cost is overlap-output-sized,
+    not |L|x|R|.  Columns must be disjointly named (alias beforehand).
+
+    Row multiplicity matches the theta join exactly: a pair meeting in
+    several buckets is emitted only from the FIRST bucket both intervals
+    cover (``max`` of their start buckets) — a dedup that, unlike
+    ``distinct()``, cannot collapse genuinely duplicate input rows."""
+    b = F.lit(bucket_seconds)
+    lb0 = (F.unix_timestamp(F.col(left_start)) / b).cast("long")
+    rb0 = (F.unix_timestamp(F.col(right_start)) / b).cast("long")
+    lt = left.withColumn("_b0_l", lb0).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(lb0, (F.unix_timestamp(F.col(left_end)) / b).cast("long"))
+        ),
+    )
+    rt = right.withColumn("_b0_r", rb0).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(rb0, (F.unix_timestamp(F.col(right_end)) / b).cast("long"))
+        ),
+    )
+    joined = (
+        lt.join(rt, "_bucket")
+        .filter(F.col("_bucket") == F.greatest(F.col("_b0_l"), F.col("_b0_r")))
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("_bucket", "_b0_l", "_b0_r")
+    )
+    return joined

@@ -75,3 +75,34 @@ def test_range_join(spark):
     out = range_join(points, "ts", ranges, "start", "stop", bucket_seconds=7 * 86400)
     pairs = {(r["pid"], r["rid"]) for r in out.collect()}
     assert pairs == {(1, 100), (1, 200), (2, 200)}
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    """Bucketized interval-overlap join == the naive theta join, at any
+    bucket width (buckets only prune, never change the result)."""
+    from dlt_spark.dataset.joins import interval_overlap_join
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(i, 1700000000 + i * 500, 1700000000 + i * 500 + 900) for i in range(50)],
+        "aid long, s long, e long",
+    ).select("aid", F.timestamp_seconds("s").alias("a_s"), F.timestamp_seconds("e").alias("a_e"))
+    b = spark.createDataFrame(
+        [(j, 1700000000 + j * 777, 1700000000 + j * 777 + 400) for j in range(40)],
+        "bid long, s long, e long",
+    ).select("bid", F.timestamp_seconds("s").alias("b_s"), F.timestamp_seconds("e").alias("b_e"))
+    # include a duplicated right row: multiplicity must match the theta
+    # join (a distinct()-based dedup would collapse it)
+    b = b.unionAll(b.filter(F.col("bid") == 7))
+    expected = sorted(
+        (r["aid"], r["bid"])
+        for r in a.crossJoin(b)
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .collect()
+    )
+    for width in (300, 1000, 5000):
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(a, "a_s", "a_e", b, "b_s", "b_e", width).collect()
+        )
+        assert got == expected, f"width={width}"
