@@ -1139,6 +1139,16 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_profile_table(spark, sf_dir):
+    """One-scan table profiling: per-column nulls / exact distincts /
+    ranges as a wide aggregation unpivoted with stack — the
+    data-quality drift monitor."""
+    from dlt_spark.dataops.profiling import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def _q_interval_join(spark, sf_dir):
     """Interval-overlap join via bucketized equi-join (order fulfilment
     windows × shipping windows): never the quadratic theta-join — both
@@ -1517,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "profile_table": _q_profile_table,
         "interval_join": _q_interval_join,
         "dedup_containment": _q_dedup_containment,
         "event_deltas": _q_event_deltas,
@@ -2830,5 +2841,17 @@ def oracle_sql() -> dict[str, str]:
         ON o.o_start < l.s_end AND l.s_start < o.o_end
         ORDER BY o.o_orderkey, l.l_orderkey, l.l_linenumber
     """
+
+    _prof = """SELECT '{c}' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS null_frac,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM documents"""
+    sql["profile_table"] = " UNION ALL ".join(
+        _prof.format(c=c) for c in ("doc_id", "lang", "source", "n_chars")
+    )
 
     return sql

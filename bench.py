@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "event_deltas",
     "dedup_containment",
     "interval_join",
+    "profile_table",
     "event_funnel",
     "quality_tiers",
 ]

@@ -1,0 +1,64 @@
+"""Table profiling: per-column quality statistics in ONE scan.
+
+The operational companion to schema contracts: before/after a load,
+profile the table and alert on drift (null spikes, cardinality
+collapse, range excursions).  The reference has no profiler; warehouses
+bolt one on — here it is a DataFrame program.
+
+One pass produces every column's stats as a single wide aggregation
+(null counts, exact distincts, min/max rendered to strings), then a
+``stack`` unpivot turns it into one row per column.  Exact distinct
+counts shuffle once; swap :func:`approx_profile` in at extreme scale
+(same shape, ``approx_count_distinct`` sketch partials, no extra
+shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stats_exprs(cols: Sequence[str], exact: bool) -> List:
+    out = []
+    for c in cols:
+        col = F.col(c)
+        distinct = (
+            F.countDistinct(col) if exact else F.approx_count_distinct(col)
+        )
+        out += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("bigint")).alias(f"__nulls_{c}"),
+            distinct.alias(f"__dist_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    return out
+
+
+def profile(
+    df: DataFrame, columns: Optional[Sequence[str]] = None, exact: bool = True
+) -> DataFrame:
+    """One row per column: ``(column, n_rows, n_nulls, null_frac,
+    n_distinct, min_value, max_value)``.  ``exact=False`` switches the
+    distinct counts to HLL sketches for the 100 TB path."""
+    cols = list(columns or df.columns)
+    wide = df.agg(*_stats_exprs(cols, exact))
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    long = wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+    return long.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -252,3 +252,21 @@ def test_chunk_documents_reconstruction(spark):
     for r in by_doc[1]:
         covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
     assert covered == set(range(100))
+
+
+def test_profile_table(spark):
+    from dlt_spark.dataops.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b"), (5, None)],
+        "id long, v string",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["id"]["n_rows"] == 5 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 5
+    assert rows["v"]["n_nulls"] == 2 and rows["v"]["null_frac"] == 0.4
+    assert rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_value"] == "a" and rows["v"]["max_value"] == "b"
+    # approx path has the same shape
+    approx = {r["column"]: r for r in profile(df, exact=False).collect()}
+    assert approx["id"]["n_distinct"] >= 4
