@@ -1139,6 +1139,15 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_value_histogram(spark, sf_dir):
+    """Fixed-bin histogram of event values: integer bin arithmetic, one
+    shuffle of at most `bins` rows."""
+    from dlt_spark.dataops.profiling import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", lo=0.0, hi=100.0, bins=20)
+
+
 def _q_profile_table(spark, sf_dir):
     """One-scan table profiling: per-column nulls / exact distincts /
     ranges as a wide aggregation unpivoted with stack — the
@@ -1527,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "value_histogram": _q_value_histogram,
         "profile_table": _q_profile_table,
         "interval_join": _q_interval_join,
         "dedup_containment": _q_dedup_containment,
@@ -2853,5 +2863,18 @@ def oracle_sql() -> dict[str, str]:
     sql["profile_table"] = " UNION ALL ".join(
         _prof.format(c=c) for c in ("doc_id", "lang", "source", "n_chars")
     )
+
+    sql["value_histogram"] = """
+        WITH b AS (
+            SELECT CAST(least(greatest(floor((value - 0.0) / 5.0), 0), 19) AS BIGINT)
+                       AS bin
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT bin,
+               round(0.0 + bin * 5.0, 6) AS lo_edge,
+               round(0.0 + (bin + 1) * 5.0, 6) AS hi_edge,
+               count(*) AS n
+        FROM b GROUP BY bin
+    """
 
     return sql

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "interval_join",
     "profile_table",
+    "value_histogram",
     "event_funnel",
     "quality_tiers",
 ]

@@ -62,3 +62,32 @@ def profile(
         "min_value",
         "max_value",
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-bin histogram of a numeric column: one groupBy on the
+    integer bin id (scan + single shuffle of at most ``bins`` rows).
+    Values below/above the range clamp to the edge bins; bin assignment
+    is pure integer arithmetic on a deterministic double expression, so
+    the result is engine-portable.  Returns ``(bin, lo_edge, hi_edge,
+    n)`` for every non-empty bin."""
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("bigint")
+    out = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo_edge"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi_edge"),
+        "n",
+    )

@@ -270,3 +270,19 @@ def test_profile_table(spark):
     # approx path has the same shape
     approx = {r["column"]: r for r in profile(df, exact=False).collect()}
     assert approx["id"]["n_distinct"] >= 4
+
+
+def test_histogram_bins_and_clamping(spark):
+    from dlt_spark.dataops.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 9, 10, 55, 99, 150, 150]] + [(None,)],
+        "v double",
+    )
+    bins = {r["bin"]: r for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert bins[0]["n"] == 4  # -5 clamps in; 0, 1, 9
+    assert bins[0]["lo_edge"] == 0.0 and bins[0]["hi_edge"] == 10.0
+    assert bins[1]["n"] == 1  # 10
+    assert bins[5]["n"] == 1  # 55
+    assert bins[9]["n"] == 3  # 99 + two 150s clamp to the top bin
+    assert sum(r["n"] for r in bins.values()) == 9  # null excluded
