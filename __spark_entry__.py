@@ -1139,6 +1139,25 @@ def _q_dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_video_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: one asset row fans out to
+    frame rows via mapInPandas (Arrow batches; codec stubbed sha-fake,
+    reproduced in SQL).  The Spark-side shapes — schema, batching,
+    row fan-out — are the real thing."""
+    from dlt_spark.dataops.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    assets = docs.select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = sample_video_frames(assets, every_n=10, deterministic_fake=True)
+    return frames.select(
+        "id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 def _q_value_histogram(spark, sf_dir):
     """Fixed-bin histogram of event values: integer bin arithmetic, one
     shuffle of at most `bins` rows."""
@@ -1536,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "quality_probe": _q_quality_probe,
         "incremental_rollup": _q_incremental_rollup,
+        "video_frame_sample": _q_video_frame_sample,
         "value_histogram": _q_value_histogram,
         "profile_table": _q_profile_table,
         "interval_join": _q_interval_join,
@@ -2875,6 +2895,16 @@ def oracle_sql() -> dict[str, str]:
                round(0.0 + (bin + 1) * 5.0, 6) AS hi_edge,
                count(*) AS n
         FROM b GROUP BY bin
+    """
+
+    sql["video_frame_sample"] = """
+        SELECT doc_id AS id,
+               CAST(fi * 10 AS BIGINT) AS frame_idx,
+               round(CAST(('0x' || substr(sha256(
+                   text || ':' || CAST(fi AS VARCHAR)
+               ), 1, 2)) AS INT) / 255.0, 6) AS f0
+        FROM documents, (SELECT unnest([0, 1, 2]) AS fi)
+        WHERE doc_id < 60
     """
 
     return sql

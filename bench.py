@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "interval_join",
     "profile_table",
     "value_histogram",
+    "video_frame_sample",
     "event_funnel",
     "quality_tiers",
 ]

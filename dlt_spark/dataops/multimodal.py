@@ -122,7 +122,10 @@ def sample_video_frames(
                 for fi in range(3):
                     ids.append(int(row[id_col]))
                     idxs.append(fi * every_n)
-                    feats.append(_decode_image_stub((row[payload_col] or b"") + bytes([fi]), True))
+                    # printable frame marker (":<i>") rather than a raw
+                    # byte: keeps the fake recipe expressible as plain
+                    # VARCHAR ops in the cross-engine oracle
+                    feats.append(_decode_image_stub((row[payload_col] or b"") + f":{fi}".encode(), True))
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "feature": feats})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
