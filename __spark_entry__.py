@@ -1485,6 +1485,41 @@ def _q_pivot_agg(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "curate_corpus": _q_curate_corpus,
+        "stats_summary": _q_stats_summary,
+        "dup_clusters": _q_dup_clusters,
+        "repetition_signals": _q_repetition_signals,
+        "pii_redaction": _q_pii_redaction,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "hash_split": _q_hash_split,
+        "gopher_filter": _q_gopher_filter,
+        "decontamination": _q_decontamination,
+        "sequence_packing": _q_sequence_packing,
+        "stratified_sample": _q_stratified_sample,
+        "topk_per_group": _q_topk_per_group,
+        "tpch_q5": _q_tpch_q5,
+        "pivot_agg": _q_pivot_agg,
+        "dedup_incremental": _q_dedup_incremental,
+        "per_source_cap": _q_per_source_cap,
+        "hll_distinct": _q_hll_distinct,
+        "ivf_topk": _q_ivf_topk,
+        "quality_probe": _q_quality_probe,
+        "incremental_rollup": _q_incremental_rollup,
+        "video_frame_sample": _q_video_frame_sample,
+        "value_histogram": _q_value_histogram,
+        "profile_table": _q_profile_table,
+        "interval_join": _q_interval_join,
+        "dedup_containment": _q_dedup_containment,
+        "event_deltas": _q_event_deltas,
+        "cross_doc_repetition": _q_cross_doc_repetition,
+        "chunk_documents": _q_chunk_documents,
+        "sample_exact_k": _q_sample_exact_k,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q10": _q_tpch_q10,
+        "corpus_mix": _q_corpus_mix,
+        "event_funnel": _q_event_funnel,
+        "quality_tiers": _q_quality_tiers,
+        "clean_text": _q_clean_text,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
@@ -1535,41 +1570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "outer_join_counts": _q_outer_join_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "curate_corpus": _q_curate_corpus,
-        "stats_summary": _q_stats_summary,
-        "dup_clusters": _q_dup_clusters,
-        "repetition_signals": _q_repetition_signals,
-        "pii_redaction": _q_pii_redaction,
-        "remove_boilerplate": _q_remove_boilerplate,
-        "hash_split": _q_hash_split,
-        "gopher_filter": _q_gopher_filter,
-        "decontamination": _q_decontamination,
-        "sequence_packing": _q_sequence_packing,
-        "stratified_sample": _q_stratified_sample,
-        "topk_per_group": _q_topk_per_group,
-        "tpch_q5": _q_tpch_q5,
-        "pivot_agg": _q_pivot_agg,
-        "dedup_incremental": _q_dedup_incremental,
-        "per_source_cap": _q_per_source_cap,
-        "hll_distinct": _q_hll_distinct,
-        "ivf_topk": _q_ivf_topk,
-        "quality_probe": _q_quality_probe,
-        "incremental_rollup": _q_incremental_rollup,
-        "video_frame_sample": _q_video_frame_sample,
-        "value_histogram": _q_value_histogram,
-        "profile_table": _q_profile_table,
-        "interval_join": _q_interval_join,
-        "dedup_containment": _q_dedup_containment,
-        "event_deltas": _q_event_deltas,
-        "cross_doc_repetition": _q_cross_doc_repetition,
-        "chunk_documents": _q_chunk_documents,
-        "sample_exact_k": _q_sample_exact_k,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q10": _q_tpch_q10,
-        "corpus_mix": _q_corpus_mix,
-        "event_funnel": _q_event_funnel,
-        "quality_tiers": _q_quality_tiers,
-        "clean_text": _q_clean_text,
     }
 
 
