@@ -65,6 +65,15 @@ class Incremental:
     # runtime state
     last_value: Any = None
     boundary_hashes: List[str] = field(default_factory=list)
+    # scale guard: past this many boundary hashes the set is spilled to a
+    # parquet state table (``spill_path``) and dedup runs as an anti-join
+    # instead of a driver-side ``isin`` list (SURVEY §2.D scale-safe form;
+    # the reference keeps the full list in state,
+    # ``dlt/extract/incremental/transform.py:104-117`` — driver OOM with a
+    # coarse cursor at 100 TB)
+    boundary_hash_limit: int = 10_000
+    spill_path: Optional[str] = None
+    boundary_spilled: bool = field(default=False, repr=False)
 
     def __post_init__(self) -> None:
         if self.last_value_func not in LAST_VALUE_FUNCS:
@@ -133,14 +142,30 @@ class Incremental:
                 raise KeyError(f"cursor column {self.cursor_path!r} missing")
         cond = self.filter_condition()
         out = df.filter(cond) if cond is not None else df
-        if self.boundary_hashes and self.last_value is not None:
+        if self.last_value is not None and (self.boundary_hashes or self.boundary_spilled):
             keys = self._dedup_keys(out.columns)
             at_boundary = F.col(self.cursor_path) == F.lit(self.last_value)
             hashed = out.withColumn(
                 "_dlt_ih", key_hash(*[F.col(k) for k in keys])
             )
-            seen = F.col("_dlt_ih").isin(self.boundary_hashes)
-            out = hashed.filter(~(at_boundary & seen)).drop("_dlt_ih")
+            if self.boundary_spilled:
+                # large boundary set: anti-join against the spilled hash
+                # table, restricted to rows at the boundary (a pk re-appearing
+                # at a later cursor value is an update and must load).  AQE
+                # broadcasts the hash side when it is small enough.
+                seen_df = (
+                    df.sparkSession.read.parquet(self.spill_path)
+                    .select(F.col("h").alias("_dlt_seen"))
+                )
+                joined = hashed.join(
+                    seen_df, hashed["_dlt_ih"] == seen_df["_dlt_seen"], "left"
+                )
+                out = joined.filter(
+                    ~(at_boundary & F.col("_dlt_seen").isNotNull())
+                ).drop("_dlt_ih", "_dlt_seen")
+            else:
+                seen = F.col("_dlt_ih").isin(self.boundary_hashes)
+                out = hashed.filter(~(at_boundary & seen)).drop("_dlt_ih")
         return out
 
     def _dedup_keys(self, columns: Sequence[str]) -> List[str]:
@@ -179,13 +204,26 @@ class Incremental:
         self.last_value = new_last
         if self.primary_key or self.range_start == "closed" or self.lag is not None:
             keys = self._dedup_keys(df.columns)
-            hashes = (
+            hash_df = (
                 df.filter(F.col(self.cursor_path) == F.lit(new_last))
                 .select(key_hash(*[F.col(k) for k in keys]).alias("h"))
                 .distinct()
-                .collect()
             )
-            self.boundary_hashes = sorted(r["h"] for r in hashes)
+            # collect at most limit+1 — never the unbounded set
+            sample = hash_df.limit(self.boundary_hash_limit + 1).collect()
+            if len(sample) <= self.boundary_hash_limit:
+                self.boundary_hashes = sorted(r["h"] for r in sample)
+                self.boundary_spilled = False
+            else:
+                # coarse cursor (e.g. a date column over billions of rows):
+                # spill the full hash set to parquet and dedup by anti-join
+                if self.spill_path is None:
+                    import tempfile
+
+                    self.spill_path = tempfile.mkdtemp(prefix="dlt_inc_boundary_")
+                hash_df.write.mode("overwrite").parquet(self.spill_path)
+                self.boundary_hashes = []
+                self.boundary_spilled = True
         return self
 
     # -- state (de)serialization for _dlt_pipeline_state --
@@ -203,6 +241,8 @@ class Incremental:
             "last_value": lv,
             "last_value_type": type(self.last_value).__name__,
             "boundary_hashes": list(self.boundary_hashes),
+            "boundary_spilled": self.boundary_spilled,
+            "boundary_path": self.spill_path if self.boundary_spilled else None,
         }
 
     def restore_state(self, state: dict) -> "Incremental":
@@ -218,6 +258,9 @@ class Incremental:
             lv = decimal.Decimal(lv)
         self.last_value = lv
         self.boundary_hashes = list(state.get("boundary_hashes", []))
+        self.boundary_spilled = bool(state.get("boundary_spilled", False))
+        if self.boundary_spilled and state.get("boundary_path"):
+            self.spill_path = state["boundary_path"]
         return self
 
 

@@ -12,6 +12,7 @@ for surface parity.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -282,6 +283,12 @@ class Pipeline:
                 info.tables.extend(tables.keys())
                 if res.incremental is not None and id(res) not in seen_inc:
                     seen_inc.add(id(res))
+                    if res.incremental.spill_path is None:
+                        store_root = getattr(self.store, "root", None)
+                        if store_root is not None:
+                            res.incremental.spill_path = os.path.join(
+                                store_root, "_dlt_incremental_boundary", res.name
+                            )
                     extract_info = getattr(norm_info, "extract_info", None)
                     if extract_info is not None:
                         for r2, raw_tables in extract_info.resources:

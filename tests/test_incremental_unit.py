@@ -101,3 +101,53 @@ def test_lag_numeric_and_datetime():
         "ts", initial_value=dt.datetime(2024, 1, 1, 12, 0, 0), lag=3600.0
     )
     assert "11:00:00" in str(inc_ts.filter_condition())
+
+
+def test_boundary_spill_date_cursor(spark, tmp_path):
+    """Coarse date cursor: boundary covers 30% of the table -> hash set
+    exceeds boundary_hash_limit and spills to a parquet state table; dedup
+    then runs as an anti-join, never a driver-side list."""
+    import datetime as dt
+
+    n = 100
+    rows = [
+        (i, dt.date(2024, 1, 1) if i < 70 else dt.date(2024, 1, 2), float(i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, value double")
+    spill = str(tmp_path / "boundary")
+    inc = Incremental(
+        "d", primary_key=["id"], range_start="closed",
+        boundary_hash_limit=10, spill_path=spill,
+    )
+    inc.update_state(df)
+    assert inc.last_value == dt.date(2024, 1, 2)
+    assert inc.boundary_spilled and inc.boundary_hashes == []
+
+    # next batch: re-reads boundary date; 30 old boundary rows must drop,
+    # 5 new boundary rows and 5 post-boundary rows must survive
+    rows2 = (
+        [(i, dt.date(2024, 1, 2), float(i)) for i in range(70, 100)]  # seen
+        + [(i, dt.date(2024, 1, 2), float(i)) for i in range(100, 105)]  # new @boundary
+        + [(i, dt.date(2024, 1, 3), float(i)) for i in range(105, 110)]  # after
+    )
+    df2 = spark.createDataFrame(rows2, "id long, d date, value double")
+    got = {r["id"] for r in inc.apply(df2).collect()}
+    assert got == set(range(100, 110))
+
+    # state round-trips the spill pointer
+    state = inc.to_state()
+    assert state["boundary_spilled"] and state["boundary_path"] == spill
+    inc2 = Incremental("d", primary_key=["id"]).restore_state(state)
+    got2 = {r["id"] for r in inc2.apply(df2).collect()}
+    assert got2 == set(range(100, 110))
+
+
+def test_boundary_spill_small_set_stays_inline(spark):
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1, 1), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, d date, value double")
+    inc = Incremental("d", primary_key=["id"], boundary_hash_limit=10)
+    inc.update_state(df)
+    assert not inc.boundary_spilled and len(inc.boundary_hashes) == 5
