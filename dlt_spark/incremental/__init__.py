@@ -53,7 +53,13 @@ class Incremental:
 
     cursor_path: str
     initial_value: Any = None
-    last_value_func: str = "max"
+    # "max" / "min" (Column pushdown fast path), or any custom monotone
+    # callable over a value tuple like the reference
+    # (``incremental/__init__.py:163``: ``last_value_func((row_value,
+    # last_value))``).  Custom callables — including composite/tuple
+    # cursors over an array column — run as a vectorized pandas UDF (no
+    # SQL pushdown; the reference's JSON path is per-row Python too).
+    last_value_func: Any = "max"
     end_value: Any = None
     row_order: Optional[str] = None
     on_cursor_value_missing: str = "raise"
@@ -76,10 +82,23 @@ class Incremental:
     boundary_spilled: bool = field(default=False, repr=False)
 
     def __post_init__(self) -> None:
-        if self.last_value_func not in LAST_VALUE_FUNCS:
-            raise ValueError("last_value_func must be 'max' or 'min'")
+        # builtins normalize to the pushdown fast path (reference
+        # ``incremental/__init__.py:178-186`` does the reverse mapping)
+        if self.last_value_func is max:
+            self.last_value_func = "max"
+        elif self.last_value_func is min:
+            self.last_value_func = "min"
+        if not callable(self.last_value_func) and self.last_value_func not in LAST_VALUE_FUNCS:
+            raise ValueError(
+                "last_value_func must be 'max', 'min', or a callable over a"
+                " value tuple"
+            )
         if self.last_value is None:
             self.last_value = self.initial_value
+
+    @property
+    def _custom_func(self) -> Optional[Callable[[Sequence[Any]], Any]]:
+        return self.last_value_func if callable(self.last_value_func) else None
 
     # -- predicate construction (pushdown-friendly) --
 
@@ -88,11 +107,20 @@ class Incremental:
         if start is None:
             return None
         if self.lag:
+            if self._custom_func is not None:
+                raise ValueError("lag requires last_value_func 'max' or 'min'")
             start = _apply_lag(start, self.lag, self.last_value_func)
         return start
 
     def filter_condition(self) -> Optional[Column]:
         c = F.col(self.cursor_path)
+        if self._custom_func is not None:
+            # custom ordering cannot be rendered as a pushdown predicate;
+            # range filtering happens in apply() via a pandas UDF.  Only
+            # the NULL policy is expressible here.
+            if self.on_cursor_value_missing == "exclude":
+                return c.isNotNull()
+            return None
         conds: List[Column] = []
         start = self._start_bound()
         asc = self.last_value_func == "max"
@@ -142,9 +170,16 @@ class Incremental:
                 raise KeyError(f"cursor column {self.cursor_path!r} missing")
         cond = self.filter_condition()
         out = df.filter(cond) if cond is not None else df
+        if self._custom_func is not None and (
+            self.last_value is not None or self.end_value is not None
+        ):
+            out = out.filter(self._custom_keep_udf()(F.col(self.cursor_path)))
         if self.last_value is not None and (self.boundary_hashes or self.boundary_spilled):
             keys = self._dedup_keys(out.columns)
-            at_boundary = F.col(self.cursor_path) == F.lit(self.last_value)
+            if self._custom_func is not None:
+                at_boundary = self._at_boundary_udf()(F.col(self.cursor_path))
+            else:
+                at_boundary = F.col(self.cursor_path) == F.lit(self.last_value)
             hashed = out.withColumn(
                 "_dlt_ih", key_hash(*[F.col(k) for k in keys])
             )
@@ -168,6 +203,102 @@ class Incremental:
                 out = hashed.filter(~(at_boundary & seen)).drop("_dlt_ih")
         return out
 
+    # -- custom last_value_func (vectorized pandas UDF path) --
+
+    def _custom_keep_udf(self):
+        """Range predicate for a custom ``last_value_func``, mirroring the
+        reference row filter (``transform.py:276-352``): a row survives iff
+        it is not strictly "behind" start and not at/past end (per the
+        custom ordering)."""
+        import pandas as pd
+
+        func = self._custom_func
+        start = _norm_val(self.last_value)
+        end = _norm_val(self.end_value)
+        open_start = self.range_start == "open"
+        closed_end = self.range_end == "closed"
+        keep_null = self.on_cursor_value_missing != "exclude"
+
+        def keep(s: pd.Series) -> pd.Series:
+            def k(v):
+                if _is_null(v):
+                    return keep_null
+                v = _norm_val(v)
+                pv = _norm_val(func((v,)))
+                if end is not None:
+                    if _norm_val(func((v, end))) != end:
+                        return False
+                    if not closed_end and pv == end:
+                        return False
+                if start is not None:
+                    nv = _norm_val(func((v, start)))
+                    if nv == start and pv != start:
+                        return False  # strictly behind the cursor
+                    if open_start and pv == start:
+                        return False
+                return True
+
+            return s.map(k)
+
+        keep.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(keep, "boolean")
+
+    def _at_boundary_udf(self):
+        import pandas as pd
+
+        func = self._custom_func
+        last = _norm_val(self.last_value)
+
+        def at_boundary(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: (not _is_null(v))
+                and _norm_val(func((_norm_val(v),))) == last
+            )
+
+        at_boundary.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(at_boundary, "boolean")
+
+    def _custom_reduce(self, df: DataFrame) -> tuple:
+        """Distributed fold for a custom ``last_value_func``: each partition
+        emits at most one candidate cursor value (same Spark type as the
+        cursor column) via ``mapInPandas``; the driver folds the per-
+        partition candidates — scale-free (one row per partition)."""
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType, LongType
+
+        func = self._custom_func
+        cur = self.cursor_path
+        src = df.select(F.col(cur).alias("v"))
+        out_schema = StructType(
+            [src.schema.fields[0], StructField("nulls", LongType(), False)]
+        )
+
+        def reduce_partition(batches):
+            cand = _NOTSET = object()
+            cand = _NOTSET
+            nulls = 0
+            for pdf in batches:
+                for v in pdf["v"]:
+                    if _is_null(v):
+                        nulls += 1
+                        continue
+                    vv = _norm_val(v)
+                    cand = vv if cand is _NOTSET else _norm_val(func((vv, cand)))
+            if cand is _NOTSET:
+                yield pd.DataFrame({"v": pd.Series([None], dtype=object), "nulls": [nulls]})
+            else:
+                yield pd.DataFrame({"v": [_delist(cand)], "nulls": [nulls]})
+
+        rows = src.mapInPandas(reduce_partition, out_schema).collect()
+        nulls = sum(r["nulls"] for r in rows)
+        cand = None
+        for r in rows:
+            v = _norm_val(r["v"])
+            if v is None:
+                continue
+            cand = v if cand is None else _norm_val(func((v, cand)))
+        return cand, nulls
+
     def _dedup_keys(self, columns: Sequence[str]) -> List[str]:
         """Boundary-dedup key set: declared primary key, else every data
         column (row-hash dedup, the reference's no-pk fallback)."""
@@ -183,29 +314,48 @@ class Incremental:
         hashes — both scale-free.  In ``raise`` mode the NULL-cursor check
         piggybacks on the same aggregation (reference raises on NULL
         cursor values, ``transform.py:249-299``)."""
-        agg_fn = F.max if self.last_value_func == "max" else F.min
-        aggs = [agg_fn(F.col(self.cursor_path)).alias("v")]
-        if self.on_cursor_value_missing == "raise":
-            aggs.append(
-                F.sum(F.col(self.cursor_path).isNull().cast("long")).alias("nulls")
-            )
-        row = df.agg(*aggs).collect()[0]
-        if self.on_cursor_value_missing == "raise" and (row["nulls"] or 0) > 0:
-            raise ValueError(
-                f"cursor column {self.cursor_path!r} has {row['nulls']} NULL"
-                " values; set on_cursor_value_missing to 'include' or 'exclude'"
-            )
-        new_last = row["v"]
-        if new_last is None:
-            return self
-        if self.last_value is not None:
-            keep = LAST_VALUE_FUNCS[self.last_value_func](new_last, self.last_value)
-            new_last = keep
+        if self._custom_func is not None:
+            new_last, nulls = self._custom_reduce(df)
+            if self.on_cursor_value_missing == "raise" and nulls > 0:
+                raise ValueError(
+                    f"cursor column {self.cursor_path!r} has {nulls} NULL"
+                    " values; set on_cursor_value_missing to 'include' or"
+                    " 'exclude'"
+                )
+            if new_last is None:
+                return self
+            if self.last_value is not None:
+                new_last = _norm_val(
+                    self._custom_func((new_last, _norm_val(self.last_value)))
+                )
+        else:
+            agg_fn = F.max if self.last_value_func == "max" else F.min
+            aggs = [agg_fn(F.col(self.cursor_path)).alias("v")]
+            if self.on_cursor_value_missing == "raise":
+                aggs.append(
+                    F.sum(F.col(self.cursor_path).isNull().cast("long")).alias("nulls")
+                )
+            row = df.agg(*aggs).collect()[0]
+            if self.on_cursor_value_missing == "raise" and (row["nulls"] or 0) > 0:
+                raise ValueError(
+                    f"cursor column {self.cursor_path!r} has {row['nulls']} NULL"
+                    " values; set on_cursor_value_missing to 'include' or 'exclude'"
+                )
+            new_last = row["v"]
+            if new_last is None:
+                return self
+            if self.last_value is not None:
+                keep = LAST_VALUE_FUNCS[self.last_value_func](new_last, self.last_value)
+                new_last = keep
         self.last_value = new_last
         if self.primary_key or self.range_start == "closed" or self.lag is not None:
             keys = self._dedup_keys(df.columns)
+            if self._custom_func is not None:
+                at_boundary = self._at_boundary_udf()(F.col(self.cursor_path))
+            else:
+                at_boundary = F.col(self.cursor_path) == F.lit(new_last)
             hash_df = (
-                df.filter(F.col(self.cursor_path) == F.lit(new_last))
+                df.filter(at_boundary)
                 .select(key_hash(*[F.col(k) for k in keys]).alias("h"))
                 .distinct()
             )
@@ -231,11 +381,18 @@ class Incremental:
     def to_state(self) -> dict:
         import decimal
 
+        def _ser(v):
+            if isinstance(v, (dt.datetime, dt.date)):
+                return v.isoformat()
+            if isinstance(v, decimal.Decimal):
+                return str(v)
+            return v
+
         lv = self.last_value
-        if isinstance(lv, (dt.datetime, dt.date)):
-            lv = lv.isoformat()
-        elif isinstance(lv, decimal.Decimal):
-            lv = str(lv)
+        if isinstance(lv, (list, tuple)):
+            lv = [_ser(x) for x in lv]
+        else:
+            lv = _ser(lv)
         return {
             "cursor_path": self.cursor_path,
             "last_value": lv,
@@ -256,12 +413,46 @@ class Incremental:
             lv = dt.date.fromisoformat(lv)
         elif lv is not None and t == "Decimal":
             lv = decimal.Decimal(lv)
+        elif lv is not None and t in ("tuple", "list"):
+            lv = tuple(lv)
         self.last_value = lv
         self.boundary_hashes = list(state.get("boundary_hashes", []))
         self.boundary_spilled = bool(state.get("boundary_spilled", False))
         if self.boundary_spilled and state.get("boundary_path"):
             self.spill_path = state["boundary_path"]
         return self
+
+
+def _is_null(v: Any) -> bool:
+    if v is None:
+        return True
+    try:
+        import math
+
+        return isinstance(v, float) and math.isnan(v)
+    except Exception:
+        return False
+
+
+def _norm_val(v: Any) -> Any:
+    """Normalize values crossing the Arrow/pandas boundary so equality is
+    well-defined: numpy scalars → python, arrays/lists → tuples (tuple
+    cursors), recursively."""
+    if v is None:
+        return None
+    if hasattr(v, "item") and type(v).__module__ == "numpy" and getattr(v, "ndim", 0) == 0:
+        return v.item()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
+def _delist(v: Any) -> Any:
+    """Inverse of tuple-normalization for values returned to Spark rows
+    (array columns want lists)."""
+    if isinstance(v, tuple):
+        return [_delist(x) for x in v]
+    return v
 
 
 def _apply_lag(value: Any, lag: float, last_value_func: str) -> Any:

@@ -151,3 +151,57 @@ def test_boundary_spill_small_set_stays_inline(spark):
     inc = Incremental("d", primary_key=["id"], boundary_hash_limit=10)
     inc.update_state(df)
     assert not inc.boundary_spilled and len(inc.boundary_hashes) == 5
+
+
+def test_custom_last_value_func_scalar(spark):
+    """Custom monotone callable (dict-free reference parity:
+    incremental/__init__.py:163) — ordering by absolute value."""
+    rows = [(1, -50), (2, 10), (3, 30), (4, -5)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    by_abs = lambda vals: max(vals, key=abs)
+    inc = Incremental("v", last_value_func=by_abs, primary_key=["id"])
+    inc.update_state(df)
+    assert inc.last_value == -50
+    # next batch: keep only rows with |v| >= 50 (closed start); drop the
+    # already-seen boundary row by pk-hash dedup
+    rows2 = [(1, -50), (5, 60), (6, 45), (7, -50)]
+    df2 = spark.createDataFrame(rows2, "id long, v long")
+    got = {r["id"] for r in inc.apply(df2).collect()}
+    assert got == {5, 7}  # id=1 seen at boundary, id=6 behind, id=7 new tie
+
+    # builtin callables normalize to the pushdown fast path
+    assert Incremental("v", last_value_func=max).last_value_func == "max"
+    assert Incremental("v", last_value_func=min).last_value_func == "min"
+
+
+def test_custom_last_value_func_tuple_cursor(spark):
+    """Composite (tuple) cursor over an array column; lexicographic custom
+    ordering; state round-trips through JSON-able lists."""
+    rows = [
+        (1, [2024, 1]), (2, [2024, 3]), (3, [2023, 12]),
+    ]
+    df = spark.createDataFrame(rows, "id long, ym array<int>")
+    lex = lambda vals: max(vals)
+    inc = Incremental("ym", last_value_func=lex, primary_key=["id"])
+    inc.update_state(df)
+    assert inc.last_value == (2024, 3)
+
+    state = inc.to_state()
+    import json as _json
+    _json.dumps(state)  # must be serializable
+    inc2 = Incremental("ym", last_value_func=lex, primary_key=["id"]).restore_state(state)
+    rows2 = [(2, [2024, 3]), (4, [2024, 2]), (5, [2024, 4]), (6, [2024, 3])]
+    df2 = spark.createDataFrame(rows2, "id long, ym array<int>")
+    got = {r["id"] for r in inc2.apply(df2).collect()}
+    assert got == {5, 6}  # 2 seen at boundary, 4 behind, 6 new tie at boundary
+
+
+def test_custom_func_end_value(spark):
+    rows = [(i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    inc = Incremental(
+        "v", last_value_func=lambda vals: max(vals),
+        initial_value=2, end_value=7, range_end="open",
+    )
+    got = {r["id"] for r in inc.apply(df).collect()}
+    assert got == {2, 3, 4, 5, 6}
