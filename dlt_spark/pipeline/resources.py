@@ -75,6 +75,7 @@ class DltResource:
         self.primary_key = [primary_key] if isinstance(primary_key, str) else primary_key
         self.merge_key = [merge_key] if isinstance(merge_key, str) else merge_key
         self.columns = columns or {}
+        self._pydantic_model = None
         self.incremental = incremental
         self.merge_strategy = merge_strategy
         self.max_table_nesting = max_table_nesting
@@ -85,6 +86,30 @@ class DltResource:
         self._limit: Optional[int] = None
         self._max_time: Optional[float] = None
         self._selected_tables: Optional[List[str]] = None
+        if self.columns:
+            self._adopt_columns_model()
+
+    def _adopt_columns_model(self) -> None:
+        """``columns=PydanticModel`` (reference ``validation.py:34`` +
+        ``libs/pydantic.py``): derive the column dict from the model and
+        append a validation df step whose modes come from the model's
+        ``extra`` config."""
+        cols = self.columns
+        if isinstance(cols, type):
+            from ..schema.pydantic import (
+                PYDANTIC_AVAILABLE,
+                model_validation_step,
+                pydantic_to_columns,
+            )
+
+            if not PYDANTIC_AVAILABLE:
+                raise ImportError(
+                    "columns=<class> requires pydantic; pass a dict column"
+                    " spec instead"
+                )
+            self._pydantic_model = cols
+            self.columns = pydantic_to_columns(cols)
+            self._df_steps.append(model_validation_step(cols))
 
     def apply_hints(
         self,
@@ -113,6 +138,7 @@ class DltResource:
             self.merge_key = mk or None
         if columns is not None:
             self.columns = columns
+            self._adopt_columns_model()
         if incremental is not None:
             self.incremental = incremental or None
         if merge_strategy is not None:
@@ -167,12 +193,26 @@ class DltResource:
         self,
         required: Optional[Dict[str, str]] = None,
         mode: str = "freeze",
+        model: Optional[type] = None,
+        column_mode: Optional[str] = None,
     ) -> "DltResource":
         """Schema validation step (reference ValidateItem /
-        pydantic integration, ``items_transform.py:148``):
+        pydantic integration, ``items_transform.py:148``,
+        ``validation.py:34``):
         ``required`` maps column -> Spark type name.  ``freeze`` raises on
         violation (FAILFAST), ``discard_row`` filters rows whose required
-        values are NULL after try_cast (DROPMALFORMED)."""
+        values are NULL after try_cast (DROPMALFORMED).  Alternatively pass
+        ``model=`` (a pydantic model class) for full per-item validation
+        with contract interplay (column_mode from the model's ``extra``
+        config unless given)."""
+        if model is not None:
+            from ..schema.pydantic import model_validation_step
+
+            data_mode = "discard_row" if mode == "discard_row" else mode
+            self._df_steps.append(
+                model_validation_step(model, column_mode=column_mode, data_mode=data_mode)
+            )
+            return self
         req = dict(required or {})
 
         def validate(df: DataFrame) -> DataFrame:
