@@ -249,6 +249,60 @@ def _jsonpath(obj: Any, path: str) -> Any:
     return cur
 
 
+class _Response:
+    """Minimal response object passed to response-action hooks (shape of
+    ``requests.Response`` as used by the reference hooks: status_code,
+    headers, text/content/json, mutable ``_content``)."""
+
+    def __init__(self, status_code: int, headers: Dict[str, str], content: bytes) -> None:
+        self.status_code = status_code
+        self.headers = headers
+        self._content = content or b""
+
+    @property
+    def content(self) -> bytes:
+        return self._content
+
+    @property
+    def text(self) -> str:
+        return self._content.decode("utf-8", errors="replace")
+
+    def json(self) -> Any:
+        return _json.loads(self._content) if self._content else None
+
+
+def _apply_response_actions(resp: _Response, actions: List[Any]) -> Optional[str]:
+    """Evaluate actions in order (reference ``_handle_response_action``,
+    ``config_setup.py:566``): first matching "ignore" wins; matching
+    callables run (and may mutate the response) without stopping the
+    scan."""
+    for action in actions:
+        if callable(action):
+            action(resp)
+            continue
+        status_code = action.get("status_code")
+        content_substr = action.get("content")
+        act = action.get("action")
+        matched = True
+        if status_code is not None and resp.status_code != status_code:
+            matched = False
+        if matched and content_substr is not None and content_substr not in resp.text:
+            matched = False
+        if not matched:
+            continue
+        if act == "ignore":
+            return "ignore"
+        hooks = act if isinstance(act, list) else [act]
+        for hook in hooks:
+            if not callable(hook):
+                raise TypeError(
+                    "response_actions action must be 'ignore', a callable,"
+                    f" or a list of callables; got {act!r}"
+                )
+            hook(resp)
+    return None
+
+
 class RESTClient:
     def __init__(
         self,
@@ -277,7 +331,16 @@ class RESTClient:
         paginator: Optional[object] = None,
         data_selector: Optional[str] = None,
         max_pages: int = 10_000,
+        response_actions: Optional[List[Any]] = None,
     ) -> Iterator[List[dict]]:
+        """``response_actions`` (reference ``rest_api/typing.py:264`` +
+        ``config_setup.py:566-672``): a list of per-response hooks applied
+        before the default raise-on-4xx.  Each action is either a callable
+        ``hook(response)`` (may mutate ``response._content``) or a dict
+        ``{status_code?, content?, action}`` where ``action`` is
+        ``"ignore"`` (end pagination quietly — e.g. 404-as-empty), a
+        callable, or a list of callables.  Unhandled error statuses still
+        raise (reference fallback ``raise_for_status``)."""
         paginator = paginator or SinglePagePaginator()
         url = f"{self.base_url}/{path.lstrip('/')}" if not path.startswith("http") else path
         params = dict(params or {})
@@ -292,6 +355,13 @@ class RESTClient:
                     p = {**p, **self.auth.params()}
             full = u + ("?" + urllib.parse.urlencode(p) if p else "")
             status, resp_headers, payload = self.session("GET", full, headers, None)
+            if response_actions:
+                resp = _Response(status, resp_headers, payload)
+                verdict = _apply_response_actions(resp, response_actions)
+                if verdict == "ignore":
+                    return  # treated as end-of-data (404-as-empty etc.)
+                payload = resp.content
+                status = resp.status_code  # hooks may overwrite it
             if status >= 400:
                 raise RuntimeError(f"GET {full} -> {status}")
             body = _json.loads(payload) if payload else {}
@@ -401,9 +471,11 @@ def rest_api_source(
             }
             static = {k: v for k, v in params.items() if k not in resolve}
             pag = endpoint.get("paginator") or client_cfg.get("paginator")
+            actions = endpoint.get("response_actions")
             if not resolve:
                 for page in client.paginate(
-                    endpoint["path"], static, pag, endpoint.get("data_selector")
+                    endpoint["path"], static, pag, endpoint.get("data_selector"),
+                    response_actions=actions,
                 ):
                     yield from page
                 return
@@ -412,7 +484,10 @@ def rest_api_source(
             parent_cfg = by_name[spec["resource"]]
             for parent_item in make_fetcher(parent_cfg)():
                 path = endpoint["path"].format(**{pname: parent_item[spec["field"]]})
-                for page in client.paginate(path, static, pag, endpoint.get("data_selector")):
+                for page in client.paginate(
+                    path, static, pag, endpoint.get("data_selector"),
+                    response_actions=actions,
+                ):
                     yield from page
 
         return fetch

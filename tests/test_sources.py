@@ -152,3 +152,99 @@ def test_jdbc_options():
     assert opts["numPartitions"] == "16"
     with pytest.raises(ValueError):
         sql_table_options("t", None, partition_column="id")
+
+
+# ------------------------------------------------- response actions
+
+
+def test_response_action_404_ignore():
+    """404 -> ignore ends pagination quietly (reference config_setup.py
+    IgnoreResponseException path): missing endpoint yields zero pages, no
+    raise."""
+    server = FakeServer()
+    client = ra.RESTClient("https://api.test", session=server)
+    pages = list(
+        client.paginate(
+            "/missing",
+            response_actions=[{"status_code": 404, "action": "ignore"}],
+        )
+    )
+    assert pages == []
+
+
+def test_response_action_unhandled_status_still_raises():
+    server = FakeServer()
+    client = ra.RESTClient("https://api.test", session=server)
+    with pytest.raises(RuntimeError, match="404"):
+        list(
+            client.paginate(
+                "/missing",
+                response_actions=[{"status_code": 500, "action": "ignore"}],
+            )
+        )
+
+
+def test_response_action_content_transform():
+    """Callable action mutates response content before parsing (reference
+    create_response_hooks docstring example: remove a field)."""
+    server = FakeServer()
+
+    def strip_id_2(resp):
+        payload = resp.json()
+        payload["users"] = [u for u in payload["users"] if u["id"] != 2]
+        resp._content = json.dumps(payload).encode()
+
+    client = ra.RESTClient("https://api.test", session=server)
+    pages = list(
+        client.paginate(
+            "/users",
+            paginator=ra.PageNumberPaginator(),
+            data_selector="users",
+            response_actions=[{"status_code": 200, "action": strip_id_2}],
+        )
+    )
+    ids = [u["id"] for p in pages for u in p]
+    assert ids == [1, 3]
+
+
+def test_response_action_content_match_and_bare_callable():
+    server = FakeServer()
+    seen = []
+
+    def observer(resp):
+        seen.append(resp.status_code)
+
+    client = ra.RESTClient("https://api.test", session=server)
+    pages = list(
+        client.paginate(
+            "/users",
+            paginator=ra.PageNumberPaginator(),
+            data_selector="users",
+            response_actions=[observer, {"content": "no-such-text", "action": "ignore"}],
+        )
+    )
+    assert [len(p) for p in pages if p] == [2, 1]  # content didn't match -> no ignore
+    assert seen and all(s == 200 for s in seen)
+
+
+def test_response_actions_in_source_config(spark):
+    server = FakeServer()
+    src = ra.rest_api_source(
+        {
+            "client": {"base_url": "https://api.test"},
+            "resources": [
+                {
+                    "name": "ghosts",
+                    "endpoint": {
+                        "path": "/missing",
+                        "response_actions": [{"status_code": 404, "action": "ignore"}],
+                    },
+                }
+            ],
+        },
+        session=server,
+    )
+    items = list(src.resources["ghosts"]._iter_items_for_test()) if hasattr(
+        src.resources["ghosts"], "_iter_items_for_test"
+    ) else list(src.resources["ghosts"]._data())
+    assert items == []
