@@ -237,8 +237,15 @@ def jaccard_pairs(
     )
     sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
     # the inverted index is consumed three times (doc sizes + both sides
-    # of the self-join) — persist it so the shingle computation runs once
-    sh = sh.persist()
+    # of the self-join) — persist it so the shingle computation runs once.
+    # DISK_ONLY: the exploded index is ~10-50x input size; caching it
+    # deserialized in executor memory evicts everything else at corpus
+    # scale.  The returned DataFrame carries the handle in
+    # ``_dlt_persisted`` — long-lived sessions should unpersist after
+    # materializing the result.
+    from pyspark import StorageLevel
+
+    sh = sh_persisted = sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if max_shingle_freq:
         freq_ok = (
@@ -265,6 +272,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._dlt_persisted = [sh_persisted]  # unpersist these after materializing
     return out
 
 
@@ -288,7 +296,10 @@ def containment_pairs(
         _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)
     )
     sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
-    sh = sh.persist()
+    # DISK_ONLY + exposed handle — see jaccard_pairs
+    from pyspark import StorageLevel
+
+    sh = sh_persisted = sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if max_shingle_freq:
         freq_ok = (
@@ -303,7 +314,7 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
         .withColumn(
@@ -317,6 +328,8 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment", "contained")
     )
+    out._dlt_persisted = [sh_persisted]  # unpersist these after materializing
+    return out
 
 
 # --------------------------------------------------------- minhash lsh
@@ -602,7 +615,9 @@ def dedup_against(
     )
 
     losers = exact_losers.union(near_losers).distinct().withColumnRenamed("_loser", id_col)
-    return new.join(losers, id_col, "left_anti")
+    out = new.join(losers, id_col, "left_anti")
+    out._dlt_persisted = [new]  # unpersist after materializing the survivors
+    return out
 
 
 # ------------------------------------------------------------- simhash
@@ -788,17 +803,33 @@ def embedding_dedup(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 2000,
 ) -> DataFrame:
     """Embedding near-dup removal at scale: hyperplane-LSH bucketing
     (same-signature candidates only — no all-pairs), exact cosine
     verification inside buckets, then greedy keep-min-id via connected
-    components.  Returns the rows to KEEP."""
+    components.  Returns the rows to KEEP.
+
+    ``max_bucket_size`` is the hot-bucket skew guard (same role as
+    ``max_shingle_freq`` on the shingle path): a degenerate bucket —
+    near-constant embeddings, zero vectors — would otherwise produce k²
+    candidate pairs in the self-join.  Oversized buckets are skipped
+    (their members simply aren't deduped); pass ``None`` for exact
+    small-corpus audits."""
     from .similarity import lsh_index
 
     if dim is None:
         first = df.select(vec_col).first()
         dim = len(first[0])
     indexed = lsh_index(df, dim, id_col=id_col, vec_col=vec_col, num_planes=num_planes, seed=seed)
+    if max_bucket_size:
+        bucket_ok = (
+            indexed.groupBy("_lsh_bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("_lsh_bucket")
+        )
+        indexed = indexed.join(bucket_ok, "_lsh_bucket", "left_semi")
     a = indexed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_lsh_bucket"
     )
@@ -826,9 +857,24 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     decimals: int = 6,
+    max_rows: Optional[int] = 100_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (brute force — bounded sets / the
-    verification stage after LSH bucketing at scale)."""
+    verification stage after LSH bucketing at scale).
+
+    HARD GUARD: this is O(n²).  If the input exceeds ``max_rows`` the call
+    raises and points at :func:`embedding_dedup` (LSH-bucketed), so a
+    corpus can't be pointed at the quadratic path by accident.  ``None``
+    disables the count check (callers that already bounded the input)."""
+    if max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is brute-force O(n²) and got {n_rows}"
+                f" rows (> max_rows={max_rows}); use embedding_dedup()"
+                " (LSH-bucketed) for corpora, or pass max_rows=None if the"
+                " input is intentionally this large"
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

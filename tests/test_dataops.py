@@ -215,3 +215,50 @@ def test_containment_pairs_catch_excerpts(spark):
     assert r["contained"] == 2  # the smaller doc is the contained one
     jac = dd.jaccard_pairs(df, "doc_id", n=3, threshold=0.9).collect()
     assert jac == []  # symmetric jaccard dilutes the excerpt away
+
+
+def test_embedding_dedup_hot_bucket_cap(spark):
+    """A degenerate bucket (identical embeddings) larger than
+    max_bucket_size is skipped — its members are NOT deduped — while
+    normal buckets still dedup (the skew guard trades recall for bounded
+    join fan-out, like max_shingle_freq)."""
+    import dlt_spark.dataops.dedup as dd
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]        # one hot bucket
+    near = [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.999, 0.01, 0.0])]
+    df = spark.createDataFrame(hot + near, "vec_id long, embedding array<double>")
+    kept_capped = dd.embedding_dedup(
+        df, "vec_id", dim=4, threshold=0.95, max_bucket_size=5
+    )
+    ids = {r["vec_id"] for r in kept_capped.collect()}
+    assert set(range(20)) <= ids          # hot bucket skipped -> all kept
+    assert len(ids & {100, 101}) == 1     # normal bucket still deduped
+
+    kept_uncapped = dd.embedding_dedup(
+        df, "vec_id", dim=4, threshold=0.95, max_bucket_size=None
+    )
+    assert kept_uncapped.count() == 2     # 1 survivor per duplicate group
+
+
+def test_embedding_dup_pairs_brute_force_guard(spark):
+    import dlt_spark.dataops.dedup as dd
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="brute-force"):
+        dd.embedding_dup_pairs(df, "vec_id", max_rows=10).collect()
+    # bounded input passes
+    assert dd.embedding_dup_pairs(df.limit(5), "vec_id", max_rows=10) is not None
+
+
+def test_jaccard_pairs_exposes_persist_handle(spark, docs):
+    import dlt_spark.dataops.dedup as dd
+    from pyspark import StorageLevel
+
+    out = dd.jaccard_pairs(docs, "doc_id", n=2, threshold=0.3)
+    out.collect()
+    handles = getattr(out, "_dlt_persisted", [])
+    assert handles and handles[0].storageLevel == StorageLevel.DISK_ONLY
+    for h in handles:
+        h.unpersist()
