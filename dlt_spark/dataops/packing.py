@@ -58,10 +58,13 @@ def pack_sequences(
     sequences, exactly like training-time chunking).
     """
     toks = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    # clamp to >= 1: a zero/NULL-token document at cum_before=0 would make
+    # end_seq = shard*SHIFT - 1, straddling shard namespaces (and blowing
+    # up sequences_needed); a degenerate doc still occupies one token slot
     base = df.select(
         F.col(id_col).alias("id"),
         shard_of(F.col(id_col), num_shards),
-        toks.cast("bigint").alias("n_tokens"),
+        F.greatest(F.coalesce(toks.cast("bigint"), F.lit(1)), F.lit(1)).alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -22,18 +22,20 @@ from pyspark.sql import functions as F
 
 
 def _stats_exprs(cols: Sequence[str], exact: bool) -> List:
+    # aliases are index-keyed, never interpolate raw column names (a
+    # column named "a b" or "x'y" must not break the stack() unpivot)
     out = []
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
         distinct = (
             F.countDistinct(col) if exact else F.approx_count_distinct(col)
         )
         out += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(col.isNull().cast("bigint")).alias(f"__nulls_{c}"),
-            distinct.alias(f"__dist_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(col.isNull().cast("bigint")).alias(f"__nulls_{i}"),
+            distinct.alias(f"__dist_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
         ]
     return out
 
@@ -46,8 +48,13 @@ def profile(
     distinct counts to HLL sketches for the 100 TB path."""
     cols = list(columns or df.columns)
     wide = df.agg(*_stats_exprs(cols, exact))
+
+    def _q(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __n_{c}, __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+        f"{_q(c)}, __n_{i}, __nulls_{i}, __dist_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
     )
     long = wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) as "

@@ -140,10 +140,18 @@ def percentile_tiers(
 
     At extreme scale swap the exact percentile for approx_percentile —
     same plan shape, sketch-merged boundaries."""
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
+    if tiles == 1:
+        return df.withColumn(tier_col, F.lit(1).cast("bigint"))
     probs = [i / tiles for i in range(1, tiles)]
     cuts = df.agg(
         F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("c")
     ).collect()[0]["c"]
+    if cuts is None or any(c is None for c in cuts):
+        # empty or all-null input: no boundaries exist; everything is
+        # tier `tiles` (NULL values sort lowest, matching the CASE below)
+        return df.withColumn(tier_col, F.lit(tiles).cast("bigint"))
     expr = None
     for i, cut in enumerate(reversed(cuts)):  # highest boundary first
         cond = F.col(col) >= F.lit(float(cut))

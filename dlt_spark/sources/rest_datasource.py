@@ -188,14 +188,20 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch REST polling: dlt's incremental-cursor model mapped
     onto Structured Streaming offsets.
 
-    The offset is ``{"page": N}`` — the next page to poll.  Each batch
-    reads up to ``pages_per_batch`` pages and advances past every page
-    that returned items, so the page space is treated as append-only
-    (new data arrives as new pages — cursor-API semantics).  Replays
-    (``readBetweenOffsets``) re-fetch the exact page range, giving the
-    deterministic re-read Structured Streaming needs for exactly-once
-    sinks.  Page-number pagination only; runs on the driver (a poll
-    loop, not a scan — the heavy backfill path is the batch reader).
+    The offset is ``{"page": N, "row": R}`` — the next page to poll and
+    how many of its rows were already emitted.  With ``page_size`` set,
+    the reader only advances PAST pages that returned exactly
+    ``page_size`` items; a partially-filled tail page is emitted from
+    ``row`` onward and re-polled next batch, so items that later fill it
+    up are picked up exactly once (a feed whose total is not
+    page-aligned would otherwise lose them).  Without ``page_size`` the
+    reader falls back to advancing past any non-empty page, which is
+    only exactly-once for page spaces that grow in whole pages.  Replays
+    (``readBetweenOffsets``) re-fetch the exact page/row range, giving
+    the deterministic re-read Structured Streaming needs for
+    exactly-once sinks.  Page-number pagination only; runs on the driver
+    (a poll loop, not a scan — the heavy backfill path is the batch
+    reader).
     """
 
     def __init__(self, schema, options: dict):
@@ -210,6 +216,8 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         self.transport = options.get("transport")
         self.headers = _json.loads(options.get("headers", "{}"))
         self.pages_per_batch = int(options.get("pages_per_batch", "10"))
+        ps = options.get("page_size")
+        self.page_size = int(ps) if ps is not None else None
         self.start_page = int(self.paginator_cfg.get("start", 1))
         self.fields = [f.name for f in schema.fields]
 
@@ -221,11 +229,12 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                              retry={"max_attempts": 3})
 
     def initialOffset(self) -> dict:
-        return {"page": self.start_page}
+        return {"page": self.start_page, "row": 0}
 
-    def _fetch_pages(self, first_page: int, max_pages: int):
+    def _fetch_page_lists(self, first_page: int, max_pages: int):
+        """Raw item lists per page, stopping at the first empty page."""
         pag = _make_paginator(self.paginator_cfg, start_override=first_page)
-        rows, pages_with_items = [], 0
+        pages: List[list] = []
         for items in self._client().paginate(
             self.path,
             params=dict(self.params),
@@ -235,21 +244,46 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         ):
             if not items:
                 break
-            pages_with_items += 1
-            rows.extend(tuple(item.get(f) for f in self.fields) for item in items)
-        return rows, pages_with_items
+            pages.append(items)
+        return pages
+
+    def _to_rows(self, items: list) -> list:
+        return [tuple(item.get(f) for f in self.fields) for item in items]
 
     def read(self, start: dict):
         page = int(start["page"])
-        rows, n = self._fetch_pages(page, self.pages_per_batch)
-        return iter(rows), {"page": page + n}
+        skip = int(start.get("row", 0))
+        pages = self._fetch_page_lists(page, self.pages_per_batch)
+        rows: list = []
+        cur = page
+        for i, items in enumerate(pages):
+            first_skip = skip if i == 0 else 0
+            if self.page_size is not None and len(items) < self.page_size:
+                # partial tail page: emit the unseen rows but do NOT
+                # advance past it — later-arriving items that fill the
+                # page are picked up next batch (exactly-once for
+                # non-page-aligned growth)
+                rows.extend(self._to_rows(items[first_skip:]))
+                return iter(rows), {"page": cur, "row": len(items)}
+            rows.extend(self._to_rows(items[first_skip:]))
+            cur += 1
+        return iter(rows), {"page": cur, "row": 0}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         page = int(start["page"])
-        n = int(end["page"]) - page
+        skip = int(start.get("row", 0))
+        end_page = int(end["page"])
+        end_row = int(end.get("row", 0))
+        n = end_page - page + (1 if end_row > 0 else 0)
         if n <= 0:
             return iter([])
-        rows, _ = self._fetch_pages(page, n)
+        pages = self._fetch_page_lists(page, n)
+        rows: list = []
+        for i, items in enumerate(pages):
+            first_skip = skip if i == 0 else 0
+            if page + i == end_page:
+                items = items[:end_row]
+            rows.extend(self._to_rows(items[first_skip:]))
         return iter(rows)
 
     def commit(self, end: dict) -> None:

@@ -175,3 +175,48 @@ def test_streaming_rest_to_store_exactly_once(spark, tmp_path):
         assert len(pipe.dataset().load_ids()) >= 2  # one commit per batch
     finally:
         dt.set_feed_total(0)
+
+
+def test_streaming_non_page_aligned_growth(spark, tmp_path):
+    """The exactly-once gap flagged in round 3: a partially-filled tail
+    page that later fills up.  With page_size set, the reader re-polls
+    the partial page and emits only the unseen rows."""
+    from dlt_spark.sources import demo_transport as dt
+
+    dt.set_feed_total(dt.PAGE_SIZE + 7)  # one full page + 7-item partial tail
+    seen = []
+
+    q = (
+        spark.readStream.format("dlt_rest")
+        .options(
+            base_url="https://api.example.com",
+            path="feed",
+            schema_ddl="id long, kind string",
+            data_selector="events",
+            transport=TRANSPORT,
+            paginator=json.dumps({"type": "page_number"}),
+            pages_per_batch="5",
+            page_size=str(dt.PAGE_SIZE),
+        )
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: seen.extend(r["id"] for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(dt.PAGE_SIZE + 7))
+        # the partial page fills up AND a new partial page appears
+        dt.set_feed_total(2 * dt.PAGE_SIZE + 3)
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(2 * dt.PAGE_SIZE + 3))
+        assert len(seen) == len(set(seen))  # exactly once, no loss
+        # grow once more within the same tail page
+        dt.set_feed_total(2 * dt.PAGE_SIZE + 9)
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(2 * dt.PAGE_SIZE + 9))
+        assert len(seen) == len(set(seen))
+    finally:
+        q.stop()
+        dt.set_feed_total(0)

@@ -59,3 +59,47 @@ def test_hash_fraction_range(spark, ids):
         F.max(hash_fraction(F.col("id"))).alias("hi"),
     ).collect()[0]
     assert 0.0 <= row["lo"] and row["hi"] < 1.0
+
+
+def test_percentile_tiers_edge_inputs(spark):
+    """Round-3 advice: tiles=1 and empty/all-null inputs must not crash."""
+    from dlt_spark.dataops.sampling import percentile_tiers
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    one = percentile_tiers(df, "v", tiles=1)
+    assert {r["tier"] for r in one.collect()} == {1}
+
+    empty = spark.createDataFrame([], "id long, v double")
+    assert percentile_tiers(empty, "v", tiles=4).count() == 0
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    got = percentile_tiers(nulls, "v", tiles=4).collect()
+    assert {r["tier"] for r in got} == {4}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tiles"):
+        percentile_tiers(df, "v", tiles=0)
+
+
+def test_pack_sequences_zero_token_clamp(spark):
+    """Round-3 advice: a zero/NULL-token doc must not straddle shard
+    namespaces (end_seq >= begin_seq >= shard base)."""
+    from dlt_spark.dataops.packing import pack_sequences, _SEQ_SHIFT
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 100), (3, None)], "id long, n long"
+    )
+    out = pack_sequences(df, "id", "n", seq_len=64, num_shards=4).collect()
+    for r in out:
+        assert r["n_tokens"] >= 1
+        base = r["shard"] * _SEQ_SHIFT
+        assert base <= r["begin_seq"] <= r["end_seq"] < base + _SEQ_SHIFT
+
+
+def test_profile_handles_odd_column_names(spark):
+    from dlt_spark.dataops.profiling import profile
+
+    df = spark.createDataFrame([(1, "x")], "id long, `weird col'name` string")
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert set(rows) == {"id", "weird col'name"}
+    assert rows["id"]["n_nulls"] == 0
