@@ -117,6 +117,7 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict = {}
+    errors: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs.get(name)
@@ -124,31 +125,47 @@ def main() -> None:
             continue
         # warm the input file cache metadata, then time plan + execution
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as ex:
+            # one broken query must not hide the other 58 numbers (round
+            # 2's bench was dead a whole round) — record, continue, and
+            # exit non-zero with a loud banner at the end
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
-    _print_diff_vs_previous(timings, total, sf)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wallclock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    prev_delta = _diff_vs_previous(timings, sf)
+    result = {
+        "metric": "headline_queries_total_wallclock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if prev_delta:
+        result["prev_delta"] = prev_delta
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    if errors:
+        print(
+            f"# BENCH FAILED: {len(errors)} of {len(errors) + len(timings)}"
+            f" queries raised: {sorted(errors)}",
+            file=sys.stderr,
         )
-    )
+        sys.exit(1)
 
 
-def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
+def _diff_vs_previous(timings: dict, sf: float) -> dict:
     """Round-over-round regression visibility: diff against the newest
-    BENCH_r*.json in the repo root (stderr only — stdout stays one JSON
-    line for the driver)."""
+    BENCH_r*.json in the repo root.  Prints the human diff to stderr and
+    returns {query: delta_sec} for the JSON line (``prev_delta``)."""
     import glob
     import re as _re
 
@@ -158,7 +175,7 @@ def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
         key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
     )
     if not benches:
-        return
+        return {}
     prev_path = benches[-1]
     try:
         with open(prev_path) as f:
@@ -171,16 +188,16 @@ def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
         prev_sf = prev.get("sf")
     except Exception as ex:  # diff is best-effort, never break the bench
         print(f"# bench-diff: could not read {prev_path}: {ex}", file=sys.stderr)
-        return
+        return {}
     if not prev_q:
-        return
+        return {}
     tag = os.path.basename(prev_path)
     if prev_sf is not None and prev_sf != sf:
         print(
             f"# bench-diff vs {tag}: SKIPPED (prev sf={prev_sf}, now sf={sf})",
             file=sys.stderr,
         )
-        return
+        return {}
     prev_total = sum(v for k, v in prev_q.items() if k in timings)
     now_total = sum(v for k, v in timings.items() if k in prev_q)
     print(
@@ -188,6 +205,7 @@ def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
         f" ({(now_total - prev_total) / max(prev_total, 1e-9) * 100:+.0f}%)",
         file=sys.stderr,
     )
+    deltas: dict = {}
     for name, now in sorted(
         timings.items(),
         key=lambda kv: kv[1] - prev_q.get(kv[0], kv[1]),
@@ -197,11 +215,13 @@ def _print_diff_vs_previous(timings: dict, total: float, sf: float) -> None:
             print(f"#   {name}: NEW {now:.2f}s", file=sys.stderr)
             continue
         delta = now - prev_q[name]
+        deltas[name] = round(delta, 3)
         if abs(delta) >= 0.3:  # below that is session noise
             print(
                 f"#   {name}: {prev_q[name]:.2f}s -> {now:.2f}s ({delta:+.2f}s)",
                 file=sys.stderr,
             )
+    return deltas
 
 
 if __name__ == "__main__":

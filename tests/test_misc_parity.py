@@ -57,6 +57,12 @@ def test_arrow_fetch_surfaces(spark, tmp_path):
     rel = pipe.dataset()["t"].select("id").order_by("id")
     tbl = rel.arrow()
     assert tbl.num_rows == 5
+    # native toArrow() path: arrow types come straight from Spark, no
+    # pandas intermediary (int64 stays int64, schema carried through)
+    import pyarrow as pa
+
+    assert isinstance(tbl, pa.Table) and tbl.schema.field("id").type == pa.int64()
+    assert hasattr(rel._df, "toArrow")  # Spark 4 native path exists
     chunks = list(rel.iter_arrow(chunk_size=2))
     assert sum(c.num_rows for c in chunks) == 5
     batches = list(rel.iter_fetch(chunk_size=2))
