@@ -167,12 +167,33 @@ class DirectNaming:
     normalize_table_identifier = normalize_identifier
 
 
+class S3TablesNaming(SnakeCaseNaming):
+    """Reference ``s3_tables`` (``naming/s3_tables.py``): snake_case with
+    a 255-char cap (AWS S3 Tables rule) and leading underscores removed
+    from TABLE identifiers (column identifiers keep them)."""
+
+    MAX_IDENTIFIER_LENGTH = 255
+
+    def __init__(self, max_length: int = 0) -> None:
+        if max_length and max_length > self.MAX_IDENTIFIER_LENGTH:
+            raise ValueError(
+                "max_length for s3_tables naming may not exceed"
+                f" {self.MAX_IDENTIFIER_LENGTH}"
+            )
+        super().__init__(max_length or self.MAX_IDENTIFIER_LENGTH)
+
+    def normalize_table_identifier(self, identifier: str) -> str:
+        norm = self.normalize_identifier(identifier)
+        return re.sub(r"^_+", "", norm) or norm
+
+
 NAMING_CONVENTIONS = {
     "snake_case": SnakeCaseNaming,
     "duck_case": DuckCaseNaming,
     "direct": DirectNaming,
     "sql_cs_v1": SqlCsNaming,
     "sql_ci_v1": SqlCiNaming,
+    "s3_tables": S3TablesNaming,
 }
 
 

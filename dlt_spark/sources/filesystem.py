@@ -56,6 +56,41 @@ def read_csv(spark: SparkSession, path: str, **options: str) -> DataFrame:
     )
 
 
+def read_csv_duckdb(
+    spark: SparkSession,
+    path: str,
+    chunk_size: int = 5000,
+    **duckdb_kwargs,
+) -> DataFrame:
+    """DuckDB-engine CSV import (reference ``readers.py:101
+    _read_csv_duckdb``): DuckDB's sniffer handles ragged quoting, mixed
+    date formats and dialect quirks that Spark's CSV parser rejects, and
+    its type casts replace inferSchema.  The scan streams Arrow record
+    batches of ``chunk_size`` rows into one Spark DataFrame.
+
+    Driver-side by design, exactly like the reference (a Python loop over
+    the file) — use :func:`read_csv` (distributed Spark scan) for large
+    data; this is the escape hatch for messy small/medium files.
+    ``duckdb_kwargs`` pass through to ``duckdb.read_csv`` (e.g.
+    ``delim``, ``dateformat``, ``types``)."""
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    try:
+        rel = con.read_csv(path, **duckdb_kwargs)
+        reader = rel.fetch_arrow_reader(batch_size=chunk_size)
+        batches = list(reader)
+        tbl = (
+            pa.Table.from_batches(batches)
+            if batches
+            else rel.arrow().slice(0, 0)
+        )
+    finally:
+        con.close()
+    return spark.createDataFrame(tbl).withColumn("_file_url", F.lit(path))
+
+
 def read_jsonl(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """JSON-lines scan (reference ``readers.py:51 read_jsonl``)."""
     return (

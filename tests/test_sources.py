@@ -248,3 +248,35 @@ def test_response_actions_in_source_config(spark):
         src.resources["ghosts"], "_iter_items_for_test"
     ) else list(src.resources["ghosts"]._data())
     assert items == []
+
+
+# ------------------------------------------------- duckdb csv + s3 naming
+
+
+def test_read_csv_duckdb(spark, tmp_path):
+    """DuckDB-engine CSV import handles typed casts + chunked Arrow
+    transfer (reference readers.py:101 _read_csv_duckdb)."""
+    from dlt_spark.sources.filesystem import read_csv_duckdb
+
+    p = tmp_path / "messy.csv"
+    p.write_text("id,when,amt\n1,2024-01-02,3.5\n2,2024-02-03,4.25\n3,2024-03-04,0.5\n")
+    df = read_csv_duckdb(spark, str(p), chunk_size=2)
+    assert df.count() == 3
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint" and types["amt"] == "double"
+    assert types["when"] == "date"
+    assert df.filter("_file_url IS NOT NULL").count() == 3
+
+
+def test_s3_tables_naming():
+    from dlt_spark.schema.naming import naming_from_name
+
+    n = naming_from_name("s3_tables")
+    # table ids: snake_case + leading underscores stripped (AWS rule)
+    assert n.normalize_table_identifier("_dltLoadId") == "dlt_load_id"
+    # column ids keep leading underscores (only tables differ)
+    assert n.normalize_identifier("_dlt_id") == "_dlt_id"
+    assert n.max_length == 255
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="may not exceed"):
+        naming_from_name("s3_tables", max_length=300)
