@@ -110,21 +110,28 @@ class LoadStage:
         # (the reference's per-destination ORDER BY/cluster hint analog).
         # sortWithinPartitions is a narrow, per-task sort — no shuffle.
         sort_by = _hint_cols(table, "sort")
+        present_sort = None
         if sort_by:
-            present = [c for c in sort_by if c in df.columns]
-            if present:
-                df = df.sortWithinPartitions(*present)
+            present_sort = [c for c in sort_by if c in df.columns] or None
+            if present_sort:
+                df = df.sortWithinPartitions(*present_sort)
 
         if disposition == "append":
             if dest is None:
-                self.store.append(df, name, partition_by=partition_by)
+                self.store.append(df, name, partition_by=partition_by, sort_by=present_sort)
             elif set(df.columns) != set(dest.columns):
-                self.store.overwrite(union_evolved(dest, df), name, partition_by=partition_by)
+                self.store.overwrite(
+                    union_evolved(dest, df), name, partition_by=partition_by, sort_by=present_sort
+                )
             else:
-                self.store.append(df.select(*dest.columns), name, partition_by=partition_by)
+                self.store.append(
+                    df.select(*dest.columns), name, partition_by=partition_by, sort_by=present_sort
+                )
             return
         if disposition == "replace":
-            self.store.overwrite(D.replace_table(df), name, partition_by=partition_by)
+            self.store.overwrite(
+                D.replace_table(df), name, partition_by=partition_by, sort_by=present_sort
+            )
             return
         if disposition == "merge":
             strategy = table.get("x_merge_strategy", "delete-insert")

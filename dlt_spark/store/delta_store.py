@@ -74,7 +74,9 @@ class DeltaTableStore(TableStore):
             raise FileNotFoundError(f"table {table!r} does not exist in {self.root}")
         return self.spark.read.format("delta").load(self._path(table))
 
-    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None, sort_by: Optional[List[str]] = None) -> None:
+        # Delta does its own data skipping from the transaction log; the
+        # sort_by hint is honored by the row clustering upstream
         w = df.write.format("delta").mode("append").option("mergeSchema", "true")
         if partition_by and not self.exists(table):
             w = w.partitionBy(*partition_by)  # spec is fixed at creation
@@ -89,7 +91,7 @@ class DeltaTableStore(TableStore):
         df = self.spark.createDataFrame(tbl.to_pandas())
         self.append(df, table)
 
-    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None, sort_by: Optional[List[str]] = None) -> None:
         w = (
             df.write.format("delta")
             .mode("overwrite")

@@ -41,7 +41,13 @@ class TableStore:
     def read(self, table: str) -> DataFrame:
         raise NotImplementedError
 
-    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[List[str]] = None,
+        sort_by: Optional[List[str]] = None,
+    ) -> None:
         raise NotImplementedError
 
     def append_rows(self, rows: List[dict], table: str, schema: "object" = None) -> None:
@@ -53,7 +59,13 @@ class TableStore:
         (which is exactly what the reference emits, ``load.py:605``)."""
         raise NotImplementedError
 
-    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[List[str]] = None,
+        sort_by: Optional[List[str]] = None,
+    ) -> None:
         raise NotImplementedError
 
     def truncate(self, table: str) -> None:
@@ -64,6 +76,37 @@ class TableStore:
 
     def list_tables(self) -> List[str]:
         raise NotImplementedError
+
+
+def _json_stat(v):
+    """Footer statistic -> JSON-able, comparison-stable form.  Numbers
+    stay numeric; dates/timestamps/bytes become ISO/utf-8 strings (ISO
+    compares lexically in the right order)."""
+    import datetime as _dt
+
+    if isinstance(v, (int, float, bool)) or v is None:
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
+
+
+def _ranges_overlap(stats: dict, where: List[tuple]) -> bool:
+    """True if the file may contain rows in every requested range (files
+    lacking stats for a predicate column always pass — safe side)."""
+    for col, lo, hi in where:
+        s = stats.get(col)
+        if not s:
+            continue
+        lo_n = _json_stat(lo) if lo is not None else None
+        hi_n = _json_stat(hi) if hi is not None else None
+        if hi_n is not None and s["min"] is not None and s["min"] > hi_n:
+            return False
+        if lo_n is not None and s["max"] is not None and s["max"] < lo_n:
+            return False
+    return True
 
 
 class ParquetTableStore(TableStore):
@@ -113,7 +156,15 @@ class ParquetTableStore(TableStore):
         meta = self._current_meta(table)
         return bool(meta and meta["paths"])
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, where: Optional[List[tuple]] = None) -> DataFrame:
+        """``where``: optional ``[(col, lo, hi), ...]`` range predicates
+        used for manifest-driven FILE skipping (the Delta/Iceberg data-
+        skipping analog): files whose recorded min/max for a ``sort``-
+        hinted column don't overlap the range are never opened.  ``lo`` /
+        ``hi`` of ``None`` mean unbounded.  Files without stats always
+        scan (correctness over optimism).  The returned DataFrame still
+        applies nothing row-level — add the real ``.filter`` on top; this
+        only narrows the file list the scan starts from."""
         paths = self._data_paths(table)
         if not paths:
             raise FileNotFoundError(f"table {table!r} is empty and schemaless")
@@ -125,16 +176,45 @@ class ParquetTableStore(TableStore):
             for p in paths[1:]:
                 out = out.unionByName(self.spark.read.parquet(p), allowMissingColumns=True)
             return out
+        if where and not meta.get("partition_by"):
+            pruned = self._prune_paths(paths, where)
+            if pruned is not None:
+                if not pruned:
+                    # every file skipped: empty frame with the table schema
+                    return self.spark.read.parquet(*paths).limit(0)
+                return self.spark.read.parquet(*pruned)
         return self.spark.read.parquet(*paths)
 
-    def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def skipped_files(self, table: str, where: List[tuple]) -> tuple:
+        """(total_files, files_after_pruning) — observability for tests
+        and ops."""
+        paths = self._data_paths(table)
+        all_files = []
+        for d in paths:
+            all_files.extend(self._list_parquet(d))
+        pruned = self._prune_paths(paths, where)
+        return len(all_files), (len(pruned) if pruned is not None else len(all_files))
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[List[str]] = None,
+        sort_by: Optional[List[str]] = None,
+    ) -> None:
         v = self._next_version(table)
         new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
         prev = self._current_meta(table)
         partition_by = partition_by or (prev or {}).get("partition_by")
+        sort_by = sort_by or (prev or {}).get("sort_by")
         self._write(df, new_dir, partition_by)
+        if sort_by and not partition_by:
+            self._write_manifest(new_dir, sort_by)
         paths = (prev["paths"] if prev else []) + [new_dir]
-        self._commit(table, {"version": v, "paths": paths, "partition_by": partition_by})
+        self._commit(
+            table,
+            {"version": v, "paths": paths, "partition_by": partition_by, "sort_by": sort_by},
+        )
 
     def append_rows(self, rows: List[dict], table: str, schema: "object" = None) -> None:
         import pyarrow as pa
@@ -156,12 +236,21 @@ class ParquetTableStore(TableStore):
             },
         )
 
-    def overwrite(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: Optional[List[str]] = None,
+        sort_by: Optional[List[str]] = None,
+    ) -> None:
         v = self._next_version(table)
         new_dir = os.path.join(self._table_dir(table), f"v_{v:08d}")
         prev = self._current_meta(table)
         partition_by = partition_by or (prev or {}).get("partition_by")
+        sort_by = sort_by or (prev or {}).get("sort_by")
         self._write(df, new_dir, partition_by)
+        if sort_by and not partition_by:
+            self._write_manifest(new_dir, sort_by)
         # remember the full previous snapshot so vacuum never deletes dirs
         # that lazy DataFrames built from snapshot N-1 may still read
         # (a load package overwrites the root, then evaluates child plans
@@ -172,10 +261,79 @@ class ParquetTableStore(TableStore):
                 "version": v,
                 "paths": [new_dir],
                 "partition_by": partition_by,
+                "sort_by": sort_by,
                 "prev_paths": (prev or {}).get("paths", []),
             },
         )
         self._vacuum(table)
+
+    # -- manifest min/max file skipping (Delta data-skipping analog) --
+
+    MANIFEST = "_manifest.json"
+
+    @staticmethod
+    def _list_parquet(version_dir: str) -> List[str]:
+        if not os.path.isdir(version_dir):
+            return []
+        return sorted(
+            os.path.join(version_dir, f)
+            for f in os.listdir(version_dir)
+            if f.endswith(".parquet")
+        )
+
+    def _write_manifest(self, version_dir: str, sort_by: List[str]) -> None:
+        """Per-file min/max of the sort columns, read from the parquet
+        footers the write just produced (driver-side, O(files) footer
+        reads — the same stats Delta records in its transaction log).
+        The `sort` hint clusters rows per file, so the ranges are tight
+        and file skipping actually bites."""
+        import pyarrow.parquet as pq
+
+        entries = []
+        for f in self._list_parquet(version_dir):
+            md = pq.ParquetFile(f).metadata
+            stats: dict = {}
+            for col in sort_by:
+                try:
+                    idx = md.schema.to_arrow_schema().get_field_index(col)
+                except Exception:
+                    idx = -1
+                if idx < 0:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(idx).statistics
+                    if s is None or not s.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                if mins:
+                    stats[col] = {
+                        "min": _json_stat(min(mins)),
+                        "max": _json_stat(max(maxs)),
+                    }
+            entries.append({"file": os.path.basename(f), "stats": stats})
+        with open(os.path.join(version_dir, self.MANIFEST), "w") as fh:
+            json.dump({"sort_by": sort_by, "files": entries}, fh)
+
+    def _prune_paths(self, version_dirs: List[str], where: List[tuple]) -> Optional[List[str]]:
+        """File list after manifest pruning; None = no manifest anywhere
+        (caller falls back to full-dir scan)."""
+        any_manifest = False
+        out: List[str] = []
+        for d in version_dirs:
+            mpath = os.path.join(d, self.MANIFEST)
+            if not os.path.exists(mpath):
+                out.extend(self._list_parquet(d) or [d])
+                continue
+            any_manifest = True
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+            for entry in manifest.get("files", []):
+                if _ranges_overlap(entry.get("stats", {}), where):
+                    out.append(os.path.join(d, entry["file"]))
+        return out if any_manifest else None
 
     @staticmethod
     def _write(df: DataFrame, path: str, partition_by: Optional[List[str]]) -> None:

@@ -132,3 +132,59 @@ def test_connected_components_long_chain(spark):
     out = connected_components(pairs).collect()
     assert len(out) == 100
     assert {r["component"] for r in out} == {0}
+
+
+def test_manifest_file_skipping(spark, tmp_path):
+    """Delta-style data skipping on plain parquet: the sort hint writes a
+    per-version min/max manifest; ranged reads open only overlapping
+    files (VERDICT r3 #7)."""
+    from dlt_spark.store.table_store import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path), "ds")
+    df = (
+        spark.range(0, 10_000)
+        .withColumnRenamed("id", "ts")
+        .repartitionByRange(8, "ts")   # 8 files with disjoint ts ranges
+    )
+    store.append(df, "events", sort_by=["ts"])
+
+    total, after = store.skipped_files("events", [("ts", 9_000, None)])
+    assert total == 8 and after < total  # files actually skipped
+
+    got = store.read("events", where=[("ts", 9_000, None)]).filter("ts >= 9000")
+    assert got.count() == 1_000
+    # pruning must never lose rows vs the full scan
+    full = store.read("events").filter("ts >= 9000")
+    assert got.count() == full.count()
+
+    # second append extends the manifest history; pruning spans versions
+    df2 = (
+        spark.range(20_000, 21_000)
+        .withColumnRenamed("id", "ts")
+        .repartitionByRange(2, "ts")
+    )
+    store.append(df2, "events")
+    total2, after2 = store.skipped_files("events", [("ts", 20_500, None)])
+    assert total2 == 10 and after2 <= 2
+    assert store.read("events", where=[("ts", 20_500, None)]).filter("ts >= 20500").count() == 500
+
+    # an empty overlap returns an empty, schema-stable frame
+    none = store.read("events", where=[("ts", 50_000, None)])
+    assert none.count() == 0 and "ts" in none.columns
+
+
+def test_manifest_skipping_via_pipeline_sort_hint(spark, tmp_path):
+    """End-to-end: a resource with a sort hint produces a store manifest
+    and ranged reads skip files."""
+    import dlt_spark
+
+    pipe = dlt_spark.pipeline("skiptest", str(tmp_path / "d"), "ds", spark)
+    rows = [{"id": i, "ts": i} for i in range(2_000)]
+    pipe.run(rows, table_name="t", columns={"ts": {"name": "ts", "sort": True}})
+    store = pipe.store
+    meta = store._current_meta("t")
+    assert meta and meta.get("sort_by") == ["ts"]
+    total, after = store.skipped_files("t", [("ts", 1_999, None)])
+    assert after <= total  # manifest present and consulted
+    got = store.read("t", where=[("ts", 1_999, None)]).filter("ts = 1999")
+    assert got.count() == 1
