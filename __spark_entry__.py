@@ -1483,6 +1483,211 @@ def _q_pivot_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def _dec_revenue():
+    """TPC-H revenue term as associative decimals so Spark and DuckDB sum
+    bit-identically regardless of partial-aggregation order."""
+    dec = lambda c: F.col(c).cast("decimal(38,4)")
+    return (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - dec("l_discount"))
+    ).cast("decimal(38,8)")
+
+
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-style priority check (adapted: the schema has no
+    l_commitdate/l_receiptdate, so "late" = shipped >90 days after the
+    order date).  The EXISTS becomes a LEFT SEMI hash join on the order
+    key with the date predicate evaluated join-side — no fact-side
+    aggregation before the semi join, so the shuffle carries only the
+    order keys that survive the quarter filter."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style cross-nation shipping volume: supplier nation x
+    customer nation x ship year.  Both nation lookups broadcast; the
+    lineitem→orders→customer chain shuffles once per fact key.  The
+    nation-pair filter is applied on the broadcast side so the big
+    probe never widens."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ["NATION_1", "NATION_2"]
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(pair)).withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                nat.filter(F.col("n_name").isin(pair)).withColumnRenamed("n_name", "cust_nation")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join with
+    the filter inside the join condition (so zero-order customers
+    survive), then a two-level aggregation.  Both aggregations are
+    map-side combinable; the second one runs over |customers| rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promo revenue share: conditional aggregation over one
+    broadcast part join — the ratio is computed after full aggregation
+    so it is a single-row, associativity-safe result."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec_revenue()
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,8)"))).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            (F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double")), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    max is joined back as a broadcast scalar (the aggregated side is
+    |suppliers| rows — tiny at any scale) instead of a global window."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    rev_by_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_dec_revenue()).alias("total_rev"))
+    )
+    max_rev = rev_by_supp.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev_by_supp.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume orders: the qty-sum HAVING filter runs
+    BEFORE the dimension joins, so only the ~0.3% qualifying orders are
+    joined — the aggregation is the reducer, the joins see its output."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 6).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style idle rich customers (adapted: no phone column, so
+    the country code becomes the nation name): acctbal above the global
+    positive average AND no orders since 2000-01-01.  The scalar average
+    is a broadcast single row; the "idle" test is a LEFT ANTI join on
+    the customer key, with the date filter pushed into the anti side's
+    scan."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double"), 6
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curate_corpus": _q_curate_corpus,
@@ -1497,7 +1702,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "topk_per_group": _q_topk_per_group,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         "pivot_agg": _q_pivot_agg,
         "dedup_incremental": _q_dedup_incremental,
         "per_source_cap": _q_per_source_cap,
@@ -2502,6 +2714,118 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM documents
         ) WHERE rn <= 3
+    """
+
+    sql["tpch_q4"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    sql["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(
+                   CAST(l_extendedprice AS DECIMAL(38,4)) *
+                   (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+    sql["tpch_q13"] = """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+    sql["tpch_q14"] = """
+        SELECT round(
+            100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                CAST(CAST(l_extendedprice AS DECIMAL(38,4)) *
+                     (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                     AS DECIMAL(38,8))
+                ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+            / CAST(sum(
+                CAST(CAST(l_extendedprice AS DECIMAL(38,4)) *
+                     (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                     AS DECIMAL(38,8))) AS DOUBLE), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-03-01'
+    """
+
+    sql["tpch_q15"] = """
+        WITH rev AS (
+            SELECT l_suppkey, sum(
+                CAST(CAST(l_extendedprice AS DECIMAL(38,4)) *
+                     (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                     AS DECIMAL(38,8))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """
+
+    sql["tpch_q18"] = """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 6) > 300.0
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 6) AS o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """
+
+    sql["tpch_q22"] = """
+        SELECT n_name, count(*) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 6)
+                   AS totacctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY n_name
+        ORDER BY n_name
     """
 
     sql["tpch_q5"] = """
