@@ -1688,6 +1688,291 @@ def _q_tpch_q22(spark, sf_dir):
     )
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-style min-cost supplier (adapted: the schema has no
+    partsupp, so per-(part, supplier) unit cost is derived from lineitem
+    as min(extendedprice/quantity)).  The correlated min becomes a
+    groupBy-min on the already-filtered European candidate set joined
+    back on (partkey, cost) — the candidate set is tiny after the part
+    and region filters, so both sides of the rejoin broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select(
+        "p_partkey", "p_type"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_cost").alias("unit_cost"))
+    )
+    min_cost = ps.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost")).withColumnRenamed("p_partkey", "mc_partkey")
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 market share: NATION_3's share of PROMO revenue sold
+    into AMERICA, per order year.  Dimension chain (part, nation,
+    region, supplier-nation) all broadcast; the two fact joins shuffle
+    on their natural keys; the share ratio is computed post-aggregation
+    per year so it is associativity-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    rev = _dec_revenue()
+    zero = F.lit(0).cast("decimal(38,8)")
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).alias("nat_rev"),
+            F.sum(rev).alias("tot_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nat_rev").cast("double") / F.col("tot_rev").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-style product-line profit (adapted: no ps_supplycost, so
+    profit = revenue) for parts whose name contains 'red', grouped by
+    supplier nation and order year.  Part filter broadcast against the
+    fact scan before any wide join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-style important stock (adapted: shipped value from
+    lineitem replaces partsupp availability): parts whose shipped value
+    from NATION_5 suppliers exceeds 0.1% of that nation's total.  The
+    global total is a broadcast scalar over the already-reduced per-part
+    aggregate — no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    nat_supp = supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("part_value"))
+    )
+    total = per_part.agg((F.sum("part_value") * F.lit(0.001).cast("decimal(10,4)")).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value").cast("double") > F.col("threshold").cast("double"))
+        .select("l_partkey", F.round(F.col("part_value").cast("double"), 6).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-style late-shipment priority audit (adapted: grouped by
+    l_returnflag instead of the absent l_shipmode; "late" = shipped >30
+    days after order).  One equi-join on the order key, conditional
+    counts on the priority class — map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-style supplier diversity (adapted: supplier-part
+    relationships come from lineitem): distinct suppliers per part
+    (brand, type, size) for selected sizes, excluding one brand and
+    PROMO parts.  The part filter broadcasts; countDistinct shuffles on
+    the grouping key with a partial distinct upstream."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 15, 25, 35))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity revenue: the correlated per-part average
+    becomes a groupBy-avg on the brand-filtered fact joined back
+    broadcast (the per-part aggregate is |parts-in-brand| rows).
+    Answers "revenue lost to small orders" without a correlated
+    subquery rescan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (
+        brand_li.groupBy("p_partkey")
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+        .withColumnRenamed("p_partkey", "aq_partkey")
+    )
+    small = brand_li.join(
+        F.broadcast(avg_qty), F.col("p_partkey") == F.col("aq_partkey")
+    ).filter(F.col("l_quantity") < F.col("half_avg"))
+    return small.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double") / F.lit(7.0)),
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-style disjunctive predicate revenue (adapted to the
+    available brand/size/quantity columns): three OR'd brand x size x
+    quantity bands evaluated on one broadcast part join — Catalyst keeps
+    the whole disjunction inside the join filter, one pass over the
+    fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("revenue")
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-style excess-stock suppliers (adapted: shipped volume
+    from lineitem replaces partsupp availability): European suppliers
+    who shipped >500 units of PROMO parts in 1996.  The volume
+    aggregation reduces the fact to |suppliers| rows before any
+    dimension join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 500.0)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(vol, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "n_name", "promo_qty")
+        .orderBy("s_name")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-style waiting-orders audit (adapted: "late" =
+    shipped >90 days after order date): suppliers who were the SOLE
+    late supplier on a multi-supplier finalized order.  The
+    EXISTS/NOT-EXISTS pair collapses into one per-order aggregation
+    (distinct suppliers, distinct late suppliers) — a single shuffle on
+    the order key instead of two correlated rescans of the fact."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("int"),
+    )
+    per_order = j.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waiting = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curate_corpus": _q_curate_corpus,
@@ -1702,7 +1987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "topk_per_group": _q_topk_per_group,
+        "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q5": _q_tpch_q5,
         "tpch_q7": _q_tpch_q7,
         "tpch_q13": _q_tpch_q13,
@@ -2714,6 +3009,184 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM documents
         ) WHERE rn <= 3
+    """
+
+    sql["tpch_q2"] = """
+        WITH eur_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), ps AS (
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                   min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+            JOIN eur_supp ON l_suppkey = s_suppkey
+            GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+        FROM ps
+        WHERE unit_cost = (
+            SELECT min(unit_cost) FROM ps ps2 WHERE ps2.p_partkey = ps.p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """
+
+    sql["tpch_q8"] = """
+        WITH joined AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   sn.n_name AS supp_nation,
+                   CAST(CAST(l_extendedprice AS DECIMAL(38,4)) *
+                        (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                        AS DECIMAL(38,8)) AS rev
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+        FROM joined
+        GROUP BY o_year
+        ORDER BY o_year
+    """
+
+    sql["tpch_q9"] = """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(CAST(sum(CAST(
+                   CAST(l_extendedprice AS DECIMAL(38,4)) *
+                   (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY n_name, o_year DESC
+    """
+
+    sql["tpch_q11"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(CAST(part_value AS DOUBLE), 6) AS part_value
+        FROM per_part
+        WHERE CAST(part_value AS DOUBLE) > (
+            SELECT CAST(sum(part_value) * CAST(0.001 AS DECIMAL(10,4)) AS DOUBLE)
+            FROM per_part
+        )
+        ORDER BY part_value DESC, l_partkey
+    """
+
+    sql["tpch_q12"] = """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+    sql["tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 15, 25, 35)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    sql["tpch_q17"] = """
+        WITH brand_li AS (
+            SELECT p_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ), avg_qty AS (
+            SELECT p_partkey AS aq_partkey, avg(l_quantity) * 0.5 AS half_avg
+            FROM brand_li GROUP BY p_partkey
+        )
+        SELECT round(
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0, 6
+        ) AS avg_yearly
+        FROM brand_li JOIN avg_qty ON p_partkey = aq_partkey
+        WHERE l_quantity < half_avg
+    """
+
+    sql["tpch_q19"] = """
+        SELECT round(CAST(sum(CAST(
+            CAST(l_extendedprice AS DECIMAL(38,4)) *
+            (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+            AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["tpch_q20"] = """
+        WITH vol AS (
+            SELECT l_suppkey, round(sum(l_quantity), 6) AS promo_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING round(sum(l_quantity), 6) > 500.0
+        )
+        SELECT s_name, n_name, promo_qty
+        FROM vol
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        ORDER BY s_name
+    """
+
+    sql["tpch_q21"] = """
+        WITH per_order AS (
+            SELECT o_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                       THEN l_suppkey END) AS n_late,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            GROUP BY o_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM per_order
+        JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
     """
 
     sql["tpch_q4"] = """
