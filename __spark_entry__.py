@@ -1973,6 +1973,96 @@ def _q_tpch_q21(spark, sf_dir):
     )
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy corpus scoring: corpus-fit unigram LM, per-doc
+    average negative log prob.  One tokenize pass reduced to term
+    frequencies; Zipf-head vocabulary broadcast, tail shuffled; decimal
+    log-prob sums keep the result order-independent."""
+    from dlt_spark.dataops.lm import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs, "doc_id", "text", head_min_freq=100)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cell clustering (deterministic
+    hash-ranked seeds), pairwise cosine confined WITHIN cells, keep the
+    lowest id of each near-dup group.  The quadratic stage is bounded by
+    cell size (k scales with corpus), not corpus size."""
+    from dlt_spark.dataops.similarity import semantic_dedup
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(em, num_centroids=8, threshold=0.35, iters=0, seed=42)
+    return out.select("vec_id", "label", F.col("cell").cast("int").alias("cell"))
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week, active
+    weeks counted per (cohort, offset).  The per-user weekly activity
+    set is computed once and reused for both the cohort assignment and
+    the retention counts — two aggregations, one join, no window."""
+    ev = _t(spark, sf_dir, "events")
+    wk = (F.floor(F.unix_timestamp(F.col("ts")) / F.lit(604800))).cast("bigint")
+    act = ev.select(F.col("user_id"), wk.alias("week")).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def _q_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 3): mean/variance from
+    decimal-exact sums (order-independent partial aggregation), then a
+    broadcast join of the tiny stats table back onto the fact scan."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v.cast("decimal(38,6)")).alias("s1"),
+            F.sum((v * v).cast("decimal(38,6)")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            ((F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+             / (F.col("n") - F.lit(1))).alias("variance"),
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        )
+        .withColumnRenamed("event_type", "st_type")
+    )
+    z = (v - F.col("mean")) / F.sqrt(F.col("variance"))
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("st_type"))
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "z")
+        .orderBy("event_id")
+    )
+
+
+def _q_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type: Spark's exact
+    `percentile` (sort-based within group) vs DuckDB's quantile_cont —
+    identical linear-interpolation semantics.  For sketch-grade scale
+    the approx variant is percentile_approx; this is the exact oracle-
+    checkable form."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curate_corpus": _q_curate_corpus,
@@ -1987,6 +2077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "topk_per_group": _q_topk_per_group,
+        "unigram_logprob": _q_unigram_logprob,
+        "semantic_dedup": _q_semantic_dedup,
+        "cohort_retention": _q_cohort_retention,
+        "zscore_outliers": _q_zscore_outliers,
+        "exact_percentiles": _q_exact_percentiles,
         "tpch_q2": _q_tpch_q2,
         "tpch_q4": _q_tpch_q4,
         "tpch_q8": _q_tpch_q8,
@@ -3453,6 +3548,104 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.rn = 1 AND c.qr <= 3
         ORDER BY cosine DESC, a.vec_id ASC
         LIMIT 10
+    """
+
+    sql["semantic_dedup"] = f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        ), seeds AS (
+            SELECT ev AS cv, row_number() OVER (ORDER BY {_h42}) - 1 AS ci
+            FROM v ORDER BY {_h42} LIMIT 8
+        ), asg AS (
+            SELECT vec_id, label, ev, ci, row_number() OVER (
+                PARTITION BY vec_id ORDER BY {_c("ev", "cv")} DESC, ci
+            ) AS rn
+            FROM v CROSS JOIN seeds
+        ), cells AS (
+            SELECT vec_id, label, ev, ci AS cell FROM asg WHERE rn = 1
+        ), losers AS (
+            SELECT DISTINCT a.vec_id
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id > b.vec_id
+            WHERE round({_c("a.ev", "b.ev")}, 6) >= 0.35
+        )
+        SELECT c.vec_id, c.label, CAST(c.cell AS INTEGER) AS cell
+        FROM cells c LEFT JOIN losers l ON c.vec_id = l.vec_id
+        WHERE l.vec_id IS NULL
+    """
+
+    sql["unigram_logprob"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), vocab AS (
+            SELECT token, sum(tf) AS cnt FROM dt GROUP BY token
+        ), tot AS (
+            SELECT sum(cnt) AS n_total FROM vocab
+        ), lp AS (
+            SELECT token,
+                   CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS nlogp9
+            FROM vocab, tot
+        ), agg AS (
+            SELECT dt.doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_toks,
+                   CAST(sum(tf * nlogp9) AS BIGINT) AS num9
+            FROM dt JOIN lp USING (token)
+            GROUP BY dt.doc_id
+        )
+        SELECT doc_id, n_toks,
+               CAST((2 * num9 + n_toks * 1000) // (2 * n_toks * 1000) AS DOUBLE)
+                   / 1000000.0 AS avg_neg_logp
+        FROM agg
+    """
+
+    sql["cohort_retention"] = """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+            FROM events
+        ), first AS (
+            SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+        )
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               count(DISTINCT act.user_id) AS active_users
+        FROM act JOIN first ON act.user_id = first.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """
+
+    sql["zscore_outliers"] = """
+        WITH stats AS (
+            SELECT event_type AS st_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(38,6))) AS s1,
+                   sum(CAST(value * value AS DECIMAL(38,6))) AS s2
+            FROM events GROUP BY event_type
+        ), st AS (
+            SELECT st_type,
+                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                       / (n - 1) AS variance,
+                   CAST(s1 AS DOUBLE) / n AS mean
+            FROM stats
+        )
+        SELECT event_id, event_type, round(value, 6) AS value,
+               round((value - mean) / sqrt(variance), 6) AS z
+        FROM events JOIN st ON event_type = st_type
+        WHERE abs(round((value - mean) / sqrt(variance), 6)) > 3.0
+        ORDER BY event_id
+    """
+
+    sql["exact_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """
 
     sql["quality_probe"] = """

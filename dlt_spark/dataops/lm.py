@@ -1,0 +1,93 @@
+"""Corpus-level unigram language-model scoring (perplexity proxy).
+
+A standard training-data quality signal (used by CCNet/Gopher-style
+pipelines as a cheap stand-in for a real LM): fit a unigram model on the
+corpus itself and score every document by its average negative log
+probability.  High scores = rare-token-heavy documents (boilerplate,
+code dumps, non-language noise); low scores = stopword soup.
+
+Scale design (100 TB):
+
+- One explode pass reduced immediately to per-(doc, token) counts, so
+  downstream stages carry term frequencies, not raw token instances.
+- The vocabulary is DERIVED from that same reduced table (an
+  aggregation over |doc x distinct-token| rows) — the corpus text is
+  tokenized exactly once (the tf table is locally checkpointed, same
+  pattern as the MinHash shingle index).
+- The score join is on the token key, which is Zipf-skewed ("the" is in
+  every doc).  The head of the vocabulary (freq >= ``head_min_freq``)
+  is split out and broadcast — hot keys never shuffle — while the long
+  tail (bounded per-key fan-out by definition) takes the shuffle join.
+- Log-probabilities are rounded to 9 decimals and summed as decimals so
+  partial-aggregation order cannot change the result (the DuckDB oracle
+  reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, token) term frequencies; lower-cased whitespace tokens.
+    SQL: ``unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))``."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_min_freq: int = 1000,
+) -> DataFrame:
+    """Score each document by its average unigram negative log prob.
+
+    Returns ``(id_col, n_toks, avg_neg_logp)``.  ``head_min_freq``
+    controls the broadcast-head / shuffle-tail split of the vocabulary:
+    tokens with corpus frequency >= the threshold join broadcast (the
+    Zipf head is small by construction), the rest shuffle.
+    """
+    # tf table feeds three branches (vocab + two joins) — checkpoint it
+    # once instead of re-tokenizing the corpus per branch
+    dt = doc_term_freq(df, id_col, text_col).localCheckpoint(eager=False)
+    vocab = dt.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    # integer nano-logs: every downstream sum/divide is exact integer
+    # arithmetic, so the result is bit-identical across engines and
+    # partial-aggregation orders (a float round(x/n, 6) sits on half
+    # boundaries whenever n is small — exact integer HALF_UP instead)
+    nlogp = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    head_v = (
+        vocab.filter(F.col("cnt") >= head_min_freq)
+        .join(F.broadcast(total))
+        .select("token", nlogp.alias("nlogp9"))
+    )
+    tail_v = (
+        vocab.filter(F.col("cnt") < head_min_freq)
+        .join(F.broadcast(total))
+        .select("token", nlogp.alias("nlogp9"))
+    )
+    scored = dt.join(F.broadcast(head_v), "token").unionByName(dt.join(tail_v, "token"))
+    agg = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_toks"),
+        F.sum(F.col("tf") * F.col("nlogp9")).alias("num9"),
+    )
+    # round-half-up to 6 decimals in pure integers:
+    #   avg = num9 / (n_toks * 1e9);  micro = (2*num9 + n*1000) div (2*n*1000)
+    return agg.select(
+        id_col,
+        "n_toks",
+        (
+            F.expr("(2 * num9 + n_toks * 1000) div (2 * n_toks * 1000)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_neg_logp"),
+    )

@@ -219,3 +219,52 @@ def ivf_topk(
     return cosine_topk(
         indexed.filter(F.col("_ivf_cell").isin(cells)), query_vec, id_col, vec_col, k, decimals
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    iters: int = 0,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings (IVF
+    cells), compare pairs ONLY within a cell, and drop every row whose
+    cell contains a lower-id row with cosine >= ``threshold``.
+
+    This is the scalable form of embedding near-dedup for corpora where
+    even LSH-bucket candidate generation is too wide: the cell
+    assignment is one scan, and the quadratic comparison is confined to
+    single cells.  Size ``num_centroids`` so the expected cell is a few
+    thousand rows (k ~ n / target_cell_size) — the intra-cell join is
+    then bounded regardless of corpus size, and cells parallelize
+    across the cluster.  Cross-cell duplicates are missed by design
+    (the SemDeDup approximation); raise ``iters`` for tighter cells
+    when determinism vs an external oracle is not required.
+
+    Returns the surviving rows with their ``cell`` id.
+    """
+    indexed, _ = ivf_index(
+        df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids,
+        iters=iters, seed=seed,
+    )
+    slim = indexed.select(
+        F.col("_ivf_cell").alias("cell"), F.col(id_col), F.col(vec_col)
+    )
+    a = slim.alias("a")
+    b = slim.alias("b")
+    cos = F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), decimals)
+    losers = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .filter(cos >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        indexed.withColumnRenamed("_ivf_cell", "cell")
+        .join(losers, id_col, "left_anti")
+    )
