@@ -78,6 +78,28 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "event_funnel",
     "quality_tiers",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "unigram_logprob",
+    "semantic_dedup",
+    "cohort_retention",
+    "zscore_outliers",
+    "exact_percentiles",
 ]
 
 

@@ -781,18 +781,32 @@ def connected_components(
 # --------------------------------------------------- embedding near-dup
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<float/double> columns, double
-    math.  SQL: ``list_dot_product(a,b)/sqrt(...)*...`` (DuckDB) —
-    built from zip_with + aggregate, JVM-side."""
-    dot = F.aggregate(
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, double math.
+    SQL: ``list_dot_product(a, b)`` (DuckDB)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+
+
+def vec_norm(a: Column) -> Column:
+    """L2 norm.  SQL: ``sqrt(list_dot_product(a, a))``."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns, double
+    math.  SQL: ``list_dot_product(a,b)/sqrt(...)*...`` (DuckDB) —
+    built from zip_with + aggregate, JVM-side.
+
+    For PAIRWISE workloads (self-joins) prefer precomputing ``vec_norm``
+    per row and dividing ``vec_dot`` by the norm product — bit-identical
+    result, one higher-order aggregation per pair instead of three."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def embedding_dedup(

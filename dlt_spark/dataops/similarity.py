@@ -247,16 +247,28 @@ def semantic_dedup(
 
     Returns the surviving rows with their ``cell`` id.
     """
+    from .dedup import vec_dot, vec_norm
+
     indexed, _ = ivf_index(
         df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids,
         iters=iters, seed=seed,
     )
+    # norm precomputed per ROW (not per pair): the intra-cell join then
+    # evaluates one interpreted dot per pair instead of three
+    # higher-order aggregations — bit-identical cosine, ~3x less work
     slim = indexed.select(
-        F.col("_ivf_cell").alias("cell"), F.col(id_col), F.col(vec_col)
+        F.col("_ivf_cell").alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        vec_norm(F.col(vec_col)).alias("_nrm"),
     )
     a = slim.alias("a")
     b = slim.alias("b")
-    cos = F.round(cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), decimals)
+    cos = F.round(
+        vec_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        decimals,
+    )
     losers = (
         a.join(b, F.col("a.cell") == F.col("b.cell"))
         .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
