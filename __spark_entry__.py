@@ -2077,29 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "stratified_sample": _q_stratified_sample,
         "topk_per_group": _q_topk_per_group,
-        "unigram_logprob": _q_unigram_logprob,
-        "semantic_dedup": _q_semantic_dedup,
-        "cohort_retention": _q_cohort_retention,
-        "zscore_outliers": _q_zscore_outliers,
-        "exact_percentiles": _q_exact_percentiles,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
         "tpch_q5": _q_tpch_q5,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q22": _q_tpch_q22,
         "pivot_agg": _q_pivot_agg,
         "dedup_incremental": _q_dedup_incremental,
         "per_source_cap": _q_per_source_cap,
@@ -2122,6 +2100,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "quality_tiers": _q_quality_tiers,
         "clean_text": _q_clean_text,
+        "unigram_logprob": _q_unigram_logprob,
+        "semantic_dedup": _q_semantic_dedup,
+        "cohort_retention": _q_cohort_retention,
+        "zscore_outliers": _q_zscore_outliers,
+        "exact_percentiles": _q_exact_percentiles,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
