@@ -2063,6 +2063,28 @@ def _q_exact_percentiles(spark, sf_dir):
     )
 
 
+def _q_bm25_search(spark, sf_dir):
+    """Inverted-index keyword search with BM25 ranking: postings +
+    doc-length tables from one tokenize pass, scoring confined to the
+    query terms' posting lists (cost ∝ postings hit, not corpus size).
+    Integer nano-unit score quantization keeps ranks engine-exact."""
+    from dlt_spark.dataops.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(docs, ["spark", "join", "vector"], topk=20)
+
+
+def _q_hll_group_distinct(spark, sf_dir):
+    """Per-group mergeable HLL sketches: distinct users per event type
+    from a (group, bucket, max-rank) table — per-batch sketches merge
+    by bucket-wise max, so the 100 TB event log never re-scans."""
+    from dlt_spark.dataops.sketches import hll_estimate_grouped, hll_sketch_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    sk = hll_sketch_grouped(ev, "user_id", "event_type", p=8)
+    return hll_estimate_grouped(sk, "event_type", p=8).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curate_corpus": _q_curate_corpus,
@@ -2115,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
+        "bm25_search": _q_bm25_search,
+        "hll_group_distinct": _q_hll_group_distinct,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
@@ -3518,6 +3542,74 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
                      END, 2) AS estimate
         FROM agg
+    """
+
+    sql["hll_group_distinct"] = """
+        WITH h AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(sha256('hll:' || CAST(user_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS hv
+            FROM events
+        ), b AS (
+            SELECT event_type, hv >> 44 AS bucket, hv & 17592186044415 AS w FROM h
+        ), rk AS (
+            SELECT event_type, bucket,
+                   CASE WHEN w = 0 THEN 45
+                        ELSE strpos(lpad(bin(w), 44, '0'), '1') END AS rho
+            FROM b
+        ), sk AS (
+            SELECT event_type, bucket, max(rho) AS r FROM rk GROUP BY event_type, bucket
+        ), agg AS (
+            SELECT event_type,
+                   CAST(sum(CAST(pow(2, 45 - r) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS used
+            FROM sk GROUP BY event_type
+        )
+        SELECT event_type, CAST(used AS BIGINT) AS used_buckets,
+               round(CASE WHEN 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
+                               <= 640.0 AND used < 256
+                          THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE))
+                          ELSE 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
+                     END, 2) AS estimate
+        FROM agg
+        ORDER BY event_type
+    """
+
+    sql["bm25_search"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), postings AS (
+            SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+        ), dlen AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), nd AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen
+        ), hits AS (
+            SELECT * FROM postings WHERE token IN ('spark', 'join', 'vector')
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM hits GROUP BY token
+        ), scored AS (
+            SELECT h.doc_id,
+                   CAST(round(
+                       ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                       * 1000000000.0) AS BIGINT) AS nano
+            FROM hits h JOIN dfreq USING (token) JOIN dlen USING (doc_id), nd
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_terms, CAST(sum(nano) AS BIGINT) AS score9
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms,
+               CAST((2 * score9 + 1000) // 2000 AS DOUBLE) / 1000000.0 AS score
+        FROM agg
+        ORDER BY score DESC, doc_id
+        LIMIT 20
     """
 
     _c = lambda a, b: (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "zscore_outliers",
     "exact_percentiles",
+    "bm25_search",
+    "hll_group_distinct",
 ]
 
 

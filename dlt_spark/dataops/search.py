@@ -1,0 +1,95 @@
+"""Keyword search over a document corpus: inverted index + BM25 ranking.
+
+Search-engine-grade relevance as a pure DataFrame program:
+
+- ``inverted_index`` materializes the classic ``(token, doc_id, tf)``
+  postings table plus per-doc lengths — both derivable in ONE tokenize
+  pass, both partitionable/persistable as tables (write the postings
+  ``partitionBy('token')`` bucket and term lookups become partition
+  pruning).
+- ``bm25_search`` scores only the postings of the query terms: the
+  token filter prunes the postings scan (predicate pushdown on the
+  partition column when the index is stored), per-term document
+  frequencies and the global average doc length are broadcast scalars,
+  and the final per-doc sum + top-k is one small aggregation.  Nothing
+  touches documents that share no term with the query — at 100 TB the
+  cost is proportional to the query terms' posting lists, not the
+  corpus.
+
+Determinism: BM25 mixes ln/division floats, so each per-(doc, term)
+contribution is quantized to integer *nano*-units and summed as BIGINT
+(associative, engine-portable — same recipe as
+:mod:`dlt_spark.dataops.lm`), with the final HALF_UP rounding done in
+pure integer math.  The DuckDB oracle reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple:
+    """Return ``(postings, doc_lens)``: the ``(token, id, tf)`` postings
+    table and the ``(id, dl)`` doc-length table, one tokenize pass."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    postings = exploded.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    doc_lens = exploded.groupBy(id_col).agg(F.count("*").alias("dl"))
+    return postings, doc_lens
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Top-``topk`` documents for a bag-of-words query under BM25.
+
+    Returns ``(id_col, n_terms, score)`` ordered by score desc (ties by
+    id).  ``n_terms`` is how many distinct query terms the doc matched.
+    """
+    terms = [t.lower() for t in terms]
+    postings, doc_lens = inverted_index(df, id_col, text_col)
+    n_docs = doc_lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = postings.filter(F.col("token").isin(list(terms)))
+    dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
+
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(doc_lens, id_col)
+        .join(F.broadcast(n_docs))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    idf = F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    contrib = idf * (tfd * (k1 + 1.0)) / (tfd + k1 * (1.0 - b + b * dld / avgdl))
+    nano = F.round(contrib * F.lit(1000000000.0)).cast("bigint")
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"), F.sum(nano).alias("score9")
+    )
+    # integer HALF_UP to 6 decimals: micro = (2*score9 + 1000) div 2000
+    return (
+        agg.select(
+            id_col,
+            "n_terms",
+            (
+                F.expr("(2 * score9 + 1000) div 2000").cast("double") / F.lit(1000000.0)
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )

@@ -107,6 +107,55 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
+def hll_sketch_grouped(
+    df: DataFrame, col: str, group_cols, p: int = 8, salt: str = "hll"
+) -> DataFrame:
+    """Per-group sketch: ``(group..., bucket, r)``, at most ``2^p`` rows
+    per group.  Same shuffle shape as the global sketch (one partial-max
+    aggregation keyed by group+bucket); sketches for the same group from
+    different batches still merge by bucket-wise max."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    rbits = _BITS - p
+    h = _hash52(F.col(col), salt)
+    bucket = F.shiftright(h, rbits)
+    w = h.bitwiseAND(F.lit((1 << rbits) - 1))
+    binw = F.lpad(F.bin(w), rbits, "0")
+    rho = F.when(w == 0, F.lit(rbits + 1)).otherwise(F.instr(binw, "1"))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_cols, p: int = 8
+) -> DataFrame:
+    """Per-group ``(group..., used_buckets, estimate)`` — the same
+    scaled-integer harmonic sum as :func:`hll_estimate`, grouped."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    m = 1 << p
+    rbits = _BITS - p
+    scale = 1 << (rbits + 1)
+    alpha = hll_alpha(m)
+    term = F.pow(F.lit(2.0), F.lit(rbits + 1) - F.col("r")).cast("bigint")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(term).alias("s"), F.count(F.lit(1)).alias("used")
+    )
+    denom = (F.col("s") + (F.lit(m) - F.col("used")) * F.lit(scale)).cast("double")
+    raw = F.lit(alpha * m * m * float(scale)) / denom
+    zeros = F.lit(m) - F.col("used")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("used").cast("bigint").alias("used_buckets"),
+        F.round(est, 2).alias("estimate"),
+    )
+
+
 def hll_count_distinct(df: DataFrame, col: str, p: int = 8, salt: str = "hll") -> float:
     """Convenience terminal: the scalar estimate."""
     return hll_estimate(hll_sketch(df, col, p, salt), p).collect()[0]["estimate"]
