@@ -2063,6 +2063,22 @@ def _q_exact_percentiles(spark, sf_dir):
     )
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters: per-user event frequencies
+    estimated from a 4x1024-cell mergeable sketch (cell-wise-sum merge
+    = per-batch increments over an unbounded log), probed for users
+    with estimate >= 50.  Build + probe reproduced in the oracle."""
+    from dlt_spark.dataops.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=4, width=1024)
+    users = ev.select("user_id").distinct()
+    est = cms_estimate(sk, users, "user_id", depth=4, width=1024)
+    return est.filter(F.col("est_count") >= 50).orderBy(
+        F.desc("est_count"), "user_id"
+    )
+
+
 def _q_bm25_search(spark, sf_dir):
     """Inverted-index keyword search with BM25 ranking: postings +
     doc-length tables from one tokenize pass, scoring confined to the
@@ -2138,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "bm25_search": _q_bm25_search,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_group_distinct": _q_hll_group_distinct,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
@@ -3573,6 +3590,31 @@ def oracle_sql() -> dict[str, str]:
                      END, 2) AS estimate
         FROM agg
         ORDER BY event_type
+    """
+
+    sql["cms_heavy_hitters"] = """
+        WITH ds AS (
+            SELECT unnest(generate_series(0, 3)) AS d
+        ), cells AS (
+            SELECT d,
+                   CAST(('0x' || substr(sha256('cms' || d || ':' || CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % 1024 AS bucket
+            FROM events, ds
+        ), sk AS (
+            SELECT d AS row, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket
+        ), users AS (
+            SELECT DISTINCT user_id FROM events
+        ), probes AS (
+            SELECT user_id, d AS row,
+                   CAST(('0x' || substr(sha256('cms' || d || ':' || CAST(user_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % 1024 AS bucket
+            FROM users, ds
+        )
+        SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        FROM probes LEFT JOIN sk USING (row, bucket)
+        GROUP BY user_id
+        HAVING min(coalesce(cnt, 0)) >= 50
+        ORDER BY est_count DESC, user_id
     """
 
     sql["bm25_search"] = """

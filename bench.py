@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "exact_percentiles",
     "bm25_search",
     "hll_group_distinct",
+    "cms_heavy_hitters",
 ]
 
 
@@ -163,6 +164,17 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        # drop blocks a query cached/checkpointed so memory pressure and
+        # GC from one query cannot skew the ones after it (timed work is
+        # already done; cleanup cost is excluded from the next timer)
+        try:
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
 
     prev_delta = _diff_vs_previous(timings, sf)
     result = {

@@ -47,3 +47,40 @@ def test_small_range_linear_counting(spark):
     few = spark.range(0, 30).select(F.col("id").alias("v"))
     est = hll_count_distinct(few, "v", p=8)
     assert abs(est - 30) / 30 < 0.35  # linear-counting branch, small n
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy(spark):
+    from pyspark.sql import functions as F
+
+    from dlt_spark.dataops.sketches import cms_estimate, cms_sketch
+
+    # 3 heavy users + 200 light ones
+    rows = [(1,)] * 500 + [(2,)] * 300 + [(3,)] * 100 + [(100 + i,) for i in range(200)]
+    df = spark.createDataFrame(rows, ["uid"])
+    sk = cms_sketch(df, "uid", depth=4, width=256)
+    users = df.select("uid").distinct()
+    est = {r["uid"]: r["est_count"] for r in cms_estimate(sk, users, "uid", depth=4, width=256).collect()}
+    exact = {r["uid"]: r["n"] for r in df.groupBy("uid").agg(F.count("*").alias("n")).collect()}
+    for u, n in exact.items():
+        assert est[u] >= n                     # CMS never underestimates
+    # heavy hitters are within the 2N/width additive bound with room
+    n_total = len(rows)
+    for u in (1, 2, 3):
+        assert est[u] - exact[u] <= 2 * n_total / 256 + 1
+
+
+def test_cms_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from dlt_spark.dataops.sketches import cms_merge, cms_sketch
+
+    rows = [(i % 50,) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["uid"])
+    whole = cms_sketch(df, "uid", depth=4, width=128)
+    merged = cms_merge(
+        cms_sketch(df.filter("uid < 25"), "uid", depth=4, width=128),
+        cms_sketch(df.filter("uid >= 25"), "uid", depth=4, width=128),
+    )
+    w = {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert w == m
