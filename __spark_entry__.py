@@ -2063,6 +2063,19 @@ def _q_exact_percentiles(spark, sf_dir):
     )
 
 
+def _q_remove_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup as removal (Lee et al. 2022): token spans
+    whose 8-gram appears in >=2 docs are cut from every doc, text
+    rebuilt in token order.  Gram-hash counting + anti-join — corpus-
+    linear, no suffix array, no pair enumeration."""
+    from dlt_spark.dataops.text import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    return remove_repeated_spans(docs, "doc_id", "text", n=8, min_docs=2)
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch heavy hitters: per-user event frequencies
     estimated from a 4x1024-cell mergeable sketch (cell-wise-sum merge
@@ -2155,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _q_tpch_q22,
         "bm25_search": _q_bm25_search,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "remove_repeated_spans": _q_remove_repeated_spans,
         "hll_group_distinct": _q_hll_group_distinct,
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
@@ -3590,6 +3604,42 @@ def oracle_sql() -> dict[str, str]:
                      END, 2) AS estimate
         FROM agg
         ORDER BY event_type
+    """
+
+    sql["remove_repeated_spans"] = """
+        WITH t AS (
+            SELECT doc_id AS id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents WHERE doc_id < 200
+        ), g AS (
+            SELECT id, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS start, tk
+            FROM t
+        ), gh AS (
+            SELECT id, start,
+                   CAST(('0x' || substr(sha256('13:' ||
+                        array_to_string(list_slice(tk, start, start + 7), ' ')), 1, 15))
+                        AS BIGINT) AS gh
+            FROM g
+        ), rep AS (
+            SELECT gh FROM (
+                SELECT gh, count(DISTINCT id) AS nd FROM gh GROUP BY gh
+            ) WHERE nd >= 2
+        ), cov AS (
+            SELECT DISTINCT id, unnest(generate_series(start, start + 7)) AS ti
+            FROM gh JOIN rep USING (gh)
+        ), covlist AS (
+            SELECT id, list(ti) AS cov FROM cov GROUP BY id
+        )
+        SELECT t.id AS doc_id,
+               coalesce(array_to_string(list_transform(
+                   list_filter(generate_series(1, len(tk)),
+                               i -> NOT list_contains(coalesce(c.cov, []), i)),
+                   i -> tk[i]), ' '), '') AS clean_text,
+               CAST(len(tk) AS BIGINT) AS n_toks,
+               CAST(len(list_filter(generate_series(1, len(tk)),
+                        i -> list_contains(coalesce(c.cov, []), i))) AS BIGINT)
+                   AS n_removed
+        FROM t LEFT JOIN covlist c ON t.id = c.id
     """
 
     sql["cms_heavy_hitters"] = """

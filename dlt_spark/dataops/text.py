@@ -543,3 +543,80 @@ def cross_doc_repeated_fraction(
     return per_doc.withColumn(
         "repeated_frac", F.round(F.col("rep_pos") / F.col("total_pos"), 6)
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup as REMOVAL (Lee et al. 2022): cut every
+    token span whose ``n``-gram occurs in >= ``min_docs`` documents, and
+    rebuild the remaining text.  Where :func:`cross_doc_repeated_fraction`
+    only *scores* the contamination, this removes it.
+
+    Plan shape (no pair enumeration, no suffix array): gram-hash
+    positions exploded narrow; one shuffle counts docs per distinct
+    60-bit gram hash; repeated gram starts expand to covered token
+    positions (``sequence`` explode, factor n, bounded); an anti-join
+    drops covered tokens; per-doc ``array_sort(collect_list)`` rebuilds
+    the text in token order.  Every stage is corpus-linear — the
+    classical suffix-array formulation is superseded by the gram-hash
+    count because spans shorter than ``n`` are below the match threshold
+    by definition.
+
+    Output: ``(id_col, clean_text, n_toks, n_removed)``.  The rebuilt
+    text is whitespace-normalized (single spaces), tokens outside
+    removed spans preserved in order; a fully-repeated doc comes back
+    with empty text rather than disappearing (the caller decides whether
+    to drop empties).  Removal is symmetric (ALL copies lose the span,
+    C4-boilerplate-style); keep-one-copy semantics belong to document-
+    level dedup which runs before this."""
+    from .dedup import portable_hash64
+
+    toks = tokens(F.lower(F.col(text_col)))
+    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: portable_hash64(F.array_join(F.slice(toks, i, n), " "), seed=13),
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"), grams.alias("gharr"))
+    tok_pos = base.select(
+        "id", F.posexplode("tk").alias("tp", "tok")
+    ).select("id", (F.col("tp") + 1).alias("ti"), "tok")
+    gpos = base.select(
+        "id", F.posexplode("gharr").alias("gp", "gh")
+    ).select("id", (F.col("gp") + 1).alias("start"), "gh")
+    repeated = (
+        gpos.select("id", "gh").distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+    )
+    covered = (
+        gpos.join(repeated.select("gh"), "gh")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))).alias("ti"),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, ["id", "ti"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select("id", F.size("tk").cast("bigint").alias("n_toks"))
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_toks",
+        (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+    )
