@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hll_group_distinct",
     "cms_heavy_hitters",
+    "remove_repeated_spans",
 ]
 
 
@@ -165,14 +166,17 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
         # drop blocks a query cached/checkpointed so memory pressure and
-        # GC from one query cannot skew the ones after it (timed work is
-        # already done; cleanup cost is excluded from the next timer)
+        # GC from one query cannot skew the ones after it.  BLOCKING
+        # unpersist + an explicit GC keep the cleanup cost here, outside
+        # the next query's timer (async cleanup measurably bled ~1s into
+        # whichever query ran next).
         try:
             spark.catalog.clearCache()
             jsc = spark.sparkContext._jsc.sc()
             it = jsc.getPersistentRDDs().values().iterator()
             while it.hasNext():
-                it.next().unpersist(False)
+                it.next().unpersist(True)
+            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 

@@ -286,3 +286,52 @@ def test_histogram_bins_and_clamping(spark):
     assert bins[5]["n"] == 1  # 55
     assert bins[9]["n"] == 3  # 99 + two 150s clamp to the top bin
     assert sum(r["n"] for r in bins.values()) == 9  # null excluded
+
+
+def test_remove_repeated_spans_cuts_shared_grams(spark):
+    from dlt_spark.dataops.text import remove_repeated_spans
+
+    shared = "one two three four"  # 4-gram shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared}"),
+            (3, "unique text with no overlap here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "gamma delta"
+    assert out[3]["clean_text"] == "unique text with no overlap here"
+    assert out[3]["n_removed"] == 0
+
+
+def test_remove_repeated_spans_overlapping_spans_merge(spark):
+    from dlt_spark.dataops.text import remove_repeated_spans
+
+    # five shared tokens -> two overlapping shared 4-grams; covered
+    # positions union, tokens are not double-counted
+    shared = "a b c d e"
+    docs = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"{shared} z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "x y"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "z"
+
+
+def test_remove_repeated_spans_fully_covered_doc_stays(spark):
+    from dlt_spark.dataops.text import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 4
