@@ -1126,7 +1126,10 @@ def _q_dedup_incremental(spark, sf_dir):
     """Cross-corpus incremental dedup: new docs (doc_id >= 350) deduped
     against the already-ingested corpus (doc_id < 350) — exact
     fingerprint layer + MinHash bucket-join near layer, both bucketed.
-    Returns the surviving new docs."""
+    The exact layer runs behind a broadcast Bloom prefilter (no false
+    negatives → identical result, but at corpus scale only bloom-hit
+    rows enter the fingerprint anti-join shuffle).  Returns the
+    surviving new docs."""
     from dlt_spark.dataops.dedup import dedup_against
 
     docs = _t(spark, sf_dir, "documents")
@@ -1135,6 +1138,7 @@ def _q_dedup_incremental(spark, sf_dir):
     out = dedup_against(
         new, ref, "doc_id",
         num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE,
+        bloom_bits=1 << 18,
     )
     return out.select("doc_id", "lang", "source", "n_chars")
 
@@ -1433,6 +1437,35 @@ def _q_hll_distinct(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return hll_estimate(hll_sketch(ev, "event_id", p=8), p=8)
+
+
+def _q_quantile_sketch(spark, sf_dir):
+    """Mergeable HDR quantile sketch (log2-linear buckets, k=7 → ≤0.8%
+    relative error) over l_extendedprice: the corpus is split in two,
+    each half sketched independently, the sketches merged bucket-wise,
+    and five quantiles read off the merged sketch — proving the
+    per-batch increment path a 100 TB percentile dashboard needs.  The
+    bucket function is pure integer bit ops (no float log), so the
+    DuckDB oracle reproduces every bucket and estimate bit-exactly."""
+    from dlt_spark.dataops.sketches import hdr_merge, hdr_quantiles, hdr_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", k=7, scale=100)
+    b = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", k=7, scale=100)
+    merged = hdr_merge(a, b)
+    return hdr_quantiles(merged, [0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
+
+
+def _q_quantile_sketch_grouped(spark, sf_dir):
+    """Per-group quantiles from one grouped HDR sketch: p50/p95 of
+    l_extendedprice by l_returnflag.  Same scan shape as a grouped
+    count; the cumulative walk runs on the tiny sketch, never the
+    data — no per-group sort of the corpus."""
+    from dlt_spark.dataops.sketches import hdr_quantiles_grouped, hdr_sketch_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hdr_sketch_grouped(li, "l_extendedprice", "l_returnflag", k=7, scale=100)
+    return hdr_quantiles_grouped(sk, "l_returnflag", [0.5, 0.95], scale=100)
 
 
 def _q_per_source_cap(spark, sf_dir):
@@ -2177,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
         "tpch_q20": _q_tpch_q20,
+        "quantile_sketch": _q_quantile_sketch,
+        "quantile_sketch_grouped": _q_quantile_sketch_grouped,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
@@ -3573,6 +3608,63 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 1.6562238378542564e+18 / CAST(s + (256 - used) * 35184372088832 AS DOUBLE)
                      END, 2) AS estimate
         FROM agg
+    """
+
+    sql["quantile_sketch"] = """
+        WITH v AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+        ), bk AS (
+            SELECT CASE WHEN v <= 0 THEN 0
+                        ELSE (v >> greatest(length(bin(v)) - 8, 0))
+                             << greatest(length(bin(v)) - 8, 0) END AS bucket
+            FROM v
+        ), sk AS (
+            SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket
+        ), cum AS (
+            SELECT bucket,
+                   sum(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM sk
+        ), qs AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
+        )
+        SELECT q, round(min(bucket) / 100.0, 6) AS estimate
+        FROM cum CROSS JOIN qs
+        WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+        GROUP BY q
+        ORDER BY q
+    """
+
+    sql["quantile_sketch_grouped"] = """
+        WITH v AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        ), bk AS (
+            SELECT l_returnflag,
+                   CASE WHEN v <= 0 THEN 0
+                        ELSE (v >> greatest(length(bin(v)) - 8, 0))
+                             << greatest(length(bin(v)) - 8, 0) END AS bucket
+            FROM v
+        ), sk AS (
+            SELECT l_returnflag, bucket, count(*) AS cnt
+            FROM bk GROUP BY l_returnflag, bucket
+        ), cum AS (
+            SELECT l_returnflag, bucket,
+                   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+            FROM sk
+        ), qs AS (
+            SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q)
+        )
+        SELECT l_returnflag, q, round(min(bucket) / 100.0, 6) AS estimate
+        FROM cum CROSS JOIN qs
+        WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+        GROUP BY l_returnflag, q
+        ORDER BY l_returnflag, q
     """
 
     sql["hll_group_distinct"] = """

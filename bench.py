@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "hll_group_distinct",
     "cms_heavy_hitters",
     "remove_repeated_spans",
+    "quantile_sketch",
+    "quantile_sketch_grouped",
 ]
 
 

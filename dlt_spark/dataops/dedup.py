@@ -553,10 +553,21 @@ def dedup_against(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
     use_arrow: bool = True,
+    bloom_bits: int = 0,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup: drop rows of ``new`` that are
     exact or near duplicates of the existing ``ref`` corpus — the
     "dedup this crawl against everything already ingested" operator.
+
+    ``bloom_bits > 0`` additionally builds a broadcastable Bloom filter
+    over the ref fingerprints (:func:`..sketches.bloom_sketch`) and
+    prefilters the exact layer with it: rows the bloom rejects are
+    definite non-duplicates and never enter the fingerprint anti-join
+    shuffle.  Blooms have no false negatives, so the result set is
+    IDENTICAL with the prefilter on or off — it is purely a shuffle-
+    volume knob for the 100 TB case, where the ref corpus's bloom is
+    built once per corpus version and broadcast per batch.
 
     Two layers, both bucketed (never all-pairs):
 
@@ -578,6 +589,15 @@ def dedup_against(
     # exact layer
     ref_fp = ref_nn.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
     new_fp = new.withColumn("_fp", fingerprint(F.col(text_col)))
+    if bloom_bits:
+        from .sketches import bloom_might_contain, bloom_sketch
+
+        bloom = bloom_sketch(ref_fp, "_fp", bloom_bits, bloom_hashes)
+        new_fp = (
+            bloom_might_contain(new_fp, "_fp", bloom, bloom_bits, bloom_hashes)
+            .filter(F.col("_bloom_maybe"))
+            .drop("_bloom_maybe")
+        )
     exact_losers = new_fp.join(ref_fp, "_fp", "left_semi").select(
         F.col(id_col).alias("_loser")
     )

@@ -242,3 +242,248 @@ def cms_estimate(
 def hll_std_error(p: int) -> float:
     """Expected relative standard error of the estimate (~1.04/sqrt(m))."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ------------------------------------------- HDR quantile sketch
+#
+# A log2-linear histogram in the HdrHistogram / DDSketch family
+# (Masson, Lee, Rim: "DDSketch", VLDB 2019), built from *pure integer
+# ops* so the bucket function is bit-identical across engines (no
+# float log whose rounding at bucket boundaries could differ):
+#
+#   v       = round(x * scale)          (positive metric -> integer)
+#   shift   = max(bitlen(v) - 1 - k, 0)
+#   bucket  = (v >> shift) << shift     (the bucket's lower bound)
+#
+# Buckets are exact below 2^(k+1) and have width 2^shift above, giving
+# guaranteed relative error <= 2^-k.  The sketch is the (bucket, cnt)
+# table: tiny (<= ~64*2^k rows for bigint inputs), persistable, and
+# mergeable by bucket-wise SUM — per-batch sketches of an unbounded
+# stream add to the sketch of the union, so percentile dashboards over
+# a 100 TB event log are a per-batch increment, never a global sort.
+
+
+def hdr_bucket(col: Column, k: int = 7, scale: int = 1) -> Column:
+    """Lower bound of the log2-linear bucket holding ``col``.
+
+    Integer-only: bit length via ``length(bin(v))`` then shift down/up.
+    Nonpositive values collapse to bucket 0 (documented: this sketch
+    targets positive metrics; 0 keeps them countable).
+    """
+    v = F.round(col.cast("double") * F.lit(scale)).cast("bigint")
+    shift = F.greatest(F.length(F.bin(v)) - F.lit(1 + k), F.lit(0)).cast("int")
+    # the python shiftleft/shiftright wrappers only take int bit counts;
+    # the SQL functions accept a column — call them directly
+    down = F.call_function("shiftright", v, shift)
+    return F.when(v <= 0, F.lit(0)).otherwise(
+        F.call_function("shiftleft", down, shift)
+    )
+
+
+def hdr_sketch(
+    df: DataFrame, col: str, k: int = 7, scale: int = 1
+) -> DataFrame:
+    """Build the sketch: ``(bucket, cnt)``.  One grouped count with a
+    map-side partial — scan-bound at any scale."""
+    return (
+        df.select(hdr_bucket(F.col(col), k, scale).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches (bucket-wise sum) — sketch(A ⊎ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame, qs, scale: int = 1, decimals: int = 6
+) -> DataFrame:
+    """``(q, estimate)`` per requested quantile.
+
+    rank(q) = max(ceil(q*N), 1); the estimate is the lower bound of the
+    first bucket (in value order) whose cumulative count reaches the
+    rank — within 2^-k of the true quantile.  The sketch is tiny, so
+    the window sort and the quantile probe join are driver-scale
+    cheap regardless of input size.
+    """
+    from pyspark.sql import Window
+
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+    ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    probe = cum.crossJoin(F.broadcast(qdf)).where(
+        F.col("cum") >= F.greatest(
+            F.ceil(F.col("q") * F.col("total")), F.lit(1)
+        )
+    )
+    return (
+        probe.groupBy("q")
+        .agg(F.min("bucket").alias("_b"))
+        .select(
+            "q",
+            F.round(F.col("_b") / F.lit(float(scale)), decimals).alias(
+                "estimate"
+            ),
+        )
+    )
+
+
+def hdr_sketch_grouped(
+    df: DataFrame, col: str, group_cols, k: int = 7, scale: int = 1
+) -> DataFrame:
+    """Per-group sketch ``(group..., bucket, cnt)`` — same shuffle shape
+    keyed by group+bucket; merges per group by bucket-wise sum."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return (
+        df.select(*group_cols, hdr_bucket(F.col(col), k, scale).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles_grouped(
+    sketch: DataFrame, group_cols, qs, scale: int = 1, decimals: int = 6
+) -> DataFrame:
+    """Per-group ``(group..., q, estimate)`` — the grouped form of
+    :func:`hdr_quantiles` (cumulative window partitioned by group)."""
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    probe = cum.crossJoin(F.broadcast(qdf)).where(
+        F.col("cum") >= F.greatest(
+            F.ceil(F.col("q") * F.col("total")), F.lit(1)
+        )
+    )
+    return (
+        probe.groupBy(*group_cols, "q")
+        .agg(F.min("bucket").alias("_b"))
+        .select(
+            *group_cols,
+            "q",
+            F.round(F.col("_b") / F.lit(float(scale)), decimals).alias(
+                "estimate"
+            ),
+        )
+    )
+
+
+def hdr_rel_error(k: int) -> float:
+    """Guaranteed relative error bound of bucket lower bounds (2^-k)."""
+    return 2.0 ** -k
+
+
+# ------------------------------------------------- Bloom filter
+#
+# A broadcastable membership sketch: the bitset is stored as a tiny
+# ``(w, bits)`` table of 64-bit words (<= m/64 rows; 1 MiB of bitset =
+# 16k rows), built in one grouped BIT_OR aggregation and **mergeable by
+# word-wise BIT_OR**.  No false negatives ever, so it is safe as a
+# *prefilter* in front of an exact anti-join: rows the bloom rejects
+# are definite non-members and skip the shuffle entirely — at 100 TB
+# the "dedup this crawl against the full corpus" join only shuffles
+# the (tiny) fraction of new rows whose k bits all hit.
+
+
+def _bloom_cells(col: Column, num_bits: int, num_hashes: int, salt: str) -> Column:
+    """Array of (word index, word mask) cells for a value's k probes."""
+    cells = []
+    for d in range(num_hashes):
+        pos = _hash52(col, f"{salt}{d}") % num_bits
+        cells.append(
+            F.struct(
+                F.call_function("shiftright", pos, F.lit(6)).alias("w"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return F.array(*cells)
+
+
+def bloom_sketch(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the filter: ``(w, bits)`` words with the k bits of every
+    value OR-ed in.  One explode + grouped BIT_OR (map-side combinable),
+    scan-bound; the result is small enough to broadcast."""
+    return (
+        df.select(F.explode(_bloom_cells(F.col(col), num_bits, num_hashes, salt)).alias("_c"))
+        .groupBy(F.col("_c.w").alias("w"))
+        .agg(F.bit_or("_c.mask").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge filters (word-wise OR) — filter(A ∪ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    col: str,
+    sketch: DataFrame,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """``probe`` plus a boolean ``_bloom_maybe`` column: true iff all k
+    bits are set (possible member), false = certain non-member.
+
+    k chained *broadcast* left joins against the word table — the probe
+    side never shuffles and the whole check stays in codegen; no
+    explode/regroup that would re-key the (possibly huge) probe."""
+    out = probe
+    hits = []
+    for d in range(num_hashes):
+        pos = _hash52(F.col(col), f"{salt}{d}") % num_bits
+        out = out.withColumn(
+            f"_bw{d}", F.call_function("shiftright", pos, F.lit(6))
+        ).withColumn(
+            f"_bm{d}",
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+            ),
+        )
+        side = F.broadcast(
+            sketch.select(F.col("w").alias(f"_w{d}"), F.col("bits").alias(f"_bits{d}"))
+        )
+        out = out.join(side, F.col(f"_bw{d}") == F.col(f"_w{d}"), "left")
+        hits.append(
+            F.coalesce(F.col(f"_bits{d}"), F.lit(0)).bitwiseAND(F.col(f"_bm{d}"))
+            == F.col(f"_bm{d}")
+        )
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    drop = [c for d in range(num_hashes) for c in (f"_bw{d}", f"_bm{d}", f"_w{d}", f"_bits{d}")]
+    return out.withColumn("_bloom_maybe", maybe).drop(*drop)
+
+
+def bloom_fp_rate(n: int, num_bits: int, num_hashes: int) -> float:
+    """Expected false-positive rate for n inserted values."""
+    return (1.0 - math.exp(-num_hashes * n / num_bits)) ** num_hashes

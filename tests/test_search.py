@@ -100,3 +100,129 @@ def test_hll_grouped_close_to_exact_and_merges(spark):
         for r in hll_estimate_grouped(merged, "grp", p=8).collect()
     }
     assert est == est2
+
+
+def test_hdr_quantiles_within_relative_error(spark):
+    from dlt_spark.dataops.sketches import (
+        hdr_merge,
+        hdr_quantiles,
+        hdr_rel_error,
+        hdr_sketch,
+    )
+
+    # deterministic skewed positives: 1..10000 squared / 100
+    vals = [(i, (i * i) / 100.0) for i in range(1, 10001)]
+    df = spark.createDataFrame(vals, ["i", "x"])
+    sk = hdr_sketch(df, "x", k=7, scale=100)
+    got = {
+        r["q"]: r["estimate"]
+        for r in hdr_quantiles(sk, [0.25, 0.5, 0.9, 0.99], scale=100).collect()
+    }
+    import math
+
+    tol = hdr_rel_error(7)
+    for q, est in got.items():
+        exact = sorted(v for _, v in vals)[max(math.ceil(q * 10000), 1) - 1]
+        # bucket lower bound: estimate <= exact, within 2^-k relative
+        assert est <= exact + 1e-9
+        assert (exact - est) / exact <= tol + 1e-9
+
+    # merge of two half-sketches == sketch of the whole
+    a = hdr_sketch(df.filter("i % 2 = 0"), "x", k=7, scale=100)
+    b = hdr_sketch(df.filter("i % 2 = 1"), "x", k=7, scale=100)
+    got2 = {
+        r["q"]: r["estimate"]
+        for r in hdr_quantiles(
+            hdr_merge(a, b), [0.25, 0.5, 0.9, 0.99], scale=100
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_hdr_small_values_exact_and_nonpositive_bucket(spark):
+    from dlt_spark.dataops.sketches import hdr_quantiles, hdr_sketch
+
+    # values below 2^(k+1)=256 (after scale=1) are bucketed exactly
+    df = spark.createDataFrame([(v,) for v in [1, 2, 3, 100, 255, 0, -5]], ["x"])
+    sk = hdr_sketch(df, "x", k=7, scale=1)
+    buckets = sorted(r["bucket"] for r in sk.collect())
+    assert buckets == [0, 1, 2, 3, 100, 255]  # 0 and -5 share bucket 0
+    got = {r["q"]: r["estimate"] for r in hdr_quantiles(sk, [1.0], scale=1).collect()}
+    assert got[1.0] == 255.0
+
+
+def test_hdr_grouped_matches_global_per_group(spark):
+    from dlt_spark.dataops.sketches import (
+        hdr_quantiles,
+        hdr_quantiles_grouped,
+        hdr_sketch,
+        hdr_sketch_grouped,
+    )
+
+    data = [(("a" if i % 3 == 0 else "b"), float(i)) for i in range(1, 3001)]
+    df = spark.createDataFrame(data, ["g", "x"])
+    sk = hdr_sketch_grouped(df, "x", "g", k=7, scale=10)
+    got = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in hdr_quantiles_grouped(sk, "g", [0.5, 0.95], scale=10).collect()
+    }
+    for g in ("a", "b"):
+        sub = df.filter(f"g = '{g}'")
+        ref = {
+            r["q"]: r["estimate"]
+            for r in hdr_quantiles(
+                hdr_sketch(sub, "x", k=7, scale=10), [0.5, 0.95], scale=10
+            ).collect()
+        }
+        for q in (0.5, 0.95):
+            assert got[(g, q)] == ref[q]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from dlt_spark.dataops.sketches import (
+        bloom_fp_rate,
+        bloom_merge,
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    members = spark.createDataFrame([(f"key{i}",) for i in range(2000)], ["v"])
+    bloom = bloom_sketch(members, "v", num_bits=1 << 16, num_hashes=5)
+
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(0, 4000)], ["v"]
+    )
+    got = {
+        r["v"]: r["_bloom_maybe"]
+        for r in bloom_might_contain(probe, "v", bloom, 1 << 16, 5).collect()
+    }
+    # every member must hit (no false negatives — the safety property)
+    assert all(got[f"key{i}"] for i in range(2000))
+    # false positives among non-members stay near the analytic rate
+    fp = sum(1 for i in range(2000, 4000) if got[f"key{i}"])
+    assert fp / 2000 < 5 * max(bloom_fp_rate(2000, 1 << 16, 5), 1e-3)
+
+    # merge of two half-filters == filter of the union
+    a = bloom_sketch(members.filter("v < 'key1'"), "v", 1 << 16, 5)
+    b = bloom_sketch(members.filter("v >= 'key1'"), "v", 1 << 16, 5)
+    merged = {(r["w"], r["bits"]) for r in bloom_merge(a, b).collect()}
+    whole = {(r["w"], r["bits"]) for r in bloom.collect()}
+    assert merged == whole
+
+
+def test_dedup_against_bloom_prefilter_identical_result(spark):
+    from dlt_spark.dataops.dedup import dedup_against
+
+    rows = [(i, f"unique document text number {i} with padding words") for i in range(40)]
+    # make 41/42 exact copies of ref docs 1/2
+    rows += [(41, rows[1][1]), (42, rows[2][1]), (43, "fresh text nothing like the rest at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = df.filter("doc_id < 40")
+    new = df.filter("doc_id >= 40")
+    base = {r["doc_id"] for r in dedup_against(new, ref, "doc_id").collect()}
+    bloomed = {
+        r["doc_id"]
+        for r in dedup_against(new, ref, "doc_id", bloom_bits=1 << 14).collect()
+    }
+    assert base == bloomed
+    assert 41 not in base and 42 not in base and 43 in base
