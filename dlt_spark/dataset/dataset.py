@@ -30,7 +30,13 @@ class Dataset:
 
     # -- table access --
 
-    def table(self, name: str) -> Relation:
+    def table(self, name: str, version: "int | None" = None) -> Relation:
+        """``version=`` time-travels to that store snapshot (``VERSION AS
+        OF`` analog; availability bounded by vacuum retention)."""
+        if version is not None:
+            return Relation(
+                self.store.read(name, version=version), name, dataset=self
+            )
         return Relation(self.store.read(name), name, dataset=self)
 
     def __getitem__(self, name: str) -> Relation:

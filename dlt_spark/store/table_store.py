@@ -132,13 +132,33 @@ class ParquetTableStore(TableStore):
             return json.load(f)
 
     def _commit(self, table: str, meta: dict) -> None:
-        """Atomic pointer flip via rename on the same filesystem."""
+        """Atomic pointer flip via rename on the same filesystem.  Every
+        commit is also recorded in ``_log/{version}.json`` — the Delta-
+        transaction-log analog that makes :meth:`read` with ``version=``
+        (time travel), :meth:`history`, and :meth:`changes` possible.
+        The pointer flip stays the atomicity point; the log entry is
+        written first so a crash between the two leaves no committed
+        version without a log record."""
         d = self._table_dir(table)
         os.makedirs(d, exist_ok=True)
+        log_dir = os.path.join(d, "_log")
+        os.makedirs(log_dir, exist_ok=True)
+        import time as _time
+
+        entry = dict(meta, committed_at=_time.time())
+        with open(os.path.join(log_dir, f"{meta['version']:08d}.json"), "w") as f:
+            json.dump(entry, f)
         fd, tmp = tempfile.mkstemp(dir=d, prefix="_current.")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._pointer(table))
+
+    def _log_meta(self, table: str, version: int) -> Optional[dict]:
+        p = os.path.join(self._table_dir(table), "_log", f"{version:08d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def _next_version(self, table: str) -> int:
         meta = self._current_meta(table)
@@ -156,7 +176,12 @@ class ParquetTableStore(TableStore):
         meta = self._current_meta(table)
         return bool(meta and meta["paths"])
 
-    def read(self, table: str, where: Optional[List[tuple]] = None) -> DataFrame:
+    def read(
+        self,
+        table: str,
+        where: Optional[List[tuple]] = None,
+        version: Optional[int] = None,
+    ) -> DataFrame:
         """``where``: optional ``[(col, lo, hi), ...]`` range predicates
         used for manifest-driven FILE skipping (the Delta/Iceberg data-
         skipping analog): files whose recorded min/max for a ``sort``-
@@ -164,7 +189,37 @@ class ParquetTableStore(TableStore):
         ``hi`` of ``None`` mean unbounded.  Files without stats always
         scan (correctness over optimism).  The returned DataFrame still
         applies nothing row-level — add the real ``.filter`` on top; this
-        only narrows the file list the scan starts from."""
+        only narrows the file list the scan starts from.
+
+        ``version``: time travel — read the snapshot committed as that
+        version (``VERSION AS OF`` analog).  Snapshots survive as long
+        as their data dirs do: append chains keep full history; overwrite
+        auto-vacuums to current+previous, and :meth:`vacuum` prunes to
+        current — past that a versioned read raises."""
+        if version is not None:
+            meta = self._log_meta(table, version)
+            if meta is None:
+                raise FileNotFoundError(
+                    f"table {table!r} has no commit log entry for version {version}"
+                )
+            paths = meta["paths"]
+            missing = [p for p in paths if not os.path.isdir(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"version {version} of table {table!r} was vacuumed "
+                    f"(missing {len(missing)} of {len(paths)} snapshot dirs)"
+                )
+            if not paths:
+                cur = self._data_paths(table)
+                return self.spark.read.parquet(*cur).limit(0)
+            if meta.get("partition_by") and len(paths) > 1:
+                out = self.spark.read.parquet(paths[0])
+                for p in paths[1:]:
+                    out = out.unionByName(
+                        self.spark.read.parquet(p), allowMissingColumns=True
+                    )
+                return out
+            return self.spark.read.parquet(*paths)
         paths = self._data_paths(table)
         if not paths:
             raise FileNotFoundError(f"table {table!r} is empty and schemaless")
@@ -213,7 +268,8 @@ class ParquetTableStore(TableStore):
         paths = (prev["paths"] if prev else []) + [new_dir]
         self._commit(
             table,
-            {"version": v, "paths": paths, "partition_by": partition_by, "sort_by": sort_by},
+            {"version": v, "paths": paths, "partition_by": partition_by,
+             "sort_by": sort_by, "op": "append"},
         )
 
     def append_rows(self, rows: List[dict], table: str, schema: "object" = None) -> None:
@@ -233,6 +289,7 @@ class ParquetTableStore(TableStore):
                 "version": v,
                 "paths": paths,
                 "partition_by": (prev or {}).get("partition_by"),
+                "op": "append_rows",
             },
         )
 
@@ -263,6 +320,7 @@ class ParquetTableStore(TableStore):
                 "partition_by": partition_by,
                 "sort_by": sort_by,
                 "prev_paths": (prev or {}).get("paths", []),
+                "op": "overwrite",
             },
         )
         self._vacuum(table)
@@ -358,6 +416,7 @@ class ParquetTableStore(TableStore):
                     "paths": [],
                     "partition_by": meta.get("partition_by"),
                     "prev_paths": meta.get("paths", []),
+                    "op": "truncate",
                 },
             )
 
@@ -401,6 +460,68 @@ class ParquetTableStore(TableStore):
         for v in sorted(v for v in os.listdir(d) if v.startswith("v_")):
             if v not in live:
                 shutil.rmtree(os.path.join(d, v), ignore_errors=True)
+
+    def history(self, table: str) -> List[dict]:
+        """Commit history, oldest first: ``[{version, op, n_dirs,
+        committed_at, readable}]`` — the ``DESCRIBE HISTORY`` analog.
+        ``readable`` reports whether the snapshot's data dirs still
+        exist (false once vacuumed)."""
+        log_dir = os.path.join(self._table_dir(table), "_log")
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for f in sorted(os.listdir(log_dir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, f)) as fh:
+                meta = json.load(fh)
+            out.append(
+                {
+                    "version": meta["version"],
+                    "op": meta.get("op", "commit"),
+                    "n_dirs": len(meta.get("paths", [])),
+                    "committed_at": meta.get("committed_at"),
+                    "readable": all(os.path.isdir(p) for p in meta.get("paths", [])),
+                }
+            )
+        return out
+
+    def changes(self, table: str, from_version: int, to_version: int) -> DataFrame:
+        """Row-level diff between two snapshots, the change-data-feed
+        analog: multiset ``exceptAll`` both ways, each side tagged with a
+        ``_change_type`` of ``insert`` / ``delete``.  An updated row
+        appears as one delete + one insert.  For pure append chains the
+        cheap path applies: only the version dirs added between the two
+        commits are scanned (no diff against history at all)."""
+        from pyspark.sql import functions as F
+
+        old_meta = self._log_meta(table, from_version)
+        new_meta = self._log_meta(table, to_version)
+        if old_meta is None or new_meta is None:
+            missing = from_version if old_meta is None else to_version
+            raise FileNotFoundError(
+                f"table {table!r} has no commit log entry for version {missing}"
+            )
+        old_paths, new_paths = old_meta["paths"], new_meta["paths"]
+        if (
+            len(old_paths) <= len(new_paths)
+            and new_paths[: len(old_paths)] == old_paths
+        ):
+            added = new_paths[len(old_paths):]
+            if not added:
+                return self.read(table, version=to_version).limit(0).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            return self.spark.read.parquet(*added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        new_df = self.read(table, version=to_version)
+        old_df = self.read(table, version=from_version)
+        return new_df.exceptAll(old_df).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+        )
 
     def vacuum(self, table: str) -> None:
         """Explicit maintenance purge: delete every version dir not in the

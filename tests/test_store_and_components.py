@@ -188,3 +188,58 @@ def test_manifest_skipping_via_pipeline_sort_hint(spark, tmp_path):
     assert after <= total  # manifest present and consulted
     got = store.read("t", where=[("ts", 1_999, None)]).filter("ts = 1999")
     assert got.count() == 1
+
+
+def test_time_travel_read_across_appends(spark, store):
+    store.append(_df(spark, [(1, "a")]), "tt")
+    store.append(_df(spark, [(2, "b")]), "tt")
+    store.append(_df(spark, [(3, "c")]), "tt")
+    assert store.read("tt", version=0).count() == 1
+    assert store.read("tt", version=1).count() == 2
+    assert store.read("tt", version=2).count() == 3
+    assert {r["id"] for r in store.read("tt", version=1).collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        store.read("tt", version=9)
+
+
+def test_history_records_ops_and_readability(spark, store):
+    store.append(_df(spark, [(1, "a")]), "h")
+    store.append(_df(spark, [(2, "b")]), "h")
+    store.overwrite(_df(spark, [(9, "z")]), "h")
+    hist = store.history("h")
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+    # overwrite auto-vacuums to current+previous: v0's dir is shared with
+    # v1's snapshot (append chains reference prior dirs), so all readable
+    assert hist[2]["readable"]
+    # explicit vacuum prunes history readability to the current snapshot
+    store.vacuum("h")
+    hist = store.history("h")
+    assert hist[2]["readable"]
+    assert not hist[0]["readable"]
+    with pytest.raises(FileNotFoundError):
+        store.read("h", version=0)
+
+
+def test_changes_append_fast_path_and_diff(spark, store):
+    store.append(_df(spark, [(1, "a"), (2, "b")]), "cd")
+    store.append(_df(spark, [(3, "c")]), "cd")
+    ch = store.changes("cd", 0, 1)
+    rows = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(3, "insert")}
+    # overwrite path: full multiset diff with deletes
+    store.overwrite(_df(spark, [(2, "b"), (4, "d")]), "cd")
+    ch = store.changes("cd", 1, 2)
+    rows = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(4, "insert"), (1, "delete"), (3, "delete")}
+
+
+def test_dataset_table_version_param(spark, tmp_path):
+    from dlt_spark.dataset.dataset import Dataset
+
+    store = ParquetTableStore(spark, str(tmp_path), "ds2")
+    store.append(_df(spark, [(1, "a")]), "t")
+    store.append(_df(spark, [(2, "b")]), "t")
+    ds = Dataset(spark, store)
+    assert len(ds.table("t").df()) == 2
+    assert len(ds.table("t", version=0).df()) == 1
