@@ -1126,10 +1126,11 @@ def _q_dedup_incremental(spark, sf_dir):
     """Cross-corpus incremental dedup: new docs (doc_id >= 350) deduped
     against the already-ingested corpus (doc_id < 350) — exact
     fingerprint layer + MinHash bucket-join near layer, both bucketed.
-    The exact layer runs behind a broadcast Bloom prefilter (no false
-    negatives → identical result, but at corpus scale only bloom-hit
-    rows enter the fingerprint anti-join shuffle).  Returns the
-    surviving new docs."""
+    (``dedup_against`` also offers a broadcast Bloom prefilter for the
+    exact layer — identical results, used when ``new`` dwarfs the ref
+    hit fraction; at this benchmark scale its fixed build cost exceeds
+    the shuffle it saves, so it stays off here and is pinned by unit
+    tests instead.)  Returns the surviving new docs."""
     from dlt_spark.dataops.dedup import dedup_against
 
     docs = _t(spark, sf_dir, "documents")
@@ -1138,7 +1139,6 @@ def _q_dedup_incremental(spark, sf_dir):
     out = dedup_against(
         new, ref, "doc_id",
         num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE,
-        bloom_bits=1 << 18,
     )
     return out.select("doc_id", "lang", "source", "n_chars")
 
@@ -1339,6 +1339,64 @@ def _q_corpus_mix(spark, sf_dir):
     )
 
 
+def _q_mix_temperature(spark, sf_dir):
+    """Temperature-controlled corpus mixing (T=2): per-language
+    proportions derived from the data as n^(1/T)/Z — the multilingual
+    upsampling rule — then sampled by key hash.  One counts pass, no
+    data shuffle; the whole rate computation is replayed in SQL."""
+    from dlt_spark.dataops.sampling import mix_corpus_temperature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus_temperature(
+        docs, "doc_id", "lang", temperature=2.0, total_rows=300
+    )
+
+
+def _q_salted_join_agg(spark, sf_dir):
+    """Skew-resistant salted join: orders↔customer equi-join spread over
+    8 salts (right side replicated, left salted by primary-key hash),
+    then revenue per market segment.  Row-identical to the plain join —
+    the oracle IS the plain join — while a hot customer key would land
+    on 8 reducers instead of one."""
+    from dlt_spark.dataset.joins import salted_join
+
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    j = salted_join(ords, cust, ["o_custkey"], salt_col="o_orderkey", num_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+def _q_dedup_corpus_lines(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (RefinedWeb pass): re-lined
+    docs plus one shared disclaimer line; every duplicated line (incl.
+    all lines of near-dup docs) survives only in the smallest
+    (doc_id, pos) — one shuffle keyed by line, rebuild preserves
+    order."""
+    from dlt_spark.dataops.text import dedup_lines_global
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lined = F.concat(
+        F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n"),
+        F.lit("\nshared legal disclaimer line exceeding thirty characters"),
+    )
+    return dedup_lines_global(
+        docs.select("doc_id", lined.alias("text")), min_chars=30
+    )
+
+
 def _q_event_funnel(spark, sf_dir):
     """Funnel analysis without self-joins: per-user first-touch times
     via conditional aggregation, ordered-stage checks on one row — the
@@ -1447,12 +1505,17 @@ def _q_quantile_sketch(spark, sf_dir):
     per-batch increment path a 100 TB percentile dashboard needs.  The
     bucket function is pure integer bit ops (no float log), so the
     DuckDB oracle reproduces every bucket and estimate bit-exactly."""
-    from dlt_spark.dataops.sketches import hdr_merge, hdr_quantiles, hdr_sketch
+    from dlt_spark.dataops.sketches import hdr_merge, hdr_quantiles, hdr_sketch_grouped
 
-    li = _t(spark, sf_dir, "lineitem")
-    a = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", k=7, scale=100)
-    b = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", k=7, scale=100)
-    merged = hdr_merge(a, b)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_half", F.col("l_orderkey") % 2
+    )
+    # ONE scan: per-half sketches from a grouped build, merged by the
+    # bucket-wise sum (hdr_merge on a single frame) — same result as
+    # sketching each half separately (mergeability pinned by unit
+    # tests), without reading lineitem twice
+    halves = hdr_sketch_grouped(li, "l_extendedprice", "_half", k=7, scale=100)
+    merged = hdr_merge(halves.select("bucket", "cnt"))
     return hdr_quantiles(merged, [0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
 
 
@@ -2212,6 +2275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "quantile_sketch": _q_quantile_sketch,
         "quantile_sketch_grouped": _q_quantile_sketch_grouped,
+        "mix_temperature": _q_mix_temperature,
+        "salted_join_agg": _q_salted_join_agg,
+        "dedup_corpus_lines": _q_dedup_corpus_lines,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
@@ -3996,6 +4062,60 @@ def oracle_sql() -> dict[str, str]:
                 200 * CASE d.lang WHEN 'en' THEN 0.6
                                   WHEN 'de' THEN 0.25
                                   ELSE 0.15 END / c.n)
+    """
+
+    sql["mix_temperature"] = f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c),
+        z AS (SELECT sum(wt) AS zz FROM w),
+        r AS (SELECT lang, n, least(1.0, 300 * (wt / zz) / n) AS rate FROM w, z)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE {_hf_mix} < r.rate
+    """
+
+    sql["salted_join_agg"] = """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 6)
+                   AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    sql["dedup_corpus_lines"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\\S+\\s+){7}\\S+)\\s+',
+                                  '\\1' || chr(10), 'g')
+                   || chr(10) || 'shared legal disclaimer line exceeding thirty characters'
+                   AS text
+            FROM documents WHERE text IS NOT NULL
+        ), l AS (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (x, i) -> {'pos': i, 'line': x})) AS s
+            FROM d
+        ), lines AS (
+            SELECT doc_id, s.pos AS pos, s.line AS line FROM l
+        ), win AS (
+            SELECT line, doc_id AS wid, pos AS wpos FROM (
+                SELECT line, doc_id, pos,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM lines WHERE length(trim(line)) >= 30
+            ) WHERE rn = 1
+        ), kept AS (
+            SELECT lines.doc_id, lines.pos, lines.line
+            FROM lines LEFT JOIN win ON lines.line = win.line
+            WHERE win.line IS NULL
+               OR (lines.doc_id = win.wid AND lines.pos = win.wpos)
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        FROM d LEFT JOIN rebuilt r USING (doc_id)
     """
 
     sql["tpch_q6"] = """

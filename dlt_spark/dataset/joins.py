@@ -164,3 +164,38 @@ def interval_overlap_join(
         .drop("_bucket", "_b0_l", "_b0_r")
     )
     return joined
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_col: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot join key over
+    ``num_salts`` shuffle partitions.
+
+    The left (large, skewed) side gets a deterministic salt from
+    ``salt_col`` (any high-cardinality column — a primary key; NOT the
+    join key, whose whole problem is low entropy); the right side is
+    replicated once per salt value.  Joining on ``on + [_salt]`` is
+    row-for-row identical to the plain equi-join, but a key holding 30%
+    of the table now lands on ``num_salts`` reducers instead of one.
+
+    Use when AQE's skew-join split can't help: broadcast is too big,
+    the skew is in a shuffled hash join, or the downstream needs the
+    salted partitioning reused.  Cost: the right side shuffles
+    ``num_salts``× its size — keep it the smaller input.  ``how``
+    supports inner/left (right/full would need the unsalted right
+    rows back)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = list(on)
+    lsalt = F.pmod(F.xxhash64(F.col(salt_col), F.lit("salt")), F.lit(num_salts))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")

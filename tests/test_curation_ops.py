@@ -335,3 +335,77 @@ def test_remove_repeated_spans_fully_covered_doc_stays(spark):
     out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=4, min_docs=2).collect()}
     assert set(out) == {1, 2}
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 4
+
+
+def test_temperature_proportions_flatten_toward_uniform(spark):
+    from dlt_spark.dataops.sampling import temperature_proportions
+
+    counts = {"en": 9000, "fr": 900, "sw": 100}
+    p1 = temperature_proportions(counts, 1.0)
+    p5 = temperature_proportions(counts, 5.0)
+    # T=1 is natural proportions
+    assert abs(p1["en"] - 0.9) < 1e-12
+    # higher temperature boosts the small stratum, shrinks the big one
+    assert p5["sw"] > p1["sw"] and p5["en"] < p1["en"]
+    assert abs(sum(p5.values()) - 1.0) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_proportions(counts, 0)
+
+
+def test_mix_corpus_temperature_hits_targets(spark):
+    from dlt_spark.dataops.sampling import (
+        mix_corpus_temperature,
+        temperature_proportions,
+    )
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = mix_corpus_temperature(df, "k", "g", temperature=3.0, total_rows=2000)
+    got = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    props = temperature_proportions({"big": 9000, "small": 1000}, 3.0)
+    for g in ("big", "small"):
+        target = 2000 * props[g]
+        assert abs(got[g] - target) / target < 0.15  # hash sampling tolerance
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dlt_spark.dataset.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(2000)], ["pk", "k", "v"]
+    )
+    # skew: key 0 takes half the rows
+    left = left.withColumn("k", F.when(F.col("pk") < 1000, 0).otherwise(F.col("k")))
+    right = spark.createDataFrame([(k, f"dim{k}") for k in range(7)], ["k", "name"])
+    plain = left.join(right, "k").select("pk", "k", "name")
+    salted = salted_join(left, right, ["k"], salt_col="pk", num_salts=8).select(
+        "pk", "k", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched rows exactly once
+    right_partial = right.filter("k < 3")
+    pl = left.join(right_partial, "k", "left").select("pk", "name")
+    sl = salted_join(left, right_partial, ["k"], salt_col="pk", num_salts=4, how="left").select("pk", "name")
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
+
+
+def test_dedup_lines_global_keeps_first_occurrence(spark):
+    from dlt_spark.dataops.text import dedup_lines_global
+
+    shared = "this exact sentence appears in many documents verbatim"
+    docs = [
+        (1, f"alpha unique opening line of doc one\n{shared}\nshort"),
+        (2, f"{shared}\nbeta unique content line of doc two here"),
+        (3, f"gamma unique content line of doc three here\n{shared}"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in dedup_lines_global(df, min_chars=30).collect()}
+    # doc 1 (smallest id) keeps the shared line; docs 2 and 3 lose it
+    assert shared in out[1]
+    assert shared not in out[2] and shared not in out[3]
+    # unique lines and short lines survive everywhere
+    assert "alpha unique" in out[1] and "short" in out[1]
+    assert out[2].startswith("beta") or "beta unique" in out[2]
+    assert "gamma unique" in out[3]
