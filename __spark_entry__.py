@@ -701,6 +701,38 @@ def _q_dup_clusters(spark, sf_dir):
     return connected_components(pairs).select("id", "component")
 
 
+def _q_canonical_docs(spark, sf_dir):
+    """Survivor selection after clustering: per duplicate cluster keep
+    the longest member (ties to smallest id) — the "which copy do we
+    train on" step.  Argmax runs as a grouped max-of-struct, no
+    per-cluster sort; the oracle repeats the transitive-closure CTE
+    plus a window pick."""
+    from dlt_spark.dataops.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        pick_canonical,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
+    )
+    comps = connected_components(pairs).select("id", "component")
+    quality = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("quality"))
+    return pick_canonical(comps, quality)
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget curve: top-200 corpus vocabulary with cumulative
+    token-mass coverage.  Vocab from the reduced tf table, top-k via
+    TakeOrdered heaps (no global vocab sort), ranking window over the
+    200 survivors only."""
+    from dlt_spark.dataops.lm import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return vocab_coverage(docs, "doc_id", "text", top_k=200)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates; the sha256 bit-vote recipe is fully
     reproduced in the DuckDB oracle (60 per-bit vote sums)."""
@@ -2278,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": _q_mix_temperature,
         "salted_join_agg": _q_salted_join_agg,
         "dedup_corpus_lines": _q_dedup_corpus_lines,
+        "canonical_docs": _q_canonical_docs,
+        "vocab_coverage": _q_vocab_coverage,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
@@ -2812,6 +2846,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS id, least(src, min(dst)) AS component
         FROM reach GROUP BY src
+    """
+
+    sql["canonical_docs"] = f"""
+        WITH comp AS ({sql["dup_clusters"]}),
+        j AS (
+            SELECT comp.component, comp.id, d.n_chars AS quality
+            FROM comp JOIN documents d ON comp.id = d.doc_id
+        ), ranked AS (
+            SELECT component, id, quality,
+                   count(*) OVER (PARTITION BY component) AS n_members,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, id ASC) AS rn
+            FROM j
+        )
+        SELECT component, id AS canonical_id, n_members, quality
+        FROM ranked WHERE rn = 1
+    """
+
+    sql["vocab_coverage"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ), dt AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), vocab AS (
+            SELECT token, sum(tf) AS cnt FROM dt GROUP BY token
+        ), tot AS (
+            SELECT sum(cnt) AS t FROM vocab
+        ), top AS (
+            SELECT token, cnt FROM vocab ORDER BY cnt DESC, token ASC LIMIT 200
+        )
+        SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+               token, cnt,
+               round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / t, 9) AS coverage
+        FROM top, tot
     """
 
     # SimHash candidates: full SQL reproduction of simhash64 —

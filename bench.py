@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "mix_temperature",
     "salted_join_agg",
     "dedup_corpus_lines",
+    "canonical_docs",
+    "vocab_coverage",
 ]
 
 

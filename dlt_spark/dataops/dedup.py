@@ -921,3 +921,37 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def pick_canonical(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection after duplicate clustering: for each
+    connected component (:func:`connected_components` output) keep the
+    highest-``quality_col`` member, ties to the smallest id.
+
+    Returns ``(component, canonical_id, n_members, quality)``.  One
+    equi-join (id) + one grouped max-of-struct — the argmax runs as a
+    map-side-combinable aggregate, no per-component sort.  This is the
+    "which copy do we train on" step that follows near-dedup: dedup
+    finds the groups, this picks the survivor by signal (length,
+    quality score, recency) instead of by accident of id order."""
+    j = components.join(quality, id_col)
+    best = j.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("_w"),
+    )
+    return best.select(
+        comp_col,
+        (-F.col("_w.nid")).alias("canonical_id"),
+        "n_members",
+        F.col("_w.q").alias(quality_col),
+    )

@@ -91,3 +91,40 @@ def unigram_logprob(
             / F.lit(1000000.0)
         ).alias("avg_neg_logp"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 1000
+) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary with cumulative coverage: the
+    tokenizer-training question "how many types cover 95% of tokens".
+
+    Returns ``(rank, token, cnt, coverage)`` with coverage = cumulative
+    token mass of ranks 1..r over the total corpus token count.
+
+    Scale shape: the (already reduced) tf table aggregates to the vocab;
+    the corpus total is one scalar aggregate; the top-k selection is a
+    TakeOrdered (per-partition heaps, no global sort of the vocabulary);
+    only the k surviving rows enter the ranking window.  Ties order by
+    token so every stage is deterministic."""
+    dt = doc_term_freq(df, id_col, text_col)
+    vocab = dt.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_k)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total"),
+                9,
+            ),
+        )
+        .select("rank", "token", "cnt", "coverage")
+    )

@@ -116,3 +116,36 @@ def test_semantic_dedup_keeps_cell_column(spark):
     assert "cell" in out.columns
     cells = {r["vec_id"]: r["cell"] for r in out.collect()}
     assert all(isinstance(c, int) for c in cells.values())
+
+
+def test_vocab_coverage_ranks_and_cumulates(spark):
+    from dlt_spark.dataops.lm import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    rows = vocab_coverage(docs, "doc_id", "text", top_k=3).collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c"]  # c before d: tie by token
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert [r["cnt"] for r in rows] == [4, 3, 1]
+    # coverage over total 9 tokens: 4/9, 7/9, 8/9
+    assert abs(rows[0]["coverage"] - round(4 / 9, 9)) < 1e-12
+    assert abs(rows[2]["coverage"] - round(8 / 9, 9)) < 1e-12
+
+
+def test_pick_canonical_argmax_with_tiebreak(spark):
+    from dlt_spark.dataops.dedup import pick_canonical
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["id", "component"]
+    )
+    qual = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 5)], ["id", "quality"]
+    )
+    got = {
+        r["component"]: (r["canonical_id"], r["n_members"], r["quality"])
+        for r in pick_canonical(comps, qual).collect()
+    }
+    # component 1: quality tie 90 between ids 2 and 3 -> smallest id wins
+    assert got[1] == (2, 3, 90)
+    assert got[10] == (10, 2, 5)
