@@ -1516,6 +1516,24 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(indexed, cents, qvec, k=10, nprobe=3)
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 64-dim float vectors → 8 nibble codes
+    (hash-ranked deterministic codebooks, 64× smaller scan), asymmetric-
+    distance top-10 via an inlined query→codeword table.  Codebook
+    seeding, per-subspace encoding argmin, and the ordered ADC sum are
+    all reproduced bit-exactly in the DuckDB oracle."""
+    from dlt_spark.dataops.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    cbs = pq_codebooks(em, num_subspaces=8, num_codes=16, seed=42)
+    enc = pq_encode(em.filter(F.col("vec_id") != 0), cbs)
+    return pq_adc_topk(enc, cbs, qvec, k=10)
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -2312,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_lines": _q_dedup_corpus_lines,
         "canonical_docs": _q_canonical_docs,
         "vocab_coverage": _q_vocab_coverage,
+        "pq_topk": _q_pq_topk,
         "relation_ops": _q_relation_ops,
         "relation_join_chain": _q_relation_join_chain,
         "row_counts": _q_row_counts,
@@ -2846,6 +2865,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS id, least(src, min(dst)) AS component
         FROM reach GROUP BY src
+    """
+
+    sql["pq_topk"] = """
+        WITH h AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x' || substr(sha256('42:' || CAST(vec_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS hv
+            FROM embeddings
+        ), seeds AS (
+            SELECT embedding, row_number() OVER (ORDER BY hv) - 1 AS code
+            FROM h ORDER BY hv LIMIT 16
+        ), cb AS (
+            SELECT sp.s, seeds.code,
+                   list_transform(list_slice(seeds.embedding, sp.s*8 + 1, sp.s*8 + 8),
+                                  x -> CAST(x AS DOUBLE)) AS cvec
+            FROM seeds CROSS JOIN generate_series(0, 7) AS sp(s)
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), dt AS (
+            SELECT cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, 8), i ->
+                       (CAST(q.qv[cb.s*8 + i] AS DOUBLE) - cvec[i]) *
+                       (CAST(q.qv[cb.s*8 + i] AS DOUBLE) - cvec[i]))) AS d
+            FROM cb, q
+        ), e AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0
+        ), sub AS (
+            SELECT e.vec_id, cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, 8), i ->
+                       (CAST(e.embedding[cb.s*8 + i] AS DOUBLE) - cvec[i]) *
+                       (CAST(e.embedding[cb.s*8 + i] AS DOUBLE) - cvec[i]))) AS d
+            FROM e CROSS JOIN cb
+        ), enc AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, code ASC) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        ), adc AS (
+            SELECT enc.vec_id,
+                   round(list_sum(list(dt.d ORDER BY dt.s)), 6) AS approx_dist
+            FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+            GROUP BY enc.vec_id
+        )
+        SELECT vec_id, approx_dist FROM adc
+        ORDER BY approx_dist ASC, vec_id ASC LIMIT 10
     """
 
     sql["canonical_docs"] = f"""

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "dedup_corpus_lines",
     "canonical_docs",
     "vocab_coverage",
+    "pq_topk",
 ]
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -280,3 +282,158 @@ def semantic_dedup(
         indexed.withColumnRenamed("_ivf_cell", "cell")
         .join(losers, id_col, "left_anti")
     )
+
+
+# ------------------------------------------------ product quantization
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    num_codes: int = 16,
+    seed: int = 42,
+) -> list:
+    """Deterministic PQ codebooks: the vector is split into
+    ``num_subspaces`` contiguous slices; subspace s's ``num_codes``
+    codewords are the s-slices of the ``num_codes`` vectors with the
+    smallest ``sha256(seed:id)`` — the same hash-ranked seeding as
+    :func:`ivf_index` (``iters=0``), so the whole codebook is
+    bit-reproducible across partitioning, retries, and engines.
+
+    Returns ``codebooks[s][c] -> list[float]`` (len dim/num_subspaces).
+    Memory story at 100 TB: a 64-dim float32 vector (256 B) encodes to
+    8 nibble codes (≈4 B) — a 64x smaller table to scan for candidate
+    generation, with exact re-ranking only on the survivors."""
+    hcol = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = (
+        df.select(F.col(vec_col), hcol.alias("_h"))
+        .orderBy("_h")
+        .limit(num_codes)
+        .collect()
+    )
+    if len(rows) < num_codes:
+        raise ValueError("not enough vectors to build PQ codebooks")
+    seeds = [list(map(float, r[0])) for r in rows]
+    dim = len(seeds[0])
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {num_subspaces} subspaces")
+    sd = dim // num_subspaces
+    return [
+        [seeds[c][s * sd : (s + 1) * sd] for c in range(num_codes)]
+        for s in range(num_subspaces)
+    ]
+
+
+def _pq_encode_arrow(codebooks: list):
+    """pandas_udf: vector -> array<int> PQ codes.  The squared-diff
+    accumulation runs SEQUENTIALLY over the in-subspace dimension (a
+    Python loop of vectorized adds, not numpy's pairwise-summed
+    ``.sum()``), so every distance is bit-identical to the left-
+    associated Column/SQL formulation; ``argmin`` takes the first hit =
+    smallest code, matching the oracle's ``ORDER BY d, code``."""
+    import numpy as np
+
+    CB = np.array(codebooks, dtype=np.float64)  # (S, C, sd)
+    S, C, sd = CB.shape
+
+    @F.pandas_udf("array<int>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        vals = [None if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        codes_all: list = [None] * len(vals)
+        if idx:
+            X = np.stack([vals[i] for i in idx])
+            codes = np.empty((len(idx), S), dtype=np.int32)
+            for s in range(S):
+                Xs = X[:, s * sd : (s + 1) * sd]
+                acc = np.zeros((len(idx), C))
+                for i in range(sd):
+                    d = Xs[:, i : i + 1] - CB[s, :, i][None, :]
+                    acc = acc + d * d
+                codes[:, s] = acc.argmin(axis=1)
+            for j, i in enumerate(idx):
+                codes_all[i] = codes[j]
+        return pd.Series(codes_all)
+
+    return _udf
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Attach ``_pq_codes`` (array<int>, one code per subspace): per
+    subspace the L2²-nearest codeword, ties to the smallest code.
+
+    Default path is the Arrow/numpy kernel — the explicit Column
+    formulation expands to subspaces × codes × dims squared-diff terms
+    (1024 for 64-dim/8×16), a tree big enough to fall out of efficient
+    codegen (measured ~10s for 600 rows vs ~0.1s vectorized).  Both
+    paths produce bit-identical codes (fixed accumulation order; parity
+    pinned by unit test), and the Column path remains the 1:1 mirror of
+    the DuckDB oracle SQL."""
+    if use_arrow:
+        return df.withColumn("_pq_codes", _pq_encode_arrow(codebooks)(F.col(vec_col)))
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sd = len(cb[0])
+        dists = []
+        for cw in cb:
+            acc = None
+            for i, c in enumerate(cw):
+                d = F.element_at(F.col(vec_col), s * sd + i + 1).cast("double") - F.lit(c)
+                t = d * d
+                acc = t if acc is None else acc + t
+            dists.append(acc)
+        arr = F.array(*dists)
+        codes.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return df.withColumn("_pq_codes", F.array(*codes))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query→codeword L2²
+    table (num_subspaces × num_codes doubles) is computed driver-side
+    and inlined; each row's approximate distance is ``num_subspaces``
+    array lookups + adds — the scan never touches the original vectors.
+    Returns ``(id, approx_dist)`` ascending, ties to smallest id, as a
+    TakeOrdered (per-partition heaps, no global sort)."""
+    approx = None
+    for s, cb in enumerate(codebooks):
+        sd = len(cb[0])
+        qs = [float(v) for v in query_vec[s * sd : (s + 1) * sd]]
+        dt = []
+        for cw in cb:
+            acc = 0.0
+            for i in range(sd):
+                d = qs[i] - cw[i]
+                acc = acc + d * d
+            dt.append(acc)
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in dt]),
+            F.element_at(F.col("_pq_codes"), s + 1) + 1,
+        )
+        approx = term if approx is None else approx + term
+    scored = encoded.select(
+        F.col(id_col), F.round(approx, decimals).alias("approx_dist")
+    )
+    return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)

@@ -149,3 +149,30 @@ def test_pick_canonical_argmax_with_tiebreak(spark):
     # component 1: quality tie 90 between ids 2 and 3 -> smallest id wins
     assert got[1] == (2, 3, 90)
     assert got[10] == (10, 2, 5)
+
+
+def test_pq_encode_paths_bit_identical_and_adc_orders(spark):
+    from dlt_spark.dataops.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_codebooks(df, num_subspaces=4, num_codes=8)
+    a = {r[0]: list(r[1]) for r in pq_encode(df, cbs, use_arrow=True).select("vec_id", "_pq_codes").collect()}
+    b = {r[0]: list(r[1]) for r in pq_encode(df, cbs, use_arrow=False).select("vec_id", "_pq_codes").collect()}
+    assert a == b  # Arrow kernel == Column/SQL-mirror path, bit-exact
+
+    # ADC top-k: the query itself (a row in the table) must rank first
+    # with ~zero distance when it is one of the codebook seeds' nearest
+    q = rows[3][1]
+    enc = pq_encode(df, cbs)
+    top = pq_adc_topk(enc, cbs, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["approx_dist"] <= top[-1]["approx_dist"]
+    assert 3 in [r["vec_id"] for r in top]  # own row among nearest
