@@ -132,6 +132,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # the generated-class cache defaults to 100 entries; ~100 queries x
+        # 5-20 codegen units each evicts everything, so late queries pay a
+        # full Janino recompile + fresh C2 JIT of every stage (measured:
+        # curate_corpus 6.6s in a short session vs 14.6s late in the full
+        # sweep).  A real long-lived cluster session would size this up too.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
