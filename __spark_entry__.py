@@ -1534,6 +1534,124 @@ def _q_pq_topk(spark, sf_dir):
     return pq_adc_topk(enc, cbs, qvec, k=10)
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle for training export: two epochs of
+    sha-keyed permutation, shard via hash mod, position = rank of the
+    hash within the shard.  No global sort — the only exchange is the
+    hash-partition on shard; identical (shard, pos) on any cluster
+    layout or engine (the oracle recomputes both epochs in SQL)."""
+    from dlt_spark.dataops.ordering import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e0 = epoch_shuffle(docs, "doc_id", n_shards=8, epoch=0)
+    e1 = epoch_shuffle(docs, "doc_id", n_shards=8, epoch=1)
+    return e0.unionByName(e1).select("doc_id", "epoch", "shard", "pos")
+
+
+def _q_shard_manifest(spark, sf_dir):
+    """Shard manifest of an epoch-shuffle: per-shard doc count, byte
+    total, and an order-independent bit-xor checksum of the members'
+    permutation hashes — mergeable partial aggregates only, so the
+    manifest of a 100 TB export is one map-combined shuffle."""
+    from dlt_spark.dataops.ordering import epoch_shuffle, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e0 = epoch_shuffle(docs, "doc_id", n_shards=8, epoch=0)
+    return shard_manifest(e0, "doc_id", "n_chars", epoch=0).orderBy("shard")
+
+
+def _q_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution: each purchase credited
+    to the user's first-ever and most-recent preceding click/view.  One
+    union stream + two IGNORE-NULLS window passes per user — the as-of
+    lookup runs inside a single per-user sort, no self-join, no
+    per-conversion rescan of the touch history."""
+    ev = _t(spark, sf_dir, "events")
+    stream = ev.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # conversions sort BEFORE same-timestamp touches (kind 0 < 1) so
+        # a strictly-before semantics falls out of rowsBetween(..., -1)
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.unix_micros("ts")).alias("touch_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.first("touch_type", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_us", ignorenulls=True).over(w).alias("last_touch_us"),
+    )
+    return out.filter(F.col("kind") == 0).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        "first_touch",
+        "last_touch",
+        (F.unix_micros("ts") - F.col("last_touch_us")).alias("gap_us"),
+    )
+
+
+def _q_distribution_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus slices (sources 0-9
+    vs 10-19): per-token KL contribution + total-variation share over
+    the joined (Zipf-sized) vocabularies, top-20 drivers.  The
+    before-you-mix-the-new-crawl monitoring step."""
+    from dlt_spark.dataops.profiling import token_distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source").rlike("^src[0-9]$"))
+    b = docs.filter(~F.col("source").rlike("^src[0-9]$"))
+    return token_distribution_drift(a, b, "text", top_k=20)
+
+
+def _q_skew_diagnostics(spark, sf_dir):
+    """Shuffle-key skew profile of events.user_id: per-key counts
+    reduced to one row of max/percentile key sizes, skew factor, and a
+    salting-factor recommendation — the pre-flight check before a big
+    groupBy/join picks its partitioning."""
+    from dlt_spark.dataops.profiling import key_skew_diagnostics
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_diagnostics(ev, "user_id")
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM corpus scoring (the quality rung above the unigram
+    screen): add-k smoothed P(w2|w1) fit on the corpus itself, per-doc
+    average negative log prob via integer nano-logs (bit-stable under
+    any partial-aggregation order)."""
+    from dlt_spark.dataops.lm import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs, "doc_id", "text", add_k=0.5, head_min_freq=50)
+
+
+def _q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance linkage: candidates agree on (lang, 24-char
+    prefix), verified with thresholded Levenshtein over an 80-char
+    prefix — the character-level near-dup family MinHash's word-set
+    Jaccard cannot see.  Block sizes are capped, verification is
+    early-exit bounded by the threshold."""
+    from dlt_spark.dataops.dedup import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_pairs(
+        docs, "doc_id", "text", block_cols=["lang"],
+        prefix_len=24, verify_len=80, max_edit=8,
+    )
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -2262,6 +2380,13 @@ def _q_hll_group_distinct(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "epoch_shuffle": _q_epoch_shuffle,
+        "shard_manifest": _q_shard_manifest,
+        "attribution": _q_attribution,
+        "distribution_drift": _q_distribution_drift,
+        "skew_diagnostics": _q_skew_diagnostics,
+        "bigram_logprob": _q_bigram_logprob,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "curate_corpus": _q_curate_corpus,
         "stats_summary": _q_stats_summary,
         "dup_clusters": _q_dup_clusters,
@@ -2391,6 +2516,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "epoch_shuffle",
+    "shard_manifest",
+    "attribution",
+    "distribution_drift",
+    "skew_diagnostics",
+    "bigram_logprob",
+    "fuzzy_pairs",
     "unigram_logprob",
     "semantic_dedup",
     "cohort_retention",
@@ -4496,6 +4628,159 @@ def oracle_sql() -> dict[str, str]:
                ), 1, 2)) AS INT) / 255.0, 6) AS f0
         FROM documents, (SELECT unnest([0, 1, 2]) AS fi)
         WHERE doc_id < 60
+    """
+
+
+    sql["epoch_shuffle"] = """
+        WITH h AS (
+            SELECT doc_id, e.epoch,
+                   sha256('shuffle:' || CAST(e.epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+        )
+        SELECT doc_id, epoch,
+               CAST(CAST(('0x' || substr(hh, 1, 13)) AS BIGINT) % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch,
+                                CAST(('0x' || substr(hh, 1, 13)) AS BIGINT) % 8
+                   ORDER BY hh, doc_id) AS INT) AS pos
+        FROM h
+    """
+
+    sql["shard_manifest"] = """
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(sha256('shuffle:0:'
+                       || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hb
+            FROM documents
+        )
+        SELECT 0 AS epoch, CAST(hb % 8 AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_size,
+               bit_xor(hb) AS checksum
+        FROM h GROUP BY shard ORDER BY shard
+    """
+
+    sql["attribution"] = """
+        WITH stream AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+                   CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+                   CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END AS touch_us
+            FROM events
+            WHERE event_type IN ('purchase', 'click', 'view')
+        ), attributed AS (
+            SELECT event_id, user_id, ts, kind,
+                   first_value(touch_type IGNORE NULLS) OVER w AS first_touch,
+                   last_value(touch_type IGNORE NULLS) OVER w AS last_touch,
+                   last_value(touch_us IGNORE NULLS) OVER w AS last_touch_us
+            FROM stream
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id AS conv_id, user_id, first_touch, last_touch,
+               epoch_us(ts) - last_touch_us AS gap_us
+        FROM attributed WHERE kind = 0
+    """
+
+    sql["distribution_drift"] = """
+        WITH va AS (
+            SELECT u.t AS token, count(*) AS cnt_a
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) u(t)
+            WHERE text IS NOT NULL AND regexp_matches(source, '^src[0-9]$')
+            GROUP BY u.t
+        ), vb AS (
+            SELECT u.t AS token, count(*) AS cnt_b
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) u(t)
+            WHERE text IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+            GROUP BY u.t
+        ), j AS (
+            SELECT coalesce(va.token, vb.token) AS token,
+                   coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+            FROM va FULL OUTER JOIN vb ON va.token = vb.token
+        ), tot AS (
+            SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM j
+        )
+        SELECT token, cnt_a, cnt_b,
+               round(((cnt_a + 0.5) / (na + 0.5 * v))
+                     * ln(((cnt_a + 0.5) / (na + 0.5 * v))
+                          / ((cnt_b + 0.5) / (nb + 0.5 * v))), 9) AS kl_contrib,
+               round(abs((cnt_a + 0.5) / (na + 0.5 * v)
+                         - (cnt_b + 0.5) / (nb + 0.5 * v)) / 2.0, 9) AS tv_share
+        FROM j, tot
+        ORDER BY kl_contrib DESC, token
+        LIMIT 20
+    """
+
+    sql["skew_diagnostics"] = """
+        WITH counts AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ), agg AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   max(cnt) AS max_cnt,
+                   round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+                   round(quantile_cont(cnt, 0.9), 6) AS p90_cnt,
+                   round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+                   round(max(cnt) / (sum(cnt) * 1.0 / count(*)), 6) AS skew_factor
+            FROM counts
+        )
+        SELECT *, CAST(ceil(max_cnt / p99_cnt) AS BIGINT) AS salt_factor FROM agg
+    """
+
+    sql["bigram_logprob"] = """
+        WITH arr AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), bg AS (
+            SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+            FROM arr, unnest(generate_series(1, len(t) - 1)) u(i)
+        ), dbt AS (
+            SELECT doc_id, w1, w2, count(*) AS tf
+            FROM bg GROUP BY doc_id, w1, w2
+        ), bigrams AS (
+            SELECT w1, w2, sum(tf) AS c12 FROM dbt GROUP BY w1, w2
+        ), unigrams AS (
+            SELECT w1, sum(c12) AS c1 FROM bigrams GROUP BY w1
+        ), vs AS (
+            SELECT count(DISTINCT u.tk) AS v
+            FROM arr, unnest(t) u(tk)
+        ), lp AS (
+            SELECT w1, w2,
+                   CAST(round(-ln((CAST(c12 AS DOUBLE) + 0.5)
+                                  / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+                              * 1000000000.0) AS BIGINT) AS nlogp9
+            FROM bigrams JOIN unigrams USING (w1), vs
+        ), agg AS (
+            SELECT dbt.doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   CAST(sum(tf * nlogp9) AS BIGINT) AS num9
+            FROM dbt JOIN lp USING (w1, w2)
+            GROUP BY dbt.doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               CAST((2 * num9 + n_bigrams * 1000) // (2 * n_bigrams * 1000) AS DOUBLE)
+                   / 1000000.0 AS avg_neg_logp
+        FROM agg
+    """
+
+    sql["fuzzy_pairs"] = """
+        WITH base AS (
+            SELECT doc_id, lang || chr(31) || substr(text, 1, 24) AS blk,
+                   substr(text, 1, 80) AS vtext
+            FROM documents WHERE text IS NOT NULL
+        ), sized AS (
+            SELECT blk FROM base GROUP BY blk HAVING count(*) <= 1000
+        ), ok AS (
+            SELECT base.* FROM base JOIN sized USING (blk)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.vtext, b.vtext) AS INT) AS edit_distance
+        FROM ok a JOIN ok b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.vtext, b.vtext) <= 8
     """
 
     return sql

@@ -112,6 +112,13 @@ BENCH_QUERIES = [
     "canonical_docs",
     "vocab_coverage",
     "pq_topk",
+    "epoch_shuffle",
+    "shard_manifest",
+    "attribution",
+    "distribution_drift",
+    "skew_diagnostics",
+    "bigram_logprob",
+    "fuzzy_pairs",
 ]
 
 

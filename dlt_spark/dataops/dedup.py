@@ -955,3 +955,75 @@ def pick_canonical(
         "n_members",
         F.col("_w.q").alias(quality_col),
     )
+
+
+# ------------------------------------------------- fuzzy record linkage
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: Optional[Sequence[str]] = None,
+    prefix_len: int = 24,
+    verify_len: int = 80,
+    max_edit: int = 8,
+    max_block_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Blocked edit-distance record linkage: near-identical rows found by
+    a cheap blocking key, verified by bounded Levenshtein distance.
+
+    The classic two-phase shape (Fellegi-Sunter blocking, dedupe-style):
+    candidates must agree on ``block_cols`` plus the first
+    ``prefix_len`` characters (recall knob), then each candidate pair is
+    verified with ``levenshtein(prefix_a, prefix_b, max_edit)`` — the
+    THRESHOLDED variant, which abandons a pair the moment its edit
+    distance exceeds ``max_edit`` (O(max_edit * len) per pair, not
+    O(len^2)).  Complements the set-similarity family (MinHash/Jaccard
+    is word-set overlap; edit distance catches character-level variants
+    — OCR noise, typo twins, near-identical boilerplate).
+
+    Scale design: the self-join shuffles on the block key only; block
+    sizes are bounded by ``max_block_size`` (a degenerate block — empty
+    prefix, template pages — would otherwise contribute k^2 pairs; same
+    guard role as ``max_shingle_freq``).  Verification cost is bounded
+    per pair by the threshold.  Returns ``(id_a, id_b, edit_distance)``
+    with ``id_a < id_b``.
+    """
+    cols = list(block_cols or [])
+    block = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+            F.substring(F.col(text_col), 1, prefix_len),
+        ),
+        256,
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        block.alias("_block"),
+        F.substring(F.col(text_col), 1, verify_len).alias("_vtext"),
+    )
+    if max_block_size:
+        ok = (
+            base.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_block_size)
+            .select("_block")
+        )
+        base = base.join(ok, "_block", "left_semi")
+    a = base.select(
+        F.col("_block"), F.col("_id").alias("id_a"), F.col("_vtext").alias("_ta")
+    )
+    b = base.select(
+        F.col("_block"), F.col("_id").alias("id_b"), F.col("_vtext").alias("_tb")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_edit)
+    return (
+        a.join(b, "_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+        .distinct()
+    )

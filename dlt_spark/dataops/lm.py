@@ -128,3 +128,92 @@ def vocab_coverage(
         )
         .select("rank", "token", "cnt", "coverage")
     )
+
+
+def doc_bigram_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, w1, w2) bigram frequencies, without a positions window:
+    the bigram list is built inside the token array (``transform`` over
+    the tail zipping each token with its predecessor) and exploded
+    already-paired, so no per-doc sort/lag shuffle ever happens.
+    SQL twin: unnest WITH ORDINALITY + lag() per doc (the oracle can
+    afford the window; the engine side stays narrow)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.expr(
+        "transform(slice(_tk, 2, greatest(size(_tk) - 1, 0)),"
+        " (t, i) -> struct(_tk[i] as w1, t as w2))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    head_min_freq: int = 1000,
+) -> DataFrame:
+    """Per-doc average negative log P(w2|w1) under a corpus-fit bigram
+    model with add-k smoothing: ``-ln((c(w1,w2)+k) / (c(w1)+k*V))``
+    where V is the unigram vocabulary size.  The next quality rung above
+    :func:`unigram_logprob` — word-order-scrambled or template-stitched
+    text scores badly here while passing the unigram screen.
+
+    Scale design mirrors unigram_logprob: the corpus is tokenized to
+    bigrams ONCE (checkpointed doc-bigram tf), the model tables derive
+    from that same reduced table, the conditional-probability join keys
+    on (w1, w2) with the Zipf head (``c(w1,w2) >= head_min_freq``) split
+    out and broadcast so hot bigrams ("of the") never shuffle, and the
+    per-doc sums run on integer nano-logs so partial-aggregation order
+    cannot change a single bit of the result.
+
+    Returns ``(id_col, n_bigrams, avg_neg_logp)``.
+    """
+    dbt = doc_bigram_freq(df, id_col, text_col).localCheckpoint(eager=False)
+    bigrams = dbt.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V = distinct unigram types over the whole corpus (first tokens of
+    # bigrams miss the final token of each doc; count the true vocab)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    vsize = (
+        df.select(F.explode(toks).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    nlogp = F.round(
+        -F.log(
+            (F.col("c12").cast("double") + F.lit(add_k))
+            / (F.col("c1").cast("double") + F.lit(add_k) * F.col("v").cast("double"))
+        )
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    model = bigrams.join(unigrams, "w1").join(F.broadcast(vsize))
+    head = model.filter(F.col("c12") >= head_min_freq).select(
+        "w1", "w2", nlogp.alias("nlogp9")
+    )
+    tail = model.filter(F.col("c12") < head_min_freq).select(
+        "w1", "w2", nlogp.alias("nlogp9")
+    )
+    scored = dbt.join(F.broadcast(head), ["w1", "w2"]).unionByName(
+        dbt.join(tail, ["w1", "w2"])
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nlogp9")).alias("num9"),
+    )
+    # integer round-half-up to 6 decimals — see unigram_logprob
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        (
+            F.expr("(2 * num9 + n_bigrams * 1000) div (2 * n_bigrams * 1000)").cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_neg_logp"),
+    )

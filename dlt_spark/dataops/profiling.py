@@ -98,3 +98,99 @@ def histogram(
         F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi_edge"),
         "n",
     )
+
+
+def token_distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices (releases,
+    sources, time windows): per-token KL contribution of A vs B plus
+    total-variation share, top-``top_k`` drivers.  The monitoring step a
+    training pipeline runs before mixing a new crawl into the corpus.
+
+    Both slices reduce to (token, count) tables — a full-outer join of
+    two Zipf-sized vocabularies, NOT of the corpora — with add-``smooth``
+    smoothing so one-sided tokens stay finite.  Per-token contribution
+    ``p * ln(p/q)`` (nats, rounded to 9 decimals); ``tv = |p - q| / 2``.
+    Top-k is a TakeOrdered (per-partition heaps), ties broken by token.
+
+    Returns ``(token, cnt_a, cnt_b, kl_contrib, tv_share)``.
+    """
+    def vocab(d: DataFrame, out: str) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        return (
+            d.filter(F.col(text_col).isNotNull())
+            .select(F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    va, vb = vocab(df_a, "cnt_a"), vocab(df_b, "cnt_b")
+    j = va.join(vb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    # totals AFTER the join so both sides share one smoothed vocabulary
+    tot = j.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("cnt_a") + F.lit(smooth)) / (F.col("na") + F.lit(smooth) * F.col("v"))
+    q = (F.col("cnt_b") + F.lit(smooth)) / (F.col("nb") + F.lit(smooth) * F.col("v"))
+    return (
+        j.join(F.broadcast(tot))
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            F.round(p * F.log(p / q), 9).alias("kl_contrib"),
+            F.round(F.abs(p - q) / F.lit(2.0), 9).alias("tv_share"),
+        )
+        .orderBy(F.desc("kl_contrib"), F.col("token"))
+        .limit(top_k)
+    )
+
+
+def key_skew_diagnostics(
+    df: DataFrame,
+    key: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Shuffle-key skew profile: the "will this groupBy/join hot-spot"
+    question answered from one scan BEFORE launching the expensive job.
+
+    Aggregates per-key counts (one map-combined shuffle over the keys —
+    the same exchange the real job would do, minus its payload), then
+    reduces the count distribution to a single row: row/key totals, the
+    max and percentile key sizes, the skew factor (max/avg), and a
+    salting-factor recommendation ``ceil(max_cnt / p99_cnt)`` — the
+    number of salt buckets that levels the hottest key down to p99 size
+    (1 = don't salt).  Exact interpolated percentiles (``percentile``,
+    the DuckDB ``quantile_cont`` twin) over the per-key count table:
+    |keys| rows, orders of magnitude smaller than the input.
+
+    Returns ``(n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+    skew_factor, salt_factor)``.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    p50, p90, p99 = percentiles
+    return counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr(f"percentile(cnt, {p50})"), 6).alias("p50_cnt"),
+        F.round(F.expr(f"percentile(cnt, {p90})"), 6).alias("p90_cnt"),
+        F.round(F.expr(f"percentile(cnt, {p99})"), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1))), 6).alias(
+            "skew_factor"
+        ),
+    ).select(
+        "*",
+        F.ceil(F.col("max_cnt") / F.col("p99_cnt")).cast("bigint").alias("salt_factor"),
+    )
