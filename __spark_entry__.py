@@ -1652,6 +1652,47 @@ def _q_fuzzy_pairs(spark, sf_dir):
     )
 
 
+def _q_gap_fill(spark, sf_dir):
+    """Dense 6-hour series per event type with carry-forward fill: the
+    raw stream reduces to per-(type, bucket) aggregates first, each
+    key's spine comes from its own [min, max] range, and the fill is a
+    per-key IGNORE-NULLS window — no global sort anywhere."""
+    from dlt_spark.dataops.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill(ev, "event_type", "ts", "value", interval_s=21600)
+
+
+def _q_rolling_anomalies(spark, sf_dir):
+    """Trailing-window volume anomalies: per-type daily counts scored
+    against the 7-day rolling mean/stddev.  Rolling moments are integer
+    partial sums (sum, sum-of-squares), so mean/std/z are bit-identical
+    across engines and partial-aggregation orders."""
+    from dlt_spark.dataops.timeseries import rolling_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_anomalies(ev, "event_type", "ts", bucket_s=86400, window=7)
+
+
+def _q_variant_shred(spark, sf_dir):
+    """Semi-structured ingestion via Spark 4 VARIANT: events.props JSON
+    parsed once (`parse_json` — binary variant encoding, no per-access
+    re-parse), fields extracted typed (`try_variant_get`), then
+    aggregated per event type.  The Spark-native answer to dlt's
+    json/variant columns for a 100 TB semi-structured event log."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    g = v.select(
+        "event_type", F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("k_avg"),
+    )
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -2380,6 +2421,9 @@ def _q_hll_group_distinct(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "gap_fill": _q_gap_fill,
+        "rolling_anomalies": _q_rolling_anomalies,
+        "variant_shred": _q_variant_shred,
         "epoch_shuffle": _q_epoch_shuffle,
         "shard_manifest": _q_shard_manifest,
         "attribution": _q_attribution,
@@ -2516,6 +2560,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "gap_fill",
+    "rolling_anomalies",
+    "variant_shred",
     "epoch_shuffle",
     "shard_manifest",
     "attribution",
@@ -4781,6 +4828,80 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.vtext, b.vtext) AS INT) AS edit_distance
         FROM ok a JOIN ok b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE levenshtein(a.vtext, b.vtext) <= 8
+    """
+
+
+    sql["gap_fill"] = """
+        WITH agg0 AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS sum6
+            FROM events GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type, bucket, n,
+                   CAST((2 * sum6 + n) // (2 * n) AS DOUBLE) / 1000000.0
+                       AS avg_value
+            FROM agg0
+        ), rng AS (
+            SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM agg GROUP BY 1
+        ), spine AS (
+            SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+            FROM rng
+        )
+        SELECT s.event_type,
+               CAST(to_timestamp(s.bucket * 21600) AS TIMESTAMP) AS bucket_ts,
+               coalesce(a.n, 0) AS n,
+               a.avg_value,
+               last_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket) AS filled_value,
+               a.n IS NULL AS is_gap
+        FROM spine s LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """
+
+    sql["rolling_anomalies"] = """
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), wnd AS (
+            SELECT event_type, bucket, n,
+                   sum(n) OVER w AS s1,
+                   sum(n * n) OVER w AS s2,
+                   count(*) OVER w AS k
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), scored AS (
+            SELECT event_type,
+                   CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
+                   n,
+                   round(CAST(s1 AS DOUBLE) / k, 6) AS mean_n,
+                   CASE WHEN k >= 2
+                         AND (CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+                             / (k - 1) > 0
+                        THEN round((n - CAST(s1 AS DOUBLE) / k)
+                                   / sqrt((CAST(s2 AS DOUBLE)
+                                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+                                          / (k - 1)), 6)
+                   END AS z
+            FROM wnd
+        )
+        SELECT *, coalesce(abs(z) > 2.0, FALSE) AS is_anomaly FROM scored
+    """
+
+    sql["variant_shred"] = """
+        SELECT event_type, count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+               round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                          AS DOUBLE) / count(*), 6) AS k_avg
+        FROM events GROUP BY event_type
     """
 
     return sql

@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "skew_diagnostics",
     "bigram_logprob",
     "fuzzy_pairs",
+    "gap_fill",
+    "rolling_anomalies",
+    "variant_shred",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Time-series operators: bucket spine gap-fill and rolling anomalies.
+
+Hypertable-style operations an event pipeline needs around the rollup
+(`rollup.py`) and sessionization queries: materialize a dense,
+regular-interval series per key from an irregular event stream
+(gap_fill) and flag buckets that break the recent trend
+(rolling_anomalies).
+
+Scale design (100 TB of events):
+
+- Both reduce the raw stream to per-(key, bucket) aggregates FIRST —
+  one map-combined shuffle whose output is |keys| x |buckets| rows,
+  orders of magnitude smaller than the input; every later stage
+  (spine join, forward-fill window, rolling window) runs on that
+  reduced table.
+- The spine is generated per key from its own [min, max] bucket range
+  (a tiny per-key aggregate), so no key pays for another key's time
+  span; the explode is narrow.
+- Windows partition by key and order by bucket: per-partition sorts of
+  bounded per-key series, never a global sort.
+- Rolling moments use integer/decimal partial sums (sum, sum of
+  squares), so results are independent of partial-aggregation order and
+  bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_s: int = 3600,
+) -> DataFrame:
+    """Dense per-key series with carry-forward fill: bucket the stream,
+    build each key's full bucket spine, left-join the aggregates and
+    forward-fill missing buckets with the last observed average.
+
+    Returns ``(key, bucket_ts, n, avg_value, filled_value, is_gap)`` —
+    ``n`` is 0 and ``is_gap`` true for spine buckets with no events;
+    ``filled_value`` carries the previous bucket's average forward (null
+    until the key's first observation).
+    """
+    bucket = (F.unix_timestamp(F.col(ts_col)) / interval_s).cast("long")
+    # integer micro-units end to end: double round(sum/n, 6) sits on a
+    # half boundary whenever sum/n has a 7th decimal of exactly 5 (one
+    # such bucket per ~1e6 — observed at sf0.1), and engines then round
+    # the unrepresentable double differently.  round-half-up over exact
+    # integers instead (values are assumed non-negative; micros fit a
+    # BIGINT to ~9e18, i.e. ~1e12 rows of 1e6-scale values per bucket).
+    micros = F.round(F.col(value_col) * F.lit(1000000.0)).cast("bigint")
+    agg = (
+        df.groupBy(F.col(key), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micros).alias("_sum6"),
+        )
+        .select(
+            key,
+            "bucket",
+            "n",
+            (
+                F.expr("(2 * _sum6 + n) div (2 * n)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_value"),
+        )
+    )
+    rng = agg.groupBy(key).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    spine = rng.select(
+        key, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket")
+    )
+    joined = spine.join(agg, [key, "bucket"], "left")
+    w = Window.partitionBy(key).orderBy("bucket")
+    return joined.select(
+        key,
+        F.timestamp_seconds(F.col("bucket") * interval_s).alias("bucket_ts"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+    window: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly detection: per-key bucket counts scored against
+    the trailing ``window``-bucket mean/stddev (the bucket itself
+    included, matching the SQL ``ROWS BETWEEN n-1 PRECEDING AND CURRENT
+    ROW`` frame).  Rolling moments come from integer partial sums
+    (``sum`` and ``sum of squares`` of counts), so mean, sample stddev,
+    and z are pure functions of the window contents — engine- and
+    order-independent.
+
+    Returns ``(key, bucket_ts, n, mean_n, z, is_anomaly)``; ``z`` is
+    null for windows with zero variance or fewer than 2 buckets.
+    """
+    bucket = (F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+    counts = df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    k = F.count(F.lit(1)).over(w)
+    mean = s1.cast("double") / k
+    # sample variance from integer sums: (s2 - s1^2/k) / (k-1)
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / k) / (k - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    out = counts.select(
+        key,
+        F.timestamp_seconds(F.col("bucket") * bucket_s).alias("bucket_ts"),
+        "n",
+        F.round(mean, 6).alias("mean_n"),
+        F.when((k >= 2) & (var > 0), F.round(z, 6)).alias("z"),
+    )
+    return out.withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
+    )
