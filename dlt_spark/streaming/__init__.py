@@ -61,6 +61,23 @@ def watermark_dedup(
     )
 
 
+def watermark_dedup_within(
+    stream_df: DataFrame,
+    event_time_col: str,
+    keys: Sequence[str],
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Drop RE-DELIVERIES of the same logical event whose event times
+    differ slightly (retries stamped at send time): unlike
+    :func:`watermark_dedup`, the event-time column is NOT part of the
+    key — ``dropDuplicatesWithinWatermark`` keeps one row per key set
+    among rows whose times fall within the watermark delay of each
+    other, with state bounded by the delay (Spark 3.5+)."""
+    return stream_df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     event_time_col: str,

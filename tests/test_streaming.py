@@ -143,3 +143,36 @@ def test_stream_files_source(spark, tmp_path):
     q2 = sp.write_stream(stream_files(spark, str(src)), "files_in")
     q2.awaitTermination(60)
     assert pipe.dataset()["files_in"].row_count() == 3
+
+
+def test_watermark_dedup_within_stream(spark, tmp_path):
+    from dlt_spark.streaming import watermark_dedup_within
+
+    src = tmp_path / "in_within"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [
+            # same id re-delivered 30s apart (retry restamped at send
+            # time) -> ONE survivor; ts is not part of the key
+            (1, "2024-01-01 10:00:00", "u1"),
+            (1, "2024-01-01 10:00:30", "u1"),
+            (2, "2024-01-01 10:05:00", "u2"),
+        ],
+        "id long, ts string, user string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema("id long, ts timestamp, user string").parquet(
+        str(src / "*")
+    )
+    q = (
+        watermark_dedup_within(stream, "ts", ["id"], delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_within_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_within"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM dedup_within_t").collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
