@@ -232,6 +232,7 @@ def semantic_dedup(
     iters: int = 0,
     seed: int = 42,
     decimals: int = 6,
+    max_cell_size: Optional[int] = 8000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings (IVF
     cells), compare pairs ONLY within a cell, and drop every row whose
@@ -246,6 +247,16 @@ def semantic_dedup(
     across the cluster.  Cross-cell duplicates are missed by design
     (the SemDeDup approximation); raise ``iters`` for tighter cells
     when determinism vs an external oracle is not required.
+
+    ``max_cell_size`` bounds the quadratic stage when ``num_centroids``
+    was sized for a smaller corpus than the one that arrived (fixed k
+    over growing n is the classic way this goes quadratic): cells above
+    the cap are subdivided by a hash-salt into ceil(size/cap) sub-cells
+    and pairs are confined to sub-cells, making total pair count
+    <= n * cap / 2 — LINEAR in n at fixed cap.  Subdivision is one more
+    approximation of the same kind SemDeDup already makes at cell
+    boundaries; it only activates on oversized cells, so small-corpus
+    results (and the oracle) are unchanged.  ``None`` disables.
 
     Returns the surviving rows with their ``cell`` id.
     """
@@ -264,6 +275,28 @@ def semantic_dedup(
         F.col(vec_col),
         vec_norm(F.col(vec_col)).alias("_nrm"),
     )
+    if max_cell_size:
+        sizes = slim.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+        nsub = F.ceil(F.col("_csz") / F.lit(max_cell_size)).cast("int")
+        slim = slim.join(F.broadcast(sizes), "cell").withColumn(
+            "_sub",
+            F.when(
+                F.col("_csz") <= max_cell_size, F.lit(0)
+            ).otherwise(
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.concat(F.lit("sub:"), F.col(id_col).cast("string")), 256),
+                            1, 13,
+                        ),
+                        16, 10,
+                    ).cast("bigint"),
+                    nsub,
+                )
+            ),
+        ).drop("_csz")
+    else:
+        slim = slim.withColumn("_sub", F.lit(0))
     a = slim.alias("a")
     b = slim.alias("b")
     cos = F.round(
@@ -272,7 +305,10 @@ def semantic_dedup(
         decimals,
     )
     losers = (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a._sub") == F.col("b._sub")),
+        )
         .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
         .filter(cos >= threshold)
         .select(F.col(f"a.{id_col}").alias(id_col))

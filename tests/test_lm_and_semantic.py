@@ -176,3 +176,40 @@ def test_pq_encode_paths_bit_identical_and_adc_orders(spark):
     assert len(top) == 5
     assert top[0]["approx_dist"] <= top[-1]["approx_dist"]
     assert 3 in [r["vec_id"] for r in top]  # own row among nearest
+
+
+def test_semantic_dedup_cell_cap_stays_linear_and_consistent(spark):
+    from dlt_spark.dataops.similarity import semantic_dedup
+
+    # 300 near-identical vectors (one dup group) + 50 distinct -> one
+    # degenerate cell; with a small cap the group still resolves to few
+    # survivors because sub-cells confine but do not split exact ties...
+    import math
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    # 50 rays 0.1 rad apart: pairwise cosine <= cos(0.1) ~ 0.995 < thr
+    rows += [
+        (1000 + i, [math.cos(0.1 * i + 1.0), math.sin(0.1 * i + 1.0), 0.5, 0.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = semantic_dedup(
+        df, num_centroids=2, threshold=0.9999, max_cell_size=None
+    )
+    capped = semantic_dedup(
+        df, num_centroids=2, threshold=0.9999, max_cell_size=50
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    # uncapped: duplicate group collapses to 1 survivor (+ distinct rows)
+    assert n_un == 51
+    # capped: one survivor PER SUB-CELL of the hot group (approximation
+    # bound: at most ceil(350/50)=7 sub-cells if every row shares the
+    # cell), never the whole group
+    assert 51 <= n_cap <= 51 + 7
+    # sub-cell assignment is deterministic: same result on a different layout
+    again = semantic_dedup(
+        df.repartition(7), num_centroids=2, threshold=0.9999, max_cell_size=50
+    )
+    assert sorted(r["vec_id"] for r in capped.collect()) == sorted(
+        r["vec_id"] for r in again.collect()
+    )
