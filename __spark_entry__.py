@@ -1693,6 +1693,111 @@ def _q_variant_shred(spark, sf_dir):
     )
 
 
+def _q_event_transitions(spark, sf_dir):
+    """Markov path analysis: per-user event-type transition counts and
+    per-source-state probabilities.  One lag window inside each user's
+    ordered stream (single shuffle on user_id), then a map-combined
+    count — the transition matrix of a 100 TB event log is |states|^2
+    rows regardless of input size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary reduced in
+    one pass, quintile thresholds from ONE exact-percentile aggregate
+    broadcast back as CASE boundaries — no ntile global-sort window.
+    Monetary sums are integer micro-units (order-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * F.lit(1000000.0)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(micros).alias("_m6"),
+    )
+    ref = per_user.agg(F.max("last_s").alias("_now"))
+    # recency in days, rounded half-up to 6 decimals IN INTEGERS before
+    # any double math: seconds/86400 lands on exact half-boundaries
+    # (e.g. 21897s = 0.2534375 d) where double rounding is
+    # engine-divergent
+    base = per_user.join(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.expr(
+                "(2 * (_now - last_s) * 1000000 + 86400) div (2 * 86400)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("_rdays"),
+        "frequency",
+        (F.col("_m6").cast("double") / F.lit(1000000.0)).alias("monetary"),
+    )
+    qs = base.agg(
+        *[
+            F.expr(f"percentile(_rdays, {q})").alias(f"_r{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.expr(f"percentile(frequency, {q})").alias(f"_f{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.expr(f"percentile(monetary, {q})").alias(f"_m{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+    )
+
+    def tier(col, pfx, invert):
+        # 5 = best: recent (small recency) / frequent / high-spend
+        t = (
+            F.when(F.col(col) <= F.col(f"{pfx}1"), 1)
+            .when(F.col(col) <= F.col(f"{pfx}2"), 2)
+            .when(F.col(col) <= F.col(f"{pfx}3"), 3)
+            .when(F.col(col) <= F.col(f"{pfx}4"), 4)
+            .otherwise(5)
+        )
+        return (F.lit(6) - t) if invert else t
+
+    return (
+        base.join(F.broadcast(qs))
+        .select(
+            "user_id",
+            F.col("_rdays").alias("recency_days"),
+            "frequency",
+            F.round("monetary", 6).alias("monetary"),
+            tier("_rdays", "_r", True).alias("r_score"),
+            tier("frequency", "_f", False).alias("f_score"),
+            tier("monetary", "_m", False).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -2421,6 +2526,8 @@ def _q_hll_group_distinct(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "event_transitions": _q_event_transitions,
+        "rfm_segments": _q_rfm_segments,
         "gap_fill": _q_gap_fill,
         "rolling_anomalies": _q_rolling_anomalies,
         "variant_shred": _q_variant_shred,
@@ -2560,6 +2667,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "event_transitions",
+    "rfm_segments",
     "gap_fill",
     "rolling_anomalies",
     "variant_shred",
@@ -4902,6 +5011,74 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                           AS DOUBLE) / count(*), 6) AS k_avg
         FROM events GROUP BY event_type
+    """
+
+
+    sql["event_transitions"] = """
+        WITH steps AS (
+            SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM steps WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM counts
+        ORDER BY from_type, to_type
+    """
+
+    sql["rfm_segments"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS m6
+            FROM events GROUP BY user_id
+        ), base AS (
+            SELECT user_id,
+                   CAST((2 * (max(last_s) OVER () - last_s) * 1000000 + 86400)
+                        // (2 * 86400) AS DOUBLE) / 1000000.0 AS rdays,
+                   frequency,
+                   CAST(m6 AS DOUBLE) / 1000000.0 AS monetary
+            FROM per_user
+        ), qs AS (
+            SELECT quantile_cont(rdays, 0.2) AS r1, quantile_cont(rdays, 0.4) AS r2,
+                   quantile_cont(rdays, 0.6) AS r3, quantile_cont(rdays, 0.8) AS r4,
+                   quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+                   quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+                   quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+                   quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+            FROM base
+        )
+        SELECT user_id,
+               rdays AS recency_days,
+               frequency,
+               round(monetary, 6) AS monetary,
+               6 - (CASE WHEN rdays <= r1 THEN 1 WHEN rdays <= r2 THEN 2
+                         WHEN rdays <= r3 THEN 3 WHEN rdays <= r4 THEN 4
+                         ELSE 5 END) AS r_score,
+               CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                    WHEN frequency <= f3 THEN 3 WHEN frequency <= f4 THEN 4
+                    ELSE 5 END AS f_score,
+               CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                    WHEN monetary <= m3 THEN 3 WHEN monetary <= m4 THEN 4
+                    ELSE 5 END AS m_score,
+               CAST(6 - (CASE WHEN rdays <= r1 THEN 1 WHEN rdays <= r2 THEN 2
+                              WHEN rdays <= r3 THEN 3 WHEN rdays <= r4 THEN 4
+                              ELSE 5 END) AS VARCHAR)
+                   || CAST(CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                                WHEN frequency <= f3 THEN 3 WHEN frequency <= f4 THEN 4
+                                ELSE 5 END AS VARCHAR)
+                   || CAST(CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                                WHEN monetary <= m3 THEN 3 WHEN monetary <= m4 THEN 4
+                                ELSE 5 END AS VARCHAR) AS segment
+        FROM base, qs
     """
 
     return sql

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "gap_fill",
     "rolling_anomalies",
     "variant_shred",
+    "event_transitions",
+    "rfm_segments",
 ]
 
 
