@@ -1798,6 +1798,17 @@ def _q_rfm_segments(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+    exactly 100 documents drawn with probability proportional to length
+    — per-partition heaps (TakeOrdered), no global sort, selection a
+    pure function of (key, weight, salt)."""
+    from dlt_spark.dataops.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=100)
+
+
 def _q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch over event_id (p=8, 256
     buckets): deterministic sha-based hash, integer-scaled harmonic sum
@@ -2526,6 +2537,7 @@ def _q_hll_group_distinct(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "weighted_sample": _q_weighted_sample,
         "event_transitions": _q_event_transitions,
         "rfm_segments": _q_rfm_segments,
         "gap_fill": _q_gap_fill,
@@ -2667,6 +2679,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "weighted_sample",
     "event_transitions",
     "rfm_segments",
     "gap_fill",
@@ -5079,6 +5092,22 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN monetary <= m3 THEN 3 WHEN monetary <= m4 THEN 4
                                 ELSE 5 END AS VARCHAR) AS segment
         FROM base, qs
+    """
+
+
+    sql["weighted_sample"] = """
+        SELECT doc_id, n_chars
+        FROM (
+            SELECT doc_id, n_chars,
+                   round(ln(CAST(('0x' || substr(sha256('wsample:'
+                             || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                            / 4503599627370496.0)
+                         / CAST(n_chars AS DOUBLE), 12) AS ws
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        ORDER BY ws DESC, doc_id
+        LIMIT 100
     """
 
     return sql

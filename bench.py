@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "variant_shred",
     "event_transitions",
     "rfm_segments",
+    "weighted_sample",
 ]
 
 

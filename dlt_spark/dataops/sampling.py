@@ -246,3 +246,36 @@ def sample_exact_k(
         .limit(k)
         .drop("_hf")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Exactly ``k`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — deterministic A-ES weighted
+    reservoir sampling (Efraimidis & Spirakis 2006): each row scores
+    ``u^(1/w)`` with ``u`` the key's hash fraction, and the k highest
+    scores win.  Same engine shape as :func:`sample_exact_k`:
+    TakeOrdered per-partition heaps of k, no global sort, and the
+    selection is a pure function of (key, weight, salt) — stable across
+    layouts, reruns, and engines.
+
+    Rows with null/non-positive weight are excluded (zero weight means
+    zero probability; A-ES is undefined there).  Scores are kept as
+    ``ln(u)/w`` (monotone in u^(1/w), numerically safer than pow for
+    tiny u / large w) and rounded to 12 decimals with the key as tie
+    break, so rank order is bit-stable.
+    """
+    u = hash_fraction(F.col(key), salt)
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_ws", score)
+        .orderBy(F.col("_ws").desc(), F.col(key).asc())
+        .limit(k)
+        .drop("_ws")
+    )

@@ -103,3 +103,23 @@ def test_profile_handles_odd_column_names(spark):
     rows = {r["column"]: r for r in profile(df).collect()}
     assert set(rows) == {"id", "weird col'name"}
     assert rows["id"]["n_nulls"] == 0
+
+
+def test_weighted_sample_k_properties(spark):
+    from dlt_spark.dataops.sampling import weighted_sample_k
+
+    rows = [(i, 1000000 if i < 10 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_k(df, "doc_id", "w", k=20)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert len(ids) == 20
+    # the 10 heavy rows (1e6x weight) are essentially certain picks
+    assert all(i in ids for i in range(10))
+    # deterministic under repartition
+    ids2 = {r["doc_id"] for r in
+            weighted_sample_k(df.repartition(13), "doc_id", "w", k=20).collect()}
+    assert ids == ids2
+    # zero/null weights excluded
+    df2 = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "doc_id long, w int")
+    assert {r["doc_id"] for r in
+            weighted_sample_k(df2, "doc_id", "w", k=5).collect()} == {3}
