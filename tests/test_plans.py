@@ -121,3 +121,59 @@ def test_relation_filter_pushdown(spark, orders):
     rel = Relation(orders).where("o_totalprice", "gt", 1000.0).select("o_orderkey")
     plan = _plan(rel.spark_df())
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_per_doc_text_ops_have_no_python_and_no_shuffle(spark):
+    """Per-document signals (scoring, repetition, language id) must run
+    at scan speed: zero Exchange, zero BatchEvalPython."""
+    from dlt_spark.dataops.text import lang_id, quality_score, token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """The only wide operation is the hash partition on shard — one
+    Exchange; a global ORDER BY (rangepartitioning) must NOT appear."""
+    from dlt_spark.dataops.ordering import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(epoch_shuffle(docs, "doc_id", n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_rfm_thresholds_broadcast_not_ntile(spark):
+    import __spark_entry__ as entry
+
+    df = entry._q_rfm_segments(spark, SF)
+    plan = _plan(df)
+    # quintile thresholds join back via broadcast; no single-partition
+    # global window sort (the ntile window fn; note "percentile" the
+    # aggregate contains the substring) and no global range sort
+    import re as _re
+
+    assert not _re.search(r"(?<![a-z])ntile\(", plan), plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_event_transitions(spark, SF))
+    # lag window partitions on user_id; counts and totals are
+    # map-combined aggregations over it; the probability join reuses the
+    # tiny totals side.  5 static exchanges pre-AQE, all on key sets no
+    # larger than |states|^2 except the user window
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    assert "rangepartitioning" not in plan.split("Sort [from_type")[0], plan
