@@ -494,9 +494,23 @@ def minhash_dedup(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
     use_arrow: bool = True,
+    max_candidates_per_doc: Optional[int] = 16,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates from LSH, verified by true
-    shingle Jaccard, greedy keep-min-id.  Returns rows to KEEP."""
+    shingle Jaccard, greedy keep-min-id.  Returns rows to KEEP.
+
+    ``max_candidates_per_doc`` bounds the verification join on
+    duplicate-DENSE corpora (measured: a corpus where every doc has ~100
+    near-copies generates ~n*50 candidate pairs, and exact Jaccard over
+    shingle arrays for tens of millions of pairs dominated a 100x scale
+    probe at 777s).  Per id_b only the ``P`` smallest id_a partners are
+    verified: the greedy drop rule needs ONE similar lower id, and the
+    group minimum is always among the smallest partners, so for
+    full-group LSH buckets (the dup-dense case that explodes) the result
+    is unchanged while verification cost becomes O(n*P).  On sparse
+    candidate graphs (the common case) the cap never binds.  ``None``
+    disables.
+    """
     # the input lineage is consumed three times (signatures, the shingle
     # verification table, the final anti-join); persist so an upstream
     # pipeline (filters, a prior window dedup) runs once, not three times
@@ -527,6 +541,13 @@ def minhash_dedup(
         )
         sh = df.select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
+    if max_candidates_per_doc:
+        wcap = Window.partitionBy("id_b").orderBy("id_a")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= max_candidates_per_doc)
+            .drop("_rn")
         )
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")

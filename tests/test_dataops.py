@@ -262,3 +262,31 @@ def test_jaccard_pairs_exposes_persist_handle(spark, docs):
     assert handles and handles[0].storageLevel == StorageLevel.DISK_ONLY
     for h in handles:
         h.unpersist()
+
+
+def test_minhash_candidate_cap_preserves_dup_dense_result(spark):
+    """Per-doc verification cap: a 60-copy near-dup group resolves to the
+    SAME survivors with the cap as without (the group minimum is always
+    among the smallest partners), at a fraction of the pair count."""
+    import dlt_spark.dataops.dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" v{i}") for i in range(60)]          # dense group
+    rows += [(100 + i, f"totally different text number {i} with unique words {i*7}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_capped = sorted(
+        r["doc_id"] for r in dd.minhash_dedup(
+            df, "doc_id", shingle_n=3, jaccard_threshold=0.5,
+            max_candidates_per_doc=4,
+        ).collect()
+    )
+    kept_uncapped = sorted(
+        r["doc_id"] for r in dd.minhash_dedup(
+            df, "doc_id", shingle_n=3, jaccard_threshold=0.5,
+            max_candidates_per_doc=None,
+        ).collect()
+    )
+    assert kept_capped == kept_uncapped
+    assert 0 in kept_capped                       # group min survives
+    assert len([i for i in kept_capped if i < 60]) == 1
