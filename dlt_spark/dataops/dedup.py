@@ -504,12 +504,18 @@ def minhash_dedup(
     near-copies generates ~n*50 candidate pairs, and exact Jaccard over
     shingle arrays for tens of millions of pairs dominated a 100x scale
     probe at 777s).  Per id_b only the ``P`` smallest id_a partners are
-    verified: the greedy drop rule needs ONE similar lower id, and the
-    group minimum is always among the smallest partners, so for
-    full-group LSH buckets (the dup-dense case that explodes) the result
-    is unchanged while verification cost becomes O(n*P).  On sparse
-    candidate graphs (the common case) the cap never binds.  ``None``
-    disables.
+    verified, ranked by SIGNATURE-estimated similarity (fraction of
+    equal minhash components — a 32-int compare, ~10x cheaper than the
+    exact shingle Jaccard it gates) with id as the tie-break: true
+    near-dups outrank band-collision false positives, so the cap sheds
+    the junk pairs first.  The greedy drop rule needs ONE similar lower
+    id; in a full-group LSH bucket every partner estimates alike and
+    the id tie-break keeps the group minimum, so the dup-dense case
+    resolves unchanged while verification cost becomes O(n*P).  On
+    sparse candidate graphs the cap rarely binds (and when it does, the
+    estimate ordering keeps the pairs most likely to verify).  The
+    ``use_arrow=False`` parity path caps by id order alone (signatures
+    are not materialized there).  ``None`` disables.
     """
     # the input lineage is consumed three times (signatures, the shingle
     # verification table, the final anti-join); persist so an upstream
@@ -543,11 +549,33 @@ def minhash_dedup(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
         )
     if max_candidates_per_doc:
-        wcap = Window.partitionBy("id_b").orderBy("id_a")
+        if use_arrow:
+            # rank partners by minhash-signature agreement so the cap
+            # drops likely-false-positive pairs, not arbitrary ones
+            sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
+            sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+            est = F.size(
+                F.filter(
+                    F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            cand = (
+                cand.join(sa, "id_a")
+                .join(sb, "id_b")
+                .withColumn("_est", est)
+                .drop("_siga", "_sigb")
+            )
+            wcap = Window.partitionBy("id_b").orderBy(
+                F.col("_est").desc(), F.col("id_a").asc()
+            )
+        else:
+            cand = cand.withColumn("_est", F.lit(0))
+            wcap = Window.partitionBy("id_b").orderBy("id_a")
         cand = (
             cand.withColumn("_rn", F.row_number().over(wcap))
             .filter(F.col("_rn") <= max_candidates_per_doc)
-            .drop("_rn")
+            .drop("_rn", "_est")
         )
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
@@ -956,25 +984,28 @@ def pick_canonical(
     highest-``quality_col`` member, ties to the smallest id.
 
     Returns ``(component, canonical_id, n_members, quality)``.  One
-    equi-join (id) + one grouped max-of-struct — the argmax runs as a
-    map-side-combinable aggregate, no per-component sort.  This is the
+    equi-join (id), one grouped max, and a tie-filtered grouped min —
+    all map-side-combinable aggregates, no per-component sort, and the
+    id tie-break is type-agnostic (string doc ids / URLs work; a unary
+    minus would null out or ANSI-fail on non-numeric ids).  This is the
     "which copy do we train on" step that follows near-dedup: dedup
     finds the groups, this picks the survivor by signal (length,
     quality score, recency) instead of by accident of id order."""
     j = components.join(quality, id_col)
-    best = j.groupBy(comp_col).agg(
+    stats = j.groupBy(comp_col).agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.max(
-            F.struct(
-                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
-            )
-        ).alias("_w"),
+        F.max(quality_col).alias("_qmax"),
     )
-    return best.select(
-        comp_col,
-        (-F.col("_w.nid")).alias("canonical_id"),
-        "n_members",
-        F.col("_w.q").alias(quality_col),
+    return (
+        j.join(stats, comp_col)
+        .filter(F.col(quality_col) == F.col("_qmax"))
+        .groupBy(comp_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.max("n_members").alias("n_members"),
+            F.max("_qmax").alias(quality_col),
+        )
+        .select(comp_col, "canonical_id", "n_members", quality_col)
     )
 
 

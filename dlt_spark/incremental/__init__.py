@@ -366,14 +366,30 @@ class Incremental:
                 self.boundary_spilled = False
             else:
                 # coarse cursor (e.g. a date column over billions of rows):
-                # spill the full hash set to parquet and dedup by anti-join
-                if self.spill_path is None:
-                    import tempfile
+                # spill the full hash set to parquet and dedup by anti-join.
+                # Each batch writes a NEW generation directory: when two
+                # spilled batches run back to back, ``apply`` has put the
+                # previous generation into hash_df's READ lineage, and
+                # overwriting a path that is also being read is a Spark
+                # error (or corruption) — write-new-then-drop-old instead.
+                import os
+                import shutil
+                import tempfile
 
-                    self.spill_path = tempfile.mkdtemp(prefix="dlt_inc_boundary_")
-                hash_df.write.mode("overwrite").parquet(self.spill_path)
+                prev = self.spill_path
+                if prev and os.path.basename(prev).startswith("gen"):
+                    root = os.path.dirname(prev)
+                    gen = int(os.path.basename(prev)[3:]) + 1
+                else:
+                    root = prev or tempfile.mkdtemp(prefix="dlt_inc_boundary_")
+                    gen = 0
+                new_path = os.path.join(root, f"gen{gen}")
+                hash_df.write.mode("overwrite").parquet(new_path)
+                self.spill_path = new_path
                 self.boundary_hashes = []
                 self.boundary_spilled = True
+                if prev and prev != new_path and os.path.basename(prev).startswith("gen"):
+                    shutil.rmtree(prev, ignore_errors=True)
         return self
 
     # -- state (de)serialization for _dlt_pipeline_state --
@@ -390,13 +406,20 @@ class Incremental:
 
         lv = self.last_value
         if isinstance(lv, (list, tuple)):
+            # element types are serialized alongside values so a restart
+            # rehydrates ('2026-08-14', 5) back to (date, int) — a custom
+            # last_value_func comparing restored vs fresh tuples would
+            # otherwise mix str with date/Decimal and TypeError
+            elem_types = [type(x).__name__ for x in lv]
             lv = [_ser(x) for x in lv]
         else:
+            elem_types = None
             lv = _ser(lv)
         return {
             "cursor_path": self.cursor_path,
             "last_value": lv,
             "last_value_type": type(self.last_value).__name__,
+            "last_value_elem_types": elem_types,
             "boundary_hashes": list(self.boundary_hashes),
             "boundary_spilled": self.boundary_spilled,
             "boundary_path": self.spill_path if self.boundary_spilled else None,
@@ -414,7 +437,17 @@ class Incremental:
         elif lv is not None and t == "Decimal":
             lv = decimal.Decimal(lv)
         elif lv is not None and t in ("tuple", "list"):
-            lv = tuple(lv)
+            def _de(v, et):
+                if et == "datetime":
+                    return dt.datetime.fromisoformat(v)
+                if et == "date":
+                    return dt.date.fromisoformat(v)
+                if et == "Decimal":
+                    return decimal.Decimal(v)
+                return v
+
+            ets = state.get("last_value_elem_types") or [None] * len(lv)
+            lv = tuple(_de(v, et) for v, et in zip(lv, ets))
         self.last_value = lv
         self.boundary_hashes = list(state.get("boundary_hashes", []))
         self.boundary_spilled = bool(state.get("boundary_spilled", False))

@@ -187,7 +187,14 @@ def model_validation_step(
                 mask = []
                 for row in pdf[check_cols].to_dict("records"):
                     clean = {
-                        k: (None if v is None or (isinstance(v, float) and v != v) else v)
+                        k: (
+                            None
+                            if v is None or (isinstance(v, float) and v != v)
+                            # Arrow hands array<...> cells to pandas as
+                            # numpy.ndarray; pydantic v2 rejects it for
+                            # List[...] fields — rehydrate to a plain list
+                            else (v.tolist() if hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+                        )
                         for k, v in row.items()
                     }
                     try:

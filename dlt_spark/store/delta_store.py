@@ -69,10 +69,13 @@ class DeltaTableStore(TableStore):
     def exists(self, table: str) -> bool:
         return DeltaTable.isDeltaTable(self.spark, self._path(table))
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: Optional[int] = None) -> DataFrame:
         if not self.exists(table):
             raise FileNotFoundError(f"table {table!r} does not exist in {self.root}")
-        return self.spark.read.format("delta").load(self._path(table))
+        r = self.spark.read.format("delta")
+        if version is not None:
+            r = r.option("versionAsOf", version)  # native Delta time travel
+        return r.load(self._path(table))
 
     def append(self, df: DataFrame, table: str, partition_by: Optional[List[str]] = None, sort_by: Optional[List[str]] = None) -> None:
         # Delta does its own data skipping from the transaction log; the

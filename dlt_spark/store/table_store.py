@@ -38,7 +38,9 @@ class TableStore:
     def exists(self, table: str) -> bool:
         raise NotImplementedError
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: "Optional[int]" = None) -> DataFrame:
+        """``version=`` time-travels to that snapshot; implementations
+        without versioning must raise for non-None versions."""
         raise NotImplementedError
 
     def append(
@@ -146,8 +148,12 @@ class ParquetTableStore(TableStore):
         import time as _time
 
         entry = dict(meta, committed_at=_time.time())
-        with open(os.path.join(log_dir, f"{meta['version']:08d}.json"), "w") as f:
+        # tmp+rename like the pointer flip: a crash mid-dump must not
+        # leave a truncated log JSON that poisons history()/time travel
+        lfd, ltmp = tempfile.mkstemp(dir=log_dir, prefix="_entry.")
+        with os.fdopen(lfd, "w") as f:
             json.dump(entry, f)
+        os.replace(ltmp, os.path.join(log_dir, f"{meta['version']:08d}.json"))
         fd, tmp = tempfile.mkstemp(dir=d, prefix="_current.")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
@@ -210,8 +216,20 @@ class ParquetTableStore(TableStore):
                     f"(missing {len(missing)} of {len(paths)} snapshot dirs)"
                 )
             if not paths:
+                # empty snapshot (e.g. truncate): serve an empty frame
+                # with the schema of whichever snapshot still has data
                 cur = self._data_paths(table)
-                return self.spark.read.parquet(*cur).limit(0)
+                if cur:
+                    return self.spark.read.parquet(*cur).limit(0)
+                for h in reversed(self.history(table)):
+                    m = self._log_meta(table, h["version"]) or {}
+                    mp = [p for p in (m.get("paths") or []) if os.path.isdir(p)]
+                    if mp:
+                        return self.spark.read.parquet(*mp).limit(0)
+                raise FileNotFoundError(
+                    f"version {version} of table {table!r} is empty and no"
+                    " snapshot with a readable schema remains"
+                )
             if meta.get("partition_by") and len(paths) > 1:
                 out = self.spark.read.parquet(paths[0])
                 for p in paths[1:]:
@@ -350,12 +368,16 @@ class ParquetTableStore(TableStore):
         entries = []
         for f in self._list_parquet(version_dir):
             md = pq.ParquetFile(f).metadata
+            # row-group columns are FLATTENED LEAVES: index by the leaf
+            # path, not the Arrow top-level field index — with a nested
+            # column ahead of a sort column the field index would read
+            # another leaf's statistics (wrong pruning = missing rows)
+            leaf_idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
             stats: dict = {}
             for col in sort_by:
-                try:
-                    idx = md.schema.to_arrow_schema().get_field_index(col)
-                except Exception:
-                    idx = -1
+                idx = leaf_idx.get(col, -1)
                 if idx < 0:
                     continue
                 mins, maxs = [], []

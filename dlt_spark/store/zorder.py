@@ -42,6 +42,11 @@ def zorder_key(
     maxv = (1 << bits) - 1
     ranks = []
     for _, (name, (lo, hi)) in enumerate(cols):
+        if lo is None or hi is None:
+            # all-NULL or empty column: no spread to rank on — it
+            # contributes a constant coordinate instead of a TypeError
+            ranks.append(F.lit(0).cast("bigint"))
+            continue
         span = float(hi) - float(lo)
         if span <= 0:
             ranks.append(F.lit(0).cast("bigint"))

@@ -290,3 +290,24 @@ def test_minhash_candidate_cap_preserves_dup_dense_result(spark):
     assert kept_capped == kept_uncapped
     assert 0 in kept_capped                       # group min survives
     assert len([i for i in kept_capped if i < 60]) == 1
+
+
+def test_pick_canonical_string_ids_and_tie_break(spark):
+    """String document ids must survive the argmax (regression: unary
+    minus tie-break nulled/ANSI-failed non-numeric ids); quality ties go
+    to the smallest id."""
+    import dlt_spark.dataops.dedup as dd
+
+    comps = spark.createDataFrame(
+        [("a1", "a1"), ("b2", "a1"), ("c3", "a1"), ("z9", "z9")],
+        "id string, component string",
+    )
+    quality = spark.createDataFrame(
+        [("a1", 1.0), ("b2", 2.0), ("c3", 2.0), ("z9", 0.5)],
+        "id string, quality double",
+    )
+    out = {r["component"]: r for r in
+           dd.pick_canonical(comps, quality).collect()}
+    assert out["a1"]["canonical_id"] == "b2"      # max quality, min id on tie
+    assert out["a1"]["n_members"] == 3 and out["a1"]["quality"] == 2.0
+    assert out["z9"]["canonical_id"] == "z9"

@@ -135,12 +135,29 @@ def test_boundary_spill_date_cursor(spark, tmp_path):
     got = {r["id"] for r in inc.apply(df2).collect()}
     assert got == set(range(100, 110))
 
-    # state round-trips the spill pointer
+    # state round-trips the spill pointer (a generation dir under spill)
     state = inc.to_state()
-    assert state["boundary_spilled"] and state["boundary_path"] == spill
+    assert state["boundary_spilled"] and state["boundary_path"].startswith(spill)
     inc2 = Incremental("d", primary_key=["id"]).restore_state(state)
     got2 = {r["id"] for r in inc2.apply(df2).collect()}
     assert got2 == set(range(100, 110))
+
+    # CONSECUTIVE spilled batches: update_state(apply(df2)) puts the
+    # previous spill generation in the read lineage; the next spill must
+    # write a new generation, not overwrite the path being read
+    big2 = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 3), float(i)) for i in range(200, 240)],
+        "id long, d date, value double",
+    )
+    inc.update_state(inc.apply(big2))
+    assert inc.boundary_spilled
+    df3 = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 3), float(i)) for i in range(200, 245)]
+        + [(i, dt.date(2024, 1, 4), float(i)) for i in range(300, 305)],
+        "id long, d date, value double",
+    )
+    got3 = {r["id"] for r in inc.apply(df3).collect()}
+    assert got3 == set(range(240, 245)) | set(range(300, 305))
 
 
 def test_boundary_spill_small_set_stays_inline(spark):
@@ -205,3 +222,21 @@ def test_custom_func_end_value(spark):
     )
     got = {r["id"] for r in inc.apply(df).collect()}
     assert got == {2, 3, 4, 5, 6}
+
+
+def test_tuple_cursor_rehydrates_element_types(spark):
+    """A (date, int) composite cursor must come back from state as
+    (date, int), not (str, int) — a custom func comparing restored vs
+    fresh tuples would otherwise TypeError inside the UDF."""
+    import datetime as dt2
+
+    lex = lambda vals: max(vals)
+    inc = Incremental("c", last_value_func=lex, primary_key=["id"])
+    inc.last_value = (dt2.date(2024, 2, 1), 5)
+    state = inc.to_state()
+    import json as _json
+    _json.dumps(state)
+    inc2 = Incremental("c", last_value_func=lex).restore_state(state)
+    assert inc2.last_value == (dt2.date(2024, 2, 1), 5)
+    assert isinstance(inc2.last_value[0], dt2.date)
+    assert isinstance(inc2.last_value[1], int)

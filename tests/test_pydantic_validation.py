@@ -144,3 +144,23 @@ def test_columns_model_discard_row_via_add_validation(spark):
     res.add_validation(model=Loose, mode="discard_row")
     df = res.materialize(spark)["loose"]
     assert [r["id"] for r in df.collect()] == [1]
+
+
+def test_array_columns_validate_as_lists(spark):
+    """array<string> cells arrive in pandas batches as numpy arrays;
+    List[str] model fields must still validate (regression: pydantic v2
+    rejects ndarray)."""
+    pydantic = pytest.importorskip("pydantic")
+    from typing import List
+
+    from dlt_spark.schema.pydantic import model_validation_step
+
+    class Doc(pydantic.BaseModel):
+        id: int
+        tags: List[str]
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id long, tags array<string>"
+    )
+    out = model_validation_step(Doc, data_mode="discard_row")(df)
+    assert out.count() == 2          # every valid row kept, none rejected

@@ -243,3 +243,58 @@ def test_dataset_table_version_param(spark, tmp_path):
     ds = Dataset(spark, store)
     assert len(ds.table("t").df()) == 2
     assert len(ds.table("t", version=0).df()) == 1
+
+
+def test_manifest_stats_with_nested_column_before_sort_column(spark, tmp_path):
+    """Row-group stats are flattened leaves: a struct column ahead of the
+    sort column must not shift which leaf's min/max the manifest records
+    (regression: field-index lookup read the wrong leaf)."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.store.table_store import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path), "ds")
+    df = (
+        spark.range(0, 8_000)
+        .select(
+            F.struct(
+                F.lit("zzz").alias("a"), (F.col("id") % 3).cast("string").alias("b")
+            ).alias("props"),
+            F.col("id").alias("ts"),
+        )
+        .repartitionByRange(8, "ts")
+    )
+    store.append(df, "events", sort_by=["ts"])
+    total, after = store.skipped_files("events", [("ts", 7_000, None)])
+    assert total == 8 and after < total
+    # pruning with correct stats must keep every matching row
+    got = store.read("events", where=[("ts", 7_000, None)]).filter("ts >= 7000")
+    assert got.count() == 1_000
+
+
+def test_read_empty_version_of_fully_truncated_table(spark, tmp_path):
+    """read(version=truncated) when the CURRENT snapshot is also empty
+    must return an empty frame with the original schema (regression:
+    spark.read.parquet() with zero paths raised)."""
+    from dlt_spark.store.table_store import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path), "ds")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    store.append(df, "t")          # v0: data
+    store.truncate("t")            # v1: empty, now current
+    out = store.read("t", version=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "name"}
+
+
+def test_zorder_all_null_column_is_constant_not_crash(spark):
+    from dlt_spark.store.zorder import column_ranges, zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(10)], "x double, y double"
+    )
+    ranges = column_ranges(df, ["x", "y"])
+    assert ranges["y"] == (None, None)
+    out = df.withColumn("z", zorder_key(ranges)).collect()
+    assert len(out) == 10 and all(r["z"] is not None for r in out)
