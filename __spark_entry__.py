@@ -4411,11 +4411,22 @@ def oracle_sql() -> dict[str, str]:
             FROM v CROSS JOIN seeds
         ), cells AS (
             SELECT vec_id, label, ev, ci AS cell FROM asg WHERE rn = 1
+        ), q AS (
+            -- integer-quantized vectors: every dot is a sum of integers
+            -- below 2^52, exact in float64 in ANY summation order, so
+            -- this matches the engine's BLAS kernel bit-for-bit
+            SELECT vec_id, cell,
+                   list_transform(ev, x -> round(x * 1048576.0)) AS qv
+            FROM cells
+        ), qn AS (
+            SELECT vec_id, cell, qv,
+                   sqrt(list_dot_product(qv, qv)) AS nrm
+            FROM q
         ), losers AS (
             SELECT DISTINCT a.vec_id
-            FROM cells a JOIN cells b
+            FROM qn a JOIN qn b
               ON a.cell = b.cell AND a.vec_id > b.vec_id
-            WHERE round({_c("a.ev", "b.ev")}, 6) >= 0.35
+            WHERE list_dot_product(a.qv, b.qv) / (a.nrm * b.nrm) >= 0.35
         )
         SELECT c.vec_id, c.label, CAST(c.cell AS INTEGER) AS cell
         FROM cells c LEFT JOIN losers l ON c.vec_id = l.vec_id
