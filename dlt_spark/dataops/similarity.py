@@ -278,6 +278,11 @@ def semantic_dedup(
         df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids,
         iters=iters, seed=seed,
     )
+    # the assignment (k interpreted cosines per row) feeds BOTH the
+    # loser search and the final anti-join — truncate the lineage so it
+    # is computed once, not twice (it dominates once the pairwise stage
+    # is the vectorized kernel)
+    indexed = indexed.localCheckpoint(eager=False)
     # norm precomputed per ROW (not per pair): the intra-cell join then
     # evaluates one interpreted dot per pair instead of three
     # higher-order aggregations — bit-identical cosine, ~3x less work
