@@ -2535,8 +2535,46 @@ def _q_hll_group_distinct(spark, sf_dir):
     return hll_estimate_grouped(sk, "event_type", p=8).orderBy("event_type")
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor (a bounded training
+    batch, broadcast), the 5 most-similar corpus vectors with a
+    DIFFERENT label.  One corpus scan scoring n*a pairs JVM-side, then
+    a per-anchor ranking window; for unbounded anchor sets the IVF
+    probe is the scale path (similarity.py docstring)."""
+    from dlt_spark.dataops.similarity import hard_negatives
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") < 8)
+    return hard_negatives(em, anchors, k=5)
+
+
+def _q_winsorized_stats(spark, sf_dir):
+    """Per-event-type winsorized mean/std (values clipped at the exact
+    p01/p99) plus median absolute deviation — outlier-robust profiling.
+    Decimal-exact moment sums, two grouped aggs + one broadcast join of
+    the tiny bounds table."""
+    from dlt_spark.dataops.profiling import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_stats(ev, "event_type", "value")
+
+
+def _q_trend_slopes(spark, sf_dir):
+    """Per-user OLS value-vs-time trend (slope per day + intercept)
+    from closed-form decimal-exact moment sums; x re-centred on each
+    key's min timestamp via a broadcast join so x*x stays in exact
+    double range.  No per-key sort anywhere."""
+    from dlt_spark.dataops.timeseries import trend_slopes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    return trend_slopes(ev, "user_id", "ts", "value")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hard_negatives": _q_hard_negatives,
+        "winsorized_stats": _q_winsorized_stats,
+        "trend_slopes": _q_trend_slopes,
         "weighted_sample": _q_weighted_sample,
         "event_transitions": _q_event_transitions,
         "rfm_segments": _q_rfm_segments,
@@ -2679,6 +2717,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "hard_negatives",
+    "winsorized_stats",
+    "trend_slopes",
     "weighted_sample",
     "event_transitions",
     "rfm_segments",
@@ -5119,6 +5160,95 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    sql["hard_negatives"] = """
+        WITH a AS (
+            SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+                   label AS al
+            FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+            SELECT a.anchor_id, e.vec_id AS negative_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(a.av, a.av))), 6) AS cosine
+            FROM embeddings e, a
+            WHERE e.label <> a.al AND e.vec_id <> a.anchor_id
+        )
+        SELECT anchor_id, negative_id, cosine, rank FROM (
+            SELECT scored.*,
+                   row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, negative_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+        ORDER BY anchor_id, rank
+    """
+
+    sql["winsorized_stats"] = """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS _lo,
+                   quantile_cont(value, 0.99) AS _hi,
+                   quantile_cont(value, 0.5) AS _med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, count(*) AS n,
+               round(CAST(sum(CAST(least(greatest(value, _lo), _hi)
+                                   AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+                   AS wins_mean,
+               round(sqrt((CAST(sum(CAST(least(greatest(value, _lo), _hi)
+                                         * least(greatest(value, _lo), _hi)
+                                         AS DECIMAL(38,6))) AS DOUBLE)
+                           - CAST(sum(CAST(least(greatest(value, _lo), _hi)
+                                           AS DECIMAL(38,6))) AS DOUBLE)
+                             * CAST(sum(CAST(least(greatest(value, _lo), _hi)
+                                             AS DECIMAL(38,6))) AS DOUBLE)
+                             / count(*))
+                          / (count(*) - 1)), 6) AS wins_std,
+               round(quantile_cont(abs(value - _med), 0.5), 6) AS mad
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """
+
+    sql["trend_slopes"] = """
+        WITH t0 AS (
+            SELECT user_id, min(epoch_us(ts)) AS _t0
+            FROM events WHERE user_id < 500 GROUP BY user_id
+        ), m AS (
+            SELECT e.user_id, count(*) AS n,
+                   sum(CAST(CAST(epoch_us(ts) - _t0 AS DOUBLE)
+                            AS DECIMAL(38,6))) AS sx,
+                   sum(CAST(value AS DECIMAL(38,6))) AS sy,
+                   sum(CAST(CAST(epoch_us(ts) - _t0 AS DOUBLE) * value
+                            AS DECIMAL(38,6))) AS sxy,
+                   sum(CAST(CAST(epoch_us(ts) - _t0 AS DOUBLE)
+                            * CAST(epoch_us(ts) - _t0 AS DOUBLE)
+                            AS DECIMAL(38,6))) AS sxx
+            FROM events e JOIN t0 USING (user_id)
+            WHERE e.user_id < 500
+            GROUP BY e.user_id
+        )
+        SELECT user_id, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 86400000000.0, 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept
+        FROM m
+        WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        ORDER BY user_id
     """
 
     return sql

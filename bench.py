@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "event_transitions",
     "rfm_segments",
     "weighted_sample",
+    "hard_negatives",
+    "winsorized_stats",
+    "trend_slopes",
 ]
 
 

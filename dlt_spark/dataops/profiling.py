@@ -194,3 +194,52 @@ def key_skew_diagnostics(
         "*",
         F.ceil(F.col("max_cnt") / F.col("p99_cnt")).cast("bigint").alias("salt_factor"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group robust statistics: winsorized mean/std (values clipped
+    to the exact interpolated [lo, hi] percentiles) plus the median
+    absolute deviation — outlier-resistant quality metrics for numeric
+    feature columns.
+
+    Two grouped aggregations + one broadcast join of the tiny bounds
+    table; no global sort.  Mean/variance come from decimal-exact sums
+    (order-independent partial aggregation → bit-identical under any
+    partitioning); the percentiles are Spark's exact sort-within-group
+    ``percentile`` whose linear interpolation matches ANSI
+    ``quantile_cont``.  At extreme scale swap ``percentile_approx`` in
+    for the bounds (same shape, sketch partials).
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+    )
+    j = df.join(F.broadcast(bounds), group_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    agg = j.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(clipped.cast("decimal(38,6)")).alias("_s1"),
+        F.sum((clipped * clipped).cast("decimal(38,6)")).alias("_s2"),
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad"),
+    )
+    n = F.col("n")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return agg.select(
+        group_col,
+        n,
+        F.round(s1 / n, decimals).alias("wins_mean"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))), decimals).alias(
+            "wins_std"
+        ),
+        F.round(F.col("_mad"), decimals).alias("mad"),
+    ).orderBy(group_col)

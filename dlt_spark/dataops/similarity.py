@@ -522,3 +522,60 @@ def pq_adc_topk(
         F.col(id_col), F.round(approx, decimals).alias("approx_dist")
     )
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# ------------------------------------------------- hard-negative mining
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    min_cosine: Optional[float] = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-``k`` most cosine-similar corpus vectors carrying a DIFFERENT
+    label (the anchor itself excluded) — the standard negatives source
+    for training retrieval / embedding models.
+
+    Scale shape: the anchor side is a training batch (bounded, e.g.
+    <=4096 rows) and is broadcast, so the corpus is scanned ONCE with a
+    BroadcastNestedLoopJoin scoring n*a pairs JVM-side; the per-anchor
+    top-k runs as one window over (anchor_id).  ``min_cosine`` prunes
+    the scored stream BEFORE the shuffle — with a sane floor (e.g. 0.0)
+    the exchanged volume drops from n*a to roughly the candidates that
+    could place.  For unbounded anchor sets use :func:`ivf_topk` per
+    anchor over an IVF index instead of this exact form.
+    """
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_avec"),
+        F.col(label_col).alias("_albl"),
+    )
+    scored = corpus.join(
+        F.broadcast(a),
+        (F.col(label_col) != F.col("_albl"))
+        & (F.col(id_col) != F.col("anchor_id")),
+    ).select(
+        "anchor_id",
+        F.col(id_col).alias("negative_id"),
+        F.round(cosine_sim(F.col(vec_col), F.col("_avec")), decimals).alias(
+            "cosine"
+        ),
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_cosine))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )

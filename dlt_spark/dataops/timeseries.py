@@ -132,3 +132,56 @@ def rolling_anomalies(
     return out.withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    per_seconds: float = 86400.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend: slope (value units per ``per_seconds``,
+    default per day) and intercept of ``value`` regressed on event time
+    — drift detection over metric streams without a per-key sort.
+
+    Closed-form regression from order-independent sums: x is integer
+    microseconds re-centred on the key's own min (two grouped
+    aggregations + a broadcast join of the tiny min table — re-centring
+    keeps x*x inside exact double range for multi-year spans), and all
+    four moment sums accumulate as decimals, so the result is
+    bit-identical under any partitioning.  Keys whose events all share
+    one timestamp (zero x-variance) are dropped.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    t0 = df.groupBy(key_col).agg(F.min(us).alias("_t0"))
+    j = df.join(F.broadcast(t0), key_col)
+    x = (us - F.col("_t0")).cast("double")  # microseconds from key start
+    y = F.col(value_col)
+    agg = j.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).alias("_sx"),
+        F.sum(y.cast("decimal(38,6)")).alias("_sy"),
+        F.sum((x * y).cast("decimal(38,6)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).alias("_sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope_us = (n * sxy - sx * sy) / denom  # units per microsecond
+    return (
+        agg.filter(denom > 0)
+        .select(
+            key_col,
+            "n",
+            F.round(slope_us * F.lit(per_seconds * 1_000_000.0), decimals).alias(
+                "slope"
+            ),
+            F.round((sy - slope_us * sx) / n, decimals).alias("intercept"),
+        )
+        .orderBy(key_col)
+    )
