@@ -43,8 +43,13 @@ SCRATCH = "/tmp/dlt_spark_scale"
 PROBE = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "curate_corpus",
     "decontamination",
+    "dup_clusters",
+    "dedup_incremental",
+    "dedup_corpus_lines",
+    "remove_repeated_spans",
     "unigram_logprob",
     "bigram_logprob",
     "sequence_packing",
@@ -55,7 +60,22 @@ PROBE = [
     "sessionization",
     "tpch_q1",
     "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
     "semantic_dedup",
+    "ivf_topk",
+    "pq_topk",
+    "hard_negatives",
+    "winsorized_stats",
+    "trend_slopes",
+    "hll_group_distinct",
+    "quantile_sketch_grouped",
+    "rfm_segments",
+    "event_transitions",
+    "merge_upsert",
+    "scd2",
+    "normalize_explode",
+    "fuzzy_pairs",
 ]
 
 TABLES = [
