@@ -2570,8 +2570,39 @@ def _q_trend_slopes(spark, sf_dir):
     return trend_slopes(ev, "user_id", "ts", "value")
 
 
+def _q_dq_report(spark, sf_dir):
+    """Data-quality expectations report (dbt-tests analog; the
+    reference's equivalent lives behind a closed-source hub shim): all
+    row-local checks fold into ONE scan-wide conditional aggregation;
+    unique is one hash agg; referential integrity is one anti-join
+    against the parent's distinct keys.  The in_range ceiling of 30 is
+    deliberately violated so the report exercises a failing row."""
+    from dlt_spark.dataops.expectations import (
+        accepted_values,
+        in_range,
+        not_null,
+        references,
+        run_checks,
+        unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return run_checks(
+        li,
+        [
+            not_null("l_orderkey", "l_quantity"),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+            in_range("l_quantity", 1, 30),
+            unique("l_orderkey", "l_linenumber"),
+            references(["l_orderkey"], orders, ["o_orderkey"]),
+        ],
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dq_report": _q_dq_report,
         "hard_negatives": _q_hard_negatives,
         "winsorized_stats": _q_winsorized_stats,
         "trend_slopes": _q_trend_slopes,
@@ -2717,6 +2748,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "dq_report",
     "hard_negatives",
     "winsorized_stats",
     "trend_slopes",
@@ -5160,6 +5192,44 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    sql["dq_report"] = """
+        WITH local AS (
+            SELECT
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+                sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_qty,
+                sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS av,
+                sum(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1 OR l_quantity > 30)
+                     THEN 1 ELSE 0 END) AS rng
+            FROM lineitem
+        ), uq AS (
+            SELECT COALESCE(sum(n - 1), 0) AS m FROM (
+                SELECT count(*) AS n FROM lineitem
+                GROUP BY l_orderkey, l_linenumber
+            ) WHERE n > 1
+        ), refs AS (
+            SELECT count(*) AS m FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+              )
+        )
+        SELECT "check", target, CAST(metric AS BIGINT) AS metric,
+               metric = 0 AS passed
+        FROM (
+            SELECT 'not_null' AS "check", 'l_orderkey' AS target,
+                   nn_ok AS metric FROM local
+            UNION ALL SELECT 'not_null', 'l_quantity', nn_qty FROM local
+            UNION ALL SELECT 'accepted_values', 'l_returnflag', av FROM local
+            UNION ALL SELECT 'in_range', 'l_quantity', rng FROM local
+            UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', m FROM uq
+            UNION ALL SELECT 'references', 'l_orderkey', m FROM refs
+        )
+        ORDER BY "check", target
     """
 
     sql["hard_negatives"] = """

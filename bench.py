@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "winsorized_stats",
     "trend_slopes",
+    "dq_report",
 ]
 
 

@@ -1070,12 +1070,21 @@ def fuzzy_pairs(
     b = base.select(
         F.col("_block"), F.col("_id").alias("id_b"), F.col("_vtext").alias("_tb")
     )
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_edit)
+    # equality fast path: in duplicate-dense corpora most candidate
+    # pairs have IDENTICAL verify prefixes — a memcmp instead of the
+    # O(max_edit * len) banded DP (measured 1683s -> ~privileged path
+    # at the 100x duplicate-stress tier, where ~all 25M pairs are
+    # byte-equal).  No final distinct: each id lands in exactly ONE
+    # block (the block key is a function of the row), so every
+    # (id_a, id_b) pair is produced exactly once already — a distinct
+    # here would re-shuffle the entire result for nothing.
+    dist = F.when(F.col("_ta") == F.col("_tb"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("_ta"), F.col("_tb"), max_edit)
+    )
     return (
         a.join(b, "_block")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("edit_distance", dist)
         .filter(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")
-        .distinct()
     )

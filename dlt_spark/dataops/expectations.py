@@ -1,0 +1,171 @@
+"""Data-quality expectations over loaded tables — the dbt-tests /
+Great-Expectations surface as a DataFrame program.  (The reference
+exposes data-quality only through a closed-source hub add-on,
+``dlt/hub/data_quality.py`` being a re-export shim; the open surface
+here is schema contracts, which govern shape — these checks govern
+VALUES.)
+
+Checks compile into as few Spark jobs as possible:
+
+- row-local checks (``not_null``, ``accepted_values``, ``in_range``,
+  ``matches_regex``) fold into ONE wide conditional aggregation — a
+  single table scan, no shuffle beyond the final 1-row agg, pure
+  codegen'd ``sum(CASE WHEN ...)`` columns;
+- ``unique`` is one hash aggregation on the key (map-side partials);
+- ``references`` (referential integrity) is one left-anti join against
+  the parent's distinct keys (AQE picks broadcast when the parent key
+  set is small); SQL-FK semantics — NULL child keys pass.
+
+Report schema: ``(check, target, metric, passed)`` — ``metric`` is the
+violation count and ``passed = metric == 0``, so a healthy table
+reports all-zero metrics and the report is safe to alert on with
+``report.filter(~F.col("passed"))``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(*cols: str) -> dict:
+    """Violations: rows where the column IS NULL."""
+    return {"kind": "not_null", "cols": list(cols)}
+
+
+def accepted_values(col: str, values: Sequence) -> dict:
+    """Violations: non-null values outside the accepted set (nulls are
+    ``not_null``'s concern)."""
+    return {"kind": "accepted_values", "col": col, "values": list(values)}
+
+
+def in_range(col: str, lo, hi) -> dict:
+    """Violations: non-null values outside [lo, hi]."""
+    return {"kind": "in_range", "col": col, "lo": lo, "hi": hi}
+
+
+def matches_regex(col: str, pattern: str) -> dict:
+    """Violations: non-null values not fully matching ``pattern``."""
+    return {"kind": "matches_regex", "col": col, "pattern": pattern}
+
+
+def unique(*cols: str) -> dict:
+    """Violations: rows beyond the first in each duplicate key group
+    (``sum(n - 1)`` over groups with n > 1); a NULL key is a group."""
+    return {"kind": "unique", "cols": list(cols)}
+
+
+def references(
+    cols: Sequence[str], parent: DataFrame, parent_cols: Sequence[str]
+) -> dict:
+    """Violations: non-null child keys with no matching parent row
+    (SQL foreign-key semantics: NULL child keys pass)."""
+    return {
+        "kind": "references",
+        "cols": list(cols),
+        "parent": parent,
+        "parent_cols": list(parent_cols),
+    }
+
+
+def _row_local_violation(check: dict):
+    """(target, condition Column) for a row-local check."""
+    k = check["kind"]
+    if k == "accepted_values":
+        c = F.col(check["col"])
+        return check["col"], c.isNotNull() & ~c.isin(check["values"])
+    if k == "in_range":
+        c = F.col(check["col"])
+        return check["col"], c.isNotNull() & ((c < check["lo"]) | (c > check["hi"]))
+    if k == "matches_regex":
+        c = F.col(check["col"])
+        return check["col"], c.isNotNull() & ~c.rlike(check["pattern"])
+    raise ValueError(k)
+
+
+def run_checks(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """Evaluate ``checks`` against ``df`` and return the report
+    DataFrame ``(check, target, metric, passed)`` ordered by
+    (check, target).  All row-local checks share one scan."""
+    # --- fold row-local checks into one wide aggregation ------------
+    local: List[Tuple[str, str, object]] = []  # (kind, target, cond)
+    for ch in checks:
+        if ch["kind"] == "not_null":
+            for c in ch["cols"]:
+                local.append(("not_null", c, F.col(c).isNull()))
+        elif ch["kind"] in ("accepted_values", "in_range", "matches_regex"):
+            target, cond = _row_local_violation(ch)
+            local.append((ch["kind"], target, cond))
+
+    reports: List[DataFrame] = []
+    if local:
+        aggs = [
+            F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)).alias(f"_m{i}")
+            for i, (_, _, cond) in enumerate(local)
+        ]
+        wide = df.agg(*aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("check"),
+                    F.lit(target).alias("target"),
+                    F.col(f"_m{i}").alias("metric"),
+                )
+                for i, (kind, target, _) in enumerate(local)
+            ]
+        )
+        reports.append(
+            wide.select(F.explode(rows).alias("r")).select(
+                "r.check", "r.target", "r.metric"
+            )
+        )
+
+    # --- per-check jobs ---------------------------------------------
+    for ch in checks:
+        if ch["kind"] == "unique":
+            key = ch["cols"]
+            dup = (
+                df.groupBy(*key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("metric"))
+            )
+            reports.append(
+                dup.select(
+                    F.lit("unique").alias("check"),
+                    F.lit(",".join(key)).alias("target"),
+                    "metric",
+                )
+            )
+        elif ch["kind"] == "references":
+            key, pkey = ch["cols"], ch["parent_cols"]
+            child = df.select(*key)
+            for c in key:
+                child = child.filter(F.col(c).isNotNull())
+            parent_keys = (
+                ch["parent"]
+                .select(*[F.col(p).alias(c) for c, p in zip(key, pkey)])
+                .distinct()
+            )
+            orphans = child.join(parent_keys, key, "left_anti").agg(
+                F.count(F.lit(1)).alias("metric")
+            )
+            reports.append(
+                orphans.select(
+                    F.lit("references").alias("check"),
+                    F.lit(",".join(key)).alias("target"),
+                    "metric",
+                )
+            )
+
+    out: Optional[DataFrame] = None
+    for r in reports:
+        out = r if out is None else out.unionByName(r)
+    if out is None:
+        raise ValueError("no checks given")
+    return out.select(
+        "check", "target", F.col("metric").cast("bigint").alias("metric"),
+        (F.col("metric") == 0).alias("passed"),
+    ).orderBy("check", "target")
