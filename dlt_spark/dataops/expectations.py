@@ -51,6 +51,20 @@ def matches_regex(col: str, pattern: str) -> dict:
     return {"kind": "matches_regex", "col": col, "pattern": pattern}
 
 
+def freshness(ts_col: str, max_age_seconds: float, now=None) -> dict:
+    """Violation (metric 1) when the newest ``ts_col`` value is older
+    than ``max_age_seconds`` before ``now`` — or the table is empty.
+    ``now`` (a datetime) is injectable for deterministic tests; defaults
+    to the cluster clock at evaluation time.  Folds into the same
+    single-scan aggregation as the row-local checks."""
+    return {
+        "kind": "freshness",
+        "col": ts_col,
+        "max_age_seconds": float(max_age_seconds),
+        "now": now,
+    }
+
+
 def unique(*cols: str) -> dict:
     """Violations: rows beyond the first in each duplicate key group
     (``sum(n - 1)`` over groups with n > 1); a NULL key is a group."""
@@ -89,21 +103,41 @@ def run_checks(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     """Evaluate ``checks`` against ``df`` and return the report
     DataFrame ``(check, target, metric, passed)`` ordered by
     (check, target).  All row-local checks share one scan."""
-    # --- fold row-local checks into one wide aggregation ------------
-    local: List[Tuple[str, str, object]] = []  # (kind, target, cond)
+    # --- fold row-local + scan-aggregate checks into one wide agg ---
+    local: List[Tuple[str, str, object]] = []  # (kind, target, agg expr)
     for ch in checks:
         if ch["kind"] == "not_null":
             for c in ch["cols"]:
-                local.append(("not_null", c, F.col(c).isNull()))
+                cond = F.col(c).isNull()
+                local.append(
+                    ("not_null", c, F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)))
+                )
         elif ch["kind"] in ("accepted_values", "in_range", "matches_regex"):
             target, cond = _row_local_violation(ch)
-            local.append((ch["kind"], target, cond))
+            local.append(
+                (ch["kind"], target,
+                 F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)))
+            )
+        elif ch["kind"] == "freshness":
+            now = ch["now"]
+            now_expr = (
+                F.lit(now) if now is not None else F.current_timestamp()
+            )
+            cutoff = now_expr - F.make_interval(
+                secs=F.lit(ch["max_age_seconds"])
+            )
+            stale = (
+                F.max(F.col(ch["col"])).isNull()
+                | (F.max(F.col(ch["col"])) < cutoff)
+            )
+            local.append(
+                ("freshness", ch["col"], stale.cast("bigint"))
+            )
 
     reports: List[DataFrame] = []
     if local:
         aggs = [
-            F.coalesce(F.sum(cond.cast("bigint")), F.lit(0)).alias(f"_m{i}")
-            for i, (_, _, cond) in enumerate(local)
+            expr.alias(f"_m{i}") for i, (_, _, expr) in enumerate(local)
         ]
         wide = df.agg(*aggs)
         rows = F.array(

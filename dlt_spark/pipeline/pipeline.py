@@ -70,6 +70,11 @@ class NormalizeInfo:
         return [t for _, _, tables in self.chains for t in tables]
 
 
+class DataQualityError(RuntimeError):
+    """A data-quality expectation failed and the caller asked for a
+    hard stop (``Pipeline.check(raise_on_failure=True)``)."""
+
+
 class Pipeline:
     def __init__(
         self,
@@ -309,6 +314,76 @@ class Pipeline:
 
     def dataset(self) -> Dataset:
         return Dataset(self.spark, self.store, self.schema)
+
+    def check(
+        self,
+        table_name: str,
+        checks: Sequence[dict],
+        store_report: bool = True,
+        raise_on_failure: bool = False,
+    ):
+        """Run data-quality expectations (``dlt_spark.dataops.
+        expectations``) against a loaded table and return the report
+        DataFrame ``(check, target, metric, passed)``.
+
+        With ``store_report`` the report rows are appended to the
+        ``_dlt_dq_reports`` system table, stamped with the table name,
+        the dataset's latest load id, and the evaluation time — so DQ
+        history accumulates next to ``_dlt_loads`` and drift alerts are
+        one query over the report table.  ``raise_on_failure`` turns a
+        failing check into a hard stop (contracts govern shape at
+        extract time; this governs VALUES after load)."""
+        from ..dataops.expectations import run_checks
+
+        report = run_checks(self.store.read(table_name), checks)
+        rows = report.collect()  # tiny: one row per check
+        if store_report:
+            import pyarrow as pa
+
+            load_id = None
+            try:
+                load_id = self.dataset().latest_load_id
+            except Exception:
+                pass
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            pa_schema = pa.schema(
+                [
+                    ("table_name", pa.string()),
+                    ("load_id", pa.string()),
+                    ("checked_at", pa.timestamp("us")),
+                    ("check", pa.string()),
+                    ("target", pa.string()),
+                    ("metric", pa.int64()),
+                    ("passed", pa.bool_()),
+                ]
+            )
+            self.store.append_rows(
+                [
+                    {
+                        "table_name": table_name,
+                        "load_id": load_id,
+                        "checked_at": now,
+                        "check": r["check"],
+                        "target": r["target"],
+                        "metric": r["metric"],
+                        "passed": r["passed"],
+                    }
+                    for r in rows
+                ],
+                "_dlt_dq_reports",
+                schema=pa_schema,
+            )
+        if raise_on_failure:
+            failed = [r for r in rows if not r["passed"]]
+            if failed:
+                detail = ", ".join(
+                    f"{r['check']}({r['target']})={r['metric']}" for r in failed
+                )
+                raise DataQualityError(
+                    f"{len(failed)} data-quality check(s) failed on"
+                    f" '{table_name}': {detail}"
+                )
+        return report
 
     def drop(self) -> None:
         for t in self.store.list_tables():

@@ -100,3 +100,58 @@ def test_row_local_folds_into_single_aggregate(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") <= 2  # data scan + no per-check scans
     assert "Join" not in plan
+
+
+def test_freshness_check(spark):
+    import datetime as dt
+
+    from dlt_spark.dataops.expectations import freshness
+
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 11, 30)), (2, dt.datetime(2024, 6, 1, 9, 0))],
+        ["id", "ts"],
+    )
+    # newest row is 30 min old: passes a 1h bound, fails a 10min bound
+    rep = _report(df, [freshness("ts", 3600, now=now)])
+    assert rep[("freshness", "ts")] == (0, True)
+    rep = _report(df, [freshness("ts", 600, now=now)])
+    assert rep[("freshness", "ts")] == (1, False)
+    # empty table is stale by definition
+    rep = _report(df.filter(F.col("id") < 0), [freshness("ts", 3600, now=now)])
+    assert rep[("freshness", "ts")] == (1, False)
+
+
+def test_pipeline_check_persists_report(spark, tmp_path):
+    import dlt_spark
+    from dlt_spark.dataops.expectations import in_range, not_null, unique
+    from dlt_spark.pipeline.pipeline import DataQualityError
+
+    pipe = dlt_spark.pipeline(
+        "dq_pipe", destination=str(tmp_path / "dest"), dataset_name="ds",
+        spark=spark,
+    )
+    pipe.run(
+        [{"id": 1, "v": 5.0}, {"id": 2, "v": 50.0}, {"id": 2, "v": 7.0}],
+        table_name="t",
+    )
+    report = pipe.check(
+        "t", [not_null("id"), in_range("v", 0, 10), unique("id")]
+    )
+    got = {(r["check"], r["target"]): r["metric"] for r in report.collect()}
+    assert got[("not_null", "id")] == 0
+    assert got[("in_range", "v")] == 1  # 50.0 out of range
+    assert got[("unique", "id")] == 1  # duplicate id=2
+    # report persisted to the _dlt_dq_reports system table with stamps
+    stored = pipe.store.read("_dlt_dq_reports").collect()
+    assert len(stored) == 3
+    assert all(r["table_name"] == "t" for r in stored)
+    assert all(r["load_id"] is not None for r in stored)
+    # raise_on_failure surfaces the failing checks
+    import pytest as _pytest
+
+    with _pytest.raises(DataQualityError, match="in_range"):
+        pipe.check("t", [in_range("v", 0, 10)], store_report=False,
+                   raise_on_failure=True)
+    # history accumulated only from the store_report=True call
+    assert pipe.store.read("_dlt_dq_reports").count() == 3
