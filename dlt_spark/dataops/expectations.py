@@ -84,6 +84,46 @@ def references(
     }
 
 
+def persist_report(store, report_rows, table_name: str, load_id=None) -> None:
+    """Append collected report rows to the ``_dlt_dq_reports`` system
+    table (driver-side control-plane append — one parquet file, no
+    cluster job), stamped with the table name, a load/batch id, and the
+    evaluation time.  Shared by ``Pipeline.check`` and the streaming
+    monitor so batch and streaming DQ history land in ONE table."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    pa_schema = pa.schema(
+        [
+            ("table_name", pa.string()),
+            ("load_id", pa.string()),
+            ("checked_at", pa.timestamp("us")),
+            ("check", pa.string()),
+            ("target", pa.string()),
+            ("metric", pa.int64()),
+            ("passed", pa.bool_()),
+        ]
+    )
+    store.append_rows(
+        [
+            {
+                "table_name": table_name,
+                "load_id": load_id,
+                "checked_at": now,
+                "check": r["check"],
+                "target": r["target"],
+                "metric": r["metric"],
+                "passed": r["passed"],
+            }
+            for r in report_rows
+        ],
+        "_dlt_dq_reports",
+        schema=pa_schema,
+    )
+
+
 def _row_local_violation(check: dict):
     """(target, condition Column) for a row-local check."""
     k = check["kind"]

@@ -335,44 +335,17 @@ class Pipeline:
         extract time; this governs VALUES after load)."""
         from ..dataops.expectations import run_checks
 
+        from ..dataops.expectations import persist_report
+
         report = run_checks(self.store.read(table_name), checks)
         rows = report.collect()  # tiny: one row per check
         if store_report:
-            import pyarrow as pa
-
             load_id = None
             try:
                 load_id = self.dataset().latest_load_id
             except Exception:
                 pass
-            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-            pa_schema = pa.schema(
-                [
-                    ("table_name", pa.string()),
-                    ("load_id", pa.string()),
-                    ("checked_at", pa.timestamp("us")),
-                    ("check", pa.string()),
-                    ("target", pa.string()),
-                    ("metric", pa.int64()),
-                    ("passed", pa.bool_()),
-                ]
-            )
-            self.store.append_rows(
-                [
-                    {
-                        "table_name": table_name,
-                        "load_id": load_id,
-                        "checked_at": now,
-                        "check": r["check"],
-                        "target": r["target"],
-                        "metric": r["metric"],
-                        "passed": r["passed"],
-                    }
-                    for r in rows
-                ],
-                "_dlt_dq_reports",
-                schema=pa_schema,
-            )
+            persist_report(self.store, rows, table_name, load_id)
         if raise_on_failure:
             failed = [r for r in rows if not r["passed"]]
             if failed:

@@ -236,3 +236,43 @@ def stream_files(
     if schema is None:
         schema = spark.read.format(format).options(**options).load(path).schema
     return spark.readStream.format(format).schema(schema).options(**options).load(path)
+
+
+def monitor_stream(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    checks,
+    checkpoint_dir: str,
+    table_name: str = "_stream",
+    trigger_available_now: bool = True,
+):
+    """Per-micro-batch data-quality monitoring: run the expectation set
+    (``dlt_spark.dataops.expectations``) against every micro-batch and
+    append the stamped report to the pipeline's ``_dlt_dq_reports``
+    system table — the streaming half of ``Pipeline.check``, sharing
+    the same report schema so batch and streaming DQ history is ONE
+    queryable table.
+
+    The report aggregation is the same single-scan shape as the batch
+    form (row-local checks fold into one wide conditional agg), so the
+    monitor adds one narrow pass per micro-batch, not a per-check job.
+    Failing checks never stop the stream — alerting belongs on the
+    report table (``passed = false``), because killing ingestion on a
+    null spike loses the very data needed to debug it."""
+    from ..dataops.expectations import run_checks
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..dataops.expectations import persist_report
+
+        rows = run_checks(batch_df, checks).collect()
+        persist_report(
+            pipe.store, rows, table_name, f"stream-batch-{batch_id:012d}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -176,3 +176,34 @@ def test_watermark_dedup_within_stream(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("SELECT * FROM dedup_within_t").collect()
     assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_monitor_stream_appends_dq_reports(spark, tmp_path):
+    """Streaming DQ monitor: every micro-batch's expectation report lands
+    in _dlt_dq_reports with a deterministic batch id."""
+    from dlt_spark.dataops.expectations import in_range, not_null
+    from dlt_spark.streaming import monitor_stream, stream_files
+
+    src = tmp_path / "mon_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5.0), (2, 500.0), (None, 7.0)], "id long, v double"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("mon", str(tmp_path / "dest_mon"), "ds", spark)
+    q = monitor_stream(
+        pipe,
+        stream_files(spark, str(src)),
+        [not_null("id"), in_range("v", 0, 100)],
+        str(tmp_path / "cp_mon"),
+        table_name="incoming",
+    )
+    q.awaitTermination(60)
+    rep = {
+        (r["check"], r["target"]): r
+        for r in pipe.store.read("_dlt_dq_reports").collect()
+    }
+    assert rep[("not_null", "id")]["metric"] == 1
+    assert rep[("in_range", "v")]["metric"] == 1  # 500.0
+    assert all(r["table_name"] == "incoming" for r in rep.values())
+    assert all(r["load_id"].startswith("stream-batch-") for r in rep.values())
