@@ -155,3 +155,23 @@ def test_pipeline_check_persists_report(spark, tmp_path):
                    raise_on_failure=True)
     # history accumulated only from the store_report=True call
     assert pipe.store.read("_dlt_dq_reports").count() == 3
+
+
+def test_unique_approx_folds_into_scan(spark):
+    from dlt_spark.dataops.expectations import not_null, run_checks, unique
+
+    df = spark.createDataFrame(
+        [(i % 50, "x") for i in range(200)], ["k", "v"]
+    )
+    rep = run_checks(df, [not_null("k"), unique("k", approx=True)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # the approx form must not introduce a join or an exchange beyond
+    # the single aggregation pair
+    assert "Join" not in plan
+    got = {
+        (r["check"], r["target"]): r for r in rep.collect()
+    }
+    m = got[("unique_approx", "k")]["metric"]
+    # 150 true extras; HLL ~2% error on 50 distinct is exact-ish here
+    assert abs(m - 150) <= 5
+    assert got[("unique_approx", "k")]["passed"] is False
