@@ -2600,8 +2600,26 @@ def _q_dq_report(spark, sf_dir):
     )
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 candidates (posting-bound) + cosine
+    candidates (TakeOrdered) fused with Reciprocal Rank Fusion — rank
+    fusion needs no score normalization, so it is engine-exact.  The
+    ranking windows only ever see the candidate lists."""
+    from dlt_spark.dataops.search import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    em = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    return hybrid_search(
+        docs, em.filter(F.col("vec_id") != 0), ["spark", "join", "vector"],
+        qvec, candidates=50, topk=20,
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hybrid_search": _q_hybrid_search,
         "dq_report": _q_dq_report,
         "hard_negatives": _q_hard_negatives,
         "winsorized_stats": _q_winsorized_stats,
@@ -2748,6 +2766,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "hybrid_search",
     "dq_report",
     "hard_negatives",
     "winsorized_stats",
@@ -5192,6 +5211,66 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    sql["hybrid_search"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), postings AS (
+            SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+        ), dlen AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), nd AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen
+        ), hits AS (
+            SELECT * FROM postings WHERE token IN ('spark', 'join', 'vector')
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM hits GROUP BY token
+        ), scored AS (
+            SELECT h.doc_id,
+                   CAST(round(
+                       ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                       * 1000000000.0) AS BIGINT) AS nano
+            FROM hits h JOIN dfreq USING (token) JOIN dlen USING (doc_id), nd
+        ), bm AS (
+            SELECT doc_id,
+                   CAST((2 * CAST(sum(nano) AS BIGINT) + 1000) // 2000 AS DOUBLE)
+                       / 1000000.0 AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 50
+        ), lexr AS (
+            SELECT doc_id AS _id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+            FROM bm
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), cs AS (
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 50
+        ), semr AS (
+            SELECT vec_id AS _id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+            FROM cs
+        )
+        SELECT COALESCE(lexr._id, semr._id) AS doc_id,
+               r_lex, r_sem,
+               round(COALESCE(1.0 / (60.0 + r_lex), 0.0)
+                     + COALESCE(1.0 / (60.0 + r_sem), 0.0), 9) AS rrf_score
+        FROM lexr FULL OUTER JOIN semr ON lexr._id = semr._id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 20
     """
 
     sql["dq_report"] = """

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "winsorized_stats",
     "trend_slopes",
     "dq_report",
+    "hybrid_search",
 ]
 
 

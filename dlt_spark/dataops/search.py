@@ -93,3 +93,65 @@ def bm25_search(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+def hybrid_search(
+    df: DataFrame,
+    emb_df: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    candidates: int = 100,
+    topk: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical + semantic retrieval via Reciprocal Rank Fusion.
+
+    Two independent candidate generators — BM25 over the inverted index
+    (cost ∝ the query terms' postings) and cosine top-k over the
+    embedding column (TakeOrdered scan, or swap in the IVF/LSH probe at
+    corpus scale) — each produce ``candidates`` ranked ids; fusion is
+    the standard RRF ``sum(1 / (rrf_k + rank))`` over the lists a doc
+    appears in (Cormack et al., SIGIR 2009).  Rank fusion avoids score
+    normalization entirely, so the result is deterministic and
+    engine-exact — no comparing BM25 logs against cosines.
+
+    The ranking windows run on candidate lists (≤ ``candidates`` rows),
+    never on the corpus: the single-partition window is bounded by
+    construction.  Returns ``(id, r_lex, r_sem, rrf_score)``.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_search(df, terms, id_col, text_col, k1, b, topk=candidates)
+    w_lex = Window.orderBy(F.desc("score"), F.col(id_col))
+    lexr = lex.select(
+        F.col(id_col).alias("_id"),
+        F.row_number().over(w_lex).cast("bigint").alias("r_lex"),
+    )
+    sem = cosine_topk(emb_df, query_vec, emb_id_col, vec_col, k=candidates)
+    w_sem = Window.orderBy(F.desc("cosine"), F.col(emb_id_col))
+    semr = sem.select(
+        F.col(emb_id_col).alias("_id"),
+        F.row_number().over(w_sem).cast("bigint").alias("r_sem"),
+    )
+    fused = lexr.join(semr, "_id", "full_outer")
+    contrib = lambda r: F.when(
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            F.col("_id").alias(id_col),
+            "r_lex",
+            "r_sem",
+            F.round(contrib("r_lex") + contrib("r_sem"), 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(topk)
+    )

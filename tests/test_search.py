@@ -226,3 +226,43 @@ def test_dedup_against_bloom_prefilter_identical_result(spark):
     }
     assert base == bloomed
     assert 41 not in base and 42 not in base and 43 in base
+
+
+def test_hybrid_search_rrf(spark):
+    from dlt_spark.dataops.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join vector engine"),
+            (2, "spark spark spark only lexical hit"),
+            (3, "nothing relevant here at all"),
+            (4, "join vector"),
+        ],
+        ["doc_id", "text"],
+    )
+    # embeddings: doc 3 is the exact query vector (pure semantic hit),
+    # doc 1 close, docs 2/4 orthogonal-ish
+    emb = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.1, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = hybrid_search(
+        docs, emb, ["spark", "join", "vector"], [1.0, 0.0],
+        candidates=4, topk=4,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 1 ranks in BOTH lists -> two RRF contributions -> first overall
+    assert out[0]["doc_id"] == 1
+    # doc 3 never matches a term: lexical rank NULL, semantic rank 1
+    assert rows[3]["r_lex"] is None and rows[3]["r_sem"] == 1
+    # doc 2: lexical hit only — present with null semantic contribution
+    # is fine as long as its fused score is below doc 1's
+    assert rows[2]["rrf_score"] < rows[1]["rrf_score"]
+    # scores are RRF sums: doc1 = 1/(60+r_lex) + 1/(60+r_sem)
+    r = rows[1]
+    assert abs(r["rrf_score"] - (1 / (60 + r["r_lex"]) + 1 / (60 + r["r_sem"]))) < 1e-9
