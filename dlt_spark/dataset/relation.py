@@ -129,6 +129,21 @@ class Relation:
             raise ValueError("min()/max() require exactly one selected column")
         return self._df.agg(fn(F.col(cols[0]))).collect()[0][0]
 
+    def union(self, other: "Relation", distinct: bool = False) -> "Relation":
+        """UNION ALL by column name (positional mismatches are schema
+        bugs, not data); ``distinct=True`` adds the dedup shuffle of a
+        plain SQL UNION."""
+        out = self._df.unionByName(other._df)
+        return self._wrap(out.distinct() if distinct else out)
+
+    def intersect(self, other: "Relation") -> "Relation":
+        """SQL INTERSECT (distinct row semantics)."""
+        return self._wrap(self._df.intersect(other._df))
+
+    def except_(self, other: "Relation") -> "Relation":
+        """SQL EXCEPT (distinct row semantics; Spark ``subtract``)."""
+        return self._wrap(self._df.subtract(other._df))
+
     def join(
         self,
         other: "Relation",

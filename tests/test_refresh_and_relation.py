@@ -83,3 +83,17 @@ def test_row_counts_includes_dlt_tables(loaded):
     counts = dict(ds.row_counts(table_names=ds.table_names(include_dlt=True)).fetchall())
     assert counts["_dlt_loads"] == 2
     assert counts["a"] == 2
+
+
+def test_relation_set_ops(loaded):
+    ds = loaded.dataset()
+    a = ds["a"].select("id")
+    b = ds["b"].select("id")
+    # a has ids {1,2}, b has {10}
+    assert sorted(r[0] for r in a.union(b).fetchall()) == [1, 2, 10]
+    assert a.union(a).row_count() == 4  # UNION ALL keeps duplicates
+    assert a.union(a, distinct=True).row_count() == 2
+    assert a.intersect(b).row_count() == 0
+    assert sorted(r[0] for r in a.intersect(a).fetchall()) == [1, 2]
+    assert sorted(r[0] for r in a.except_(b).fetchall()) == [1, 2]
+    assert a.except_(a).row_count() == 0
