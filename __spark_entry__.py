@@ -2116,9 +2116,16 @@ def _q_tpch_q2(spark, sf_dir):
     groupBy-min on the already-filtered European candidate set joined
     back on (partkey, cost) — the candidate set is tiny after the part
     and region filters, so both sides of the rejoin broadcast."""
+    # explicit integer HALF_UP (floor(x*1e6 + 0.5)/1e6) instead of
+    # round(): Spark rounds doubles half-up, DuckDB half-even — a
+    # single ...8125 tie at sf0.1 split the two engines by 1 ulp
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"),
+        (
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                    * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("unit_cost"),
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select(
         "p_partkey", "p_type"
@@ -3869,7 +3876,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'EUROPE'
         ), ps AS (
             SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
-                   min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+                   min(floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)
+                       / 1000000.0) AS unit_cost
             FROM lineitem
             JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
             JOIN eur_supp ON l_suppkey = s_suppkey
