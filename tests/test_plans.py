@@ -177,3 +177,54 @@ def test_transition_matrix_single_user_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 5, plan
     assert "rangepartitioning" not in plan.split("Sort [from_type")[0], plan
+
+
+def test_hard_negatives_partial_topk_before_exchange(spark):
+    """The per-anchor top-k must shed rows BEFORE the shuffle: Spark's
+    WindowGroupLimit partial pass runs map-side, so only ~k rows per
+    (anchor, input-partition) cross the exchange — not the full n*a
+    scored stream."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_hard_negatives(spark, SF))
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1, plan
+    assert "Partial" in plan[partial - 200: plan.find("Final") + 400] or \
+        plan.count("WindowGroupLimit") == 2, plan
+    # anchors broadcast; the corpus is never shuffled for the join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_search_windows_are_candidate_bounded(spark):
+    """RRF ranking windows must sit above the candidate limits (their
+    input is <= `candidates` rows), and candidate generation itself
+    stays TakeOrdered / aggregation-shaped — no corpus-wide sort."""
+    import __spark_entry__ as entry
+
+    df = entry._q_hybrid_search(spark, SF)
+    opt = _opt(df)
+    # both generators end in a limit BELOW the window in the optimized
+    # plan: every Window node must have a GlobalLimit descendant
+    lines = opt.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "windowspecdefinition" in l and "Window" in l]
+    assert win_idx, opt
+    for i in win_idx:
+        assert any("GlobalLimit" in l for l in lines[i:]), opt
+
+def test_winsorized_stats_broadcasts_bounds(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_winsorized_stats(spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "rangepartitioning" not in plan.split("Sort [")[0], plan
+
+
+def test_trend_slopes_no_per_key_sort(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_trend_slopes(spark, SF))
+    # closed-form sums: no window function at all, min-table broadcast
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
