@@ -2624,8 +2624,31 @@ def _q_hybrid_search(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-nano PageRank (3 fixed iterations) over the bipartite
+    part<->supplier supply graph from lineitem: supplier ids offset to
+    a disjoint range, both edge directions.  Every update is a BIGINT
+    sum of integer-divided contributions — order-independent, replayed
+    exactly by the SQL oracle.  Top-20 by rank as TakeOrdered."""
+    from dlt_spark.dataops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    pr = pagerank(fwd.unionByName(rev), iters=3)
+    return (
+        pr.select("id", "rank_nano")
+        .orderBy(F.desc("rank_nano"), F.col("id"))
+        .limit(20)
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pagerank": _q_pagerank,
         "hybrid_search": _q_hybrid_search,
         "dq_report": _q_dq_report,
         "hard_negatives": _q_hard_negatives,
@@ -2773,6 +2796,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "pagerank",
     "hybrid_search",
     "dq_report",
     "hard_negatives",
@@ -5219,6 +5243,57 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    sql["pagerank"] = """
+        WITH fwd AS (
+            SELECT l_partkey AS src, l_suppkey + 1000000000 AS dst
+            FROM lineitem GROUP BY 1, 2
+        ), edges AS (
+            SELECT src, dst FROM fwd
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM fwd
+        ), nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+            )
+        ), p AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT id, 1000000000 // n AS r FROM nodes, p),
+        c1 AS (
+            SELECT e.dst AS id, sum(r.r // d.deg) AS s
+            FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r1 AS (
+            SELECT nodes.id,
+                   (3000000000 // (20 * n)) + (17 * COALESCE(s, 0)) // 20 AS r
+            FROM nodes LEFT JOIN c1 USING (id), p
+        ),
+        c2 AS (
+            SELECT e.dst AS id, sum(r.r // d.deg) AS s
+            FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT nodes.id,
+                   (3000000000 // (20 * n)) + (17 * COALESCE(s, 0)) // 20 AS r
+            FROM nodes LEFT JOIN c2 USING (id), p
+        ),
+        c3 AS (
+            SELECT e.dst AS id, sum(r.r // d.deg) AS s
+            FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT nodes.id,
+                   (3000000000 // (20 * n)) + (17 * COALESCE(s, 0)) // 20 AS r
+            FROM nodes LEFT JOIN c3 USING (id), p
+        )
+        SELECT id, CAST(r AS BIGINT) AS rank_nano
+        FROM r3
+        ORDER BY rank_nano DESC, id
+        LIMIT 20
     """
 
     sql["hybrid_search"] = """

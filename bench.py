@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "trend_slopes",
     "dq_report",
     "hybrid_search",
+    "pagerank",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Graph scoring over edge tables: integer-exact PageRank.
+
+Connected components (``dedup.dup_clusters``) resolves WHICH rows form
+a group; PageRank ranks importance WITHIN a graph — canonical-document
+selection by similarity-graph centrality, supplier/part criticality in
+a supply graph, link-quality curation signals.
+
+Engineered for engine-exactness and scale:
+
+- ranks live as BIGINT **nano-units**; per-edge contributions are
+  integer division by out-degree and damping is an integer ratio
+  (``(num * s) div den``), so every aggregation is an order-independent
+  BIGINT sum — bit-identical under any partitioning, and reproducible
+  in ANSI SQL (the DuckDB oracle replays the exact iterations;
+  documented rounding loss: total mass decays by the floor remainders
+  and dangling-node mass, which is irrelevant for ranking);
+- each iteration is one join + one aggregation; the rank/degree sides
+  stay narrow (id, int64).  Fixed ``iters`` keeps the plan static —
+  for convergence-driven runs wrap it in a loop with
+  ``localCheckpoint`` every few iterations (same pattern as
+  ``dup_clusters``) to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table.
+
+    Returns ``(id, rank_nano, pagerank)`` for every node, where
+    ``pagerank = rank_nano / 1e9``.  ``damping`` must be expressible as
+    a small fraction (0.85 = 17/20) so the update stays integer.
+    """
+    frac = Fraction(damping).limit_denominator(1000)
+    dnum, dden = frac.numerator, frac.denominator
+
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n = nodes.count()  # one driver scalar, like the IVF centroid count
+    if n == 0:
+        raise ValueError("empty edge table")
+    init = NANO // n
+    base = ((dden - dnum) * NANO) // (dden * n)
+
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).join(
+        out_deg.select(F.col(src).alias("_src"), "_deg"), "_src"
+    )
+    rank = nodes.select("id", F.lit(init).cast("bigint").alias("_r"))
+    for i in range(iters):
+        contrib = (
+            e.join(rank, e["_src"] == rank["id"])
+            .select(
+                F.col("_dst").alias("id"),
+                F.expr("_r div _deg").alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        rank = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"({dnum} * coalesce(_s, 0L)) div {dden}")
+            ).cast("bigint").alias("_r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=True)
+    return rank.select(
+        "id",
+        F.col("_r").alias("rank_nano"),
+        (F.col("_r").cast("double") / F.lit(float(NANO))).alias("pagerank"),
+    )

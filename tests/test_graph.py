@@ -1,0 +1,54 @@
+"""Unit tests for integer-exact PageRank."""
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from dlt_spark.dataops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    out = pagerank(edges, iters=5).collect()
+    ranks = {r["id"]: r["rank_nano"] for r in out}
+    # a 3-cycle is rank-symmetric and the integer update is a fixed
+    # point: base + (17 * init) // 20 == init for init = 1e9 // 3
+    assert len(set(ranks.values())) == 1
+    assert ranks[1] == 333333333
+
+
+def test_pagerank_star_center_dominates(spark):
+    from pyspark.sql import functions as F
+
+    from dlt_spark.dataops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9), (9, 1)], ["src", "dst"]
+    )
+    ranks = {r["id"]: r["rank_nano"] for r in pagerank(edges, iters=3).collect()}
+    assert ranks[9] == max(ranks.values())
+    assert ranks[9] > 3 * ranks[2]  # spokes 2..4 get only the base term
+    # node 1 receives the center's whole rank: second place
+    assert ranks[1] > ranks[2]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from dlt_spark.dataops.graph import pagerank
+
+    rows = [(i, (i * 7 + 3) % 50) for i in range(300) if i != (i * 7 + 3) % 50]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    b = sorted(
+        map(tuple, pagerank(edges.repartition(13, "dst"), iters=3).collect())
+    )
+    assert a == b
+
+
+def test_pagerank_checkpoint_matches_plain(spark):
+    from dlt_spark.dataops.graph import pagerank
+
+    rows = [(i % 20, (i * 3 + 1) % 20) for i in range(100) if i % 20 != (i * 3 + 1) % 20]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    plain = sorted(map(tuple, pagerank(edges, iters=4).collect()))
+    ckpt = sorted(
+        map(tuple, pagerank(edges, iters=4, checkpoint_every=2).collect())
+    )
+    assert plain == ckpt
