@@ -2646,8 +2646,20 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction 64 -> 16 dims over deterministic
+    seeded hyperplanes (shared with the LSH index): one narrow codegen
+    projection, no shuffle.  The oracle rebuilds the identical plane
+    literals from the same LCG."""
+    from dlt_spark.dataops.similarity import random_projection
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return random_projection(em, dim=64, out_dim=16)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "random_projection": _q_random_projection,
         "pagerank": _q_pagerank,
         "hybrid_search": _q_hybrid_search,
         "dq_report": _q_dq_report,
@@ -2796,6 +2808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "random_projection",
     "pagerank",
     "hybrid_search",
     "dq_report",
@@ -5243,6 +5256,22 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    from dlt_spark.dataops.similarity import _hyperplanes as _rp_planes
+
+    _rp = _rp_planes(64, 16, 42)
+    _rp_comps = ",\n               ".join(
+        "floor(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(v) for v in p)
+        + "]) * 250000.0 + 0.5) / 1000000.0"
+        for p in _rp
+    )
+    sql["random_projection"] = f"""
+        SELECT vec_id,
+               [{_rp_comps}] AS rp_embedding
+        FROM embeddings
+        WHERE vec_id < 2000
     """
 
     sql["pagerank"] = """

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "dq_report",
     "hybrid_search",
     "pagerank",
+    "random_projection",
 ]
 
 

@@ -276,3 +276,63 @@ def monitor_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str,
+    id_col: str,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    trigger_available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Streaming dedup ingestion: every micro-batch is deduplicated
+    within itself (exact) AND against everything already loaded into
+    ``table_name`` (exact + MinHash near-dup via
+    :func:`dlt_spark.dataops.dedup.dedup_against`), then the survivors
+    commit through the batch pipeline with a replay-idempotent load id.
+
+    The "dedup the crawl as it lands" operator: the reference corpus is
+    the destination table itself, so the invariant — no two near-
+    duplicate documents in the table — holds after every batch without
+    a full-corpus recompute.  At 100 TB the per-batch cost is the new
+    batch's shingling plus a bucket-bounded join against the corpus
+    fingerprints (pass ``bloom_bits`` to prefilter the exact layer)."""
+    import hashlib
+
+    from ..dataops.dedup import dedup_against, drop_exact_dups
+
+    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lid = f"dstream-{stream_id}-{batch_id:012d}"
+        try:
+            committed = set(pipe.dataset().load_ids())
+        except FileNotFoundError:
+            committed = set()
+        if lid in committed:
+            return
+        fresh = drop_exact_dups(batch_df, id_col, text_col)
+        # explicit existence check, NOT a broad except: a read/schema
+        # error must fail the batch loudly, never silently skip the
+        # cross-corpus dedup (which would load duplicates)
+        ref = None
+        if table_name in pipe.store.list_tables():
+            ref = pipe.store.read(table_name).select(id_col, text_col)
+        if ref is not None:
+            fresh = dedup_against(
+                fresh, ref, id_col, text_col,
+                jaccard_threshold=jaccard_threshold, **dedup_kwargs,
+            )
+        pipe.run(fresh, table_name=table_name, load_id=lid)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -207,3 +207,44 @@ def test_monitor_stream_appends_dq_reports(spark, tmp_path):
     assert rep[("in_range", "v")]["metric"] == 1  # 500.0
     assert all(r["table_name"] == "incoming" for r in rep.values())
     assert all(r["load_id"].startswith("stream-batch-") for r in rep.values())
+
+
+def test_dedup_ingest_stream(spark, tmp_path):
+    """Streaming dedup ingestion: in-batch exact dups collapse, and a
+    second batch's near-duplicates of already-loaded docs are dropped."""
+    from dlt_spark.streaming import dedup_ingest, stream_files
+
+    src = tmp_path / "ddi_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content here ok")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("ddi", str(tmp_path / "dest_ddi"), "ds", spark)
+    q = dedup_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ddi"),
+        "docs", "doc_id", "text", shingle_n=3,
+    )
+    q.awaitTermination(120)
+    ids = {r["doc_id"] for r in pipe.store.read("docs").collect()}
+    assert ids == {1, 3}  # exact dup 2 collapsed within the batch
+
+    # batch 2: a near-duplicate of doc 1 (one word changed) + a new doc
+    spark.createDataFrame(
+        [(10, base.replace("today", "tonight")),
+         (11, "yet another genuinely novel document body entirely")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # one changed word in 13 -> jaccard ~0.57 on 3-shingles; use a
+    # 0.5 threshold so the near-dup is in range
+    q2 = dedup_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ddi"),
+        "docs", "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    ids = {r["doc_id"] for r in pipe.store.read("docs").collect()}
+    assert 11 in ids and 10 not in ids  # near-dup of loaded corpus dropped
+    assert ids == {1, 3, 11}

@@ -113,3 +113,36 @@ def test_hard_negatives_min_cosine_prunes(spark):
     # odd-labelled vectors sit at 30, 90, 150, ... degrees from anchor 0;
     # only the 30-degree pair (ids 1 and 11, cos ~0.866) clears 0.4
     assert {r["negative_id"] for r in out} == {1, 11}
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: relative pairwise distances survive 64->16 within a
+    loose tolerance, and the output is engine-deterministic."""
+    import math
+    import random as rnd
+
+    from dlt_spark.dataops.similarity import random_projection
+
+    r = rnd.Random(7)
+    rows = [(i, [r.gauss(0, 1) for _ in range(64)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {x["vec_id"]: x["rp_embedding"]
+            for x in random_projection(df, 64, 16).collect()}
+    orig = {i: v for i, v in rows}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            d0 = dist(orig[i], orig[j])
+            d1 = dist(proj[i], proj[j])
+            ratios.append(d1 / d0)
+    # with 16 output dims the distortion is bounded in practice; the
+    # point is "same scale", not a tight epsilon
+    assert 0.4 < min(ratios) and max(ratios) < 1.8, ratios
+    # determinism across partitionings
+    again = {x["vec_id"]: x["rp_embedding"]
+             for x in random_projection(df.repartition(5), 64, 16).collect()}
+    assert again == proj
