@@ -228,3 +228,21 @@ def test_trend_slopes_no_per_key_sort(spark):
     # closed-form sums: no window function at all, min-table broadcast
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_pagerank_integer_jvm_only(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_pagerank(spark, SF))
+    # all-integer update: no Python stage, no floating aggregation in
+    # the iterations, and the top-20 is TakeOrdered (no global sort)
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_random_projection_no_shuffle(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_random_projection(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
