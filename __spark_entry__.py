@@ -2657,8 +2657,41 @@ def _q_random_projection(spark, sf_dir):
     return random_projection(em, dim=64, out_dim=16)
 
 
+def _q_binary_auc(spark, sf_dir):
+    """Exact Mann-Whitney AUC of the linear quality probe against
+    label==2: pair counting over the DISTINCT-SCORE histogram (scores
+    quantized to 6 decimals), so the only ordered pass is a cumulative
+    window over the small histogram — never a global row sort."""
+    from dlt_spark.dataops.evalmetrics import binary_auc
+    from dlt_spark.dataops.vector import lcg_weights, linear_probe
+
+    em = _t(spark, sf_dir, "embeddings")
+    logit = F.round(
+        linear_probe(F.col("embedding"), lcg_weights(64, seed=7), bias=0.25), 6
+    )
+    scored = em.select(logit.alias("score"), (F.col("label") == 2).alias("y"))
+    return binary_auc(scored, "score", "y")
+
+
+def _q_calibration(spark, sf_dir):
+    """Reliability diagram of the quality probe over fixed logit bins
+    [-5, 5): one grouped aggregation, decimal-exact partials mergeable
+    across batches."""
+    from dlt_spark.dataops.evalmetrics import calibration_bins
+    from dlt_spark.dataops.vector import lcg_weights, linear_probe
+
+    em = _t(spark, sf_dir, "embeddings")
+    logit = F.round(
+        linear_probe(F.col("embedding"), lcg_weights(64, seed=7), bias=0.25), 6
+    )
+    scored = em.select(logit.alias("score"), (F.col("label") == 2).alias("y"))
+    return calibration_bins(scored, "score", "y", lo=-5.0, hi=5.0, bins=10)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "binary_auc": _q_binary_auc,
+        "calibration": _q_calibration,
         "random_projection": _q_random_projection,
         "pagerank": _q_pagerank,
         "hybrid_search": _q_hybrid_search,
@@ -2808,6 +2841,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "binary_auc",
+    "calibration",
     "random_projection",
     "pagerank",
     "hybrid_search",
@@ -5256,6 +5291,56 @@ def oracle_sql() -> dict[str, str]:
         )
         ORDER BY ws DESC, doc_id
         LIMIT 100
+    """
+
+    from dlt_spark.dataops.vector import lcg_weights as _probe_w
+
+    _pw = "[" + ", ".join(repr(v) for v in _probe_w(64, seed=7)) + "]"
+    _probe_s = (
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {_pw}) + 0.25, 6)"
+    )
+    sql["binary_auc"] = f"""
+        WITH scored AS (
+            SELECT {_probe_s} AS s,
+                   CASE WHEN label = 2 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), hist AS (
+            SELECT s, CAST(sum(y) AS BIGINT) AS np,
+                   CAST(sum(1 - y) AS BIGINT) AS nn
+            FROM scored GROUP BY s
+        ), cum AS (
+            SELECT s, np, nn,
+                   COALESCE(sum(nn) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cnb
+            FROM hist
+        )
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round((CAST(sum(np * cnb) AS DOUBLE)
+                      + CAST(sum(np * nn) AS DOUBLE) / 2.0)
+                     / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
+                     9) AS auc
+        FROM cum
+    """
+
+    sql["calibration"] = f"""
+        WITH scored AS (
+            SELECT {_probe_s} AS s,
+                   CASE WHEN label = 2 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), b AS (
+            SELECT least(greatest(CAST(floor((s - (-5.0)) / 1.0) AS INT), 0),
+                         9) AS bin,
+                   s, y
+            FROM scored
+        )
+        SELECT bin, count(*) AS n,
+               round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_score,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+        FROM b GROUP BY bin ORDER BY bin
     """
 
     from dlt_spark.dataops.similarity import _hyperplanes as _rp_planes

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "hybrid_search",
     "pagerank",
     "random_projection",
+    "binary_auc",
+    "calibration",
 ]
 
 
