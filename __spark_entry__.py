@@ -2688,8 +2688,21 @@ def _q_calibration(spark, sf_dir):
     return calibration_bins(scored, "score", "y", lo=-5.0, hi=5.0, bins=10)
 
 
+def _q_retrieval_recall(spark, sf_dir):
+    """ANN index quality measured in-engine: recall@10 of the IVF probe
+    (nprobe=3) against brute-force cosine ground truth for the same
+    query vector.  Both sides are top-10 sets, so the metric join is
+    driver-scale cheap; the oracle composes the two stored SQL twins."""
+    from dlt_spark.dataops.evalmetrics import recall_at_k
+
+    truth = _q_similarity_topk(spark, sf_dir)
+    approx = _q_ivf_topk(spark, sf_dir)
+    return recall_at_k(truth, approx, "vec_id", k=10)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "retrieval_recall": _q_retrieval_recall,
         "binary_auc": _q_binary_auc,
         "calibration": _q_calibration,
         "random_projection": _q_random_projection,
@@ -2841,6 +2854,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "retrieval_recall",
     "binary_auc",
     "calibration",
     "random_projection",
@@ -5595,6 +5609,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
         ORDER BY user_id
+    """
+
+    sql["retrieval_recall"] = f"""
+        WITH approx AS ({sql["ivf_topk"]}),
+        truth AS ({sql["similarity_topk"]})
+        SELECT CAST(count(*) AS BIGINT) AS hits,
+               round(count(*) / 10.0, 6) AS recall_at_10
+        FROM truth JOIN approx USING (vec_id)
     """
 
     return sql

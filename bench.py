@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "random_projection",
     "binary_auc",
     "calibration",
+    "retrieval_recall",
 ]
 
 

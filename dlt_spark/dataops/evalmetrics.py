@@ -115,3 +115,19 @@ def calibration_bins(
             "pos_rate"
         ),
     ).orderBy("bin")
+
+
+def recall_at_k(
+    truth: DataFrame, approx: DataFrame, id_col: str, k: int, decimals: int = 6
+) -> DataFrame:
+    """Retrieval recall@k: |approx ∩ truth| / k — grade an ANN index
+    (LSH / IVF / PQ) against brute-force ground truth without leaving
+    the engine.  Both inputs are top-k result sets (≤ k rows), so this
+    is a join of two tiny frames."""
+    hits = truth.select(id_col).join(approx.select(id_col), id_col).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        "hits",
+        F.round(F.col("hits") / F.lit(float(k)), decimals).alias(f"recall_at_{k}"),
+    )
