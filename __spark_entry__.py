@@ -2700,8 +2700,20 @@ def _q_retrieval_recall(spark, sf_dir):
     return recall_at_k(truth, approx, "vec_id", k=10)
 
 
+def _q_pool_embeddings(spark, sf_dir):
+    """Per-group mean-pooled embeddings (chunk->document aggregation):
+    posexplode + one (group, position) aggregation with decimal-exact
+    sums, array re-assembled by struct sort — engine-portable integer
+    HALF_UP quantization."""
+    from dlt_spark.dataops.vector import pool_embeddings
+
+    em = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(em, "label")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pool_embeddings": _q_pool_embeddings,
         "retrieval_recall": _q_retrieval_recall,
         "binary_auc": _q_binary_auc,
         "calibration": _q_calibration,
@@ -2854,6 +2866,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the long regression tail that already has green driver rows.  New queries
 # added mid-round should be PREPENDED to this list.
 _DRIVER_WINDOW = [
+    "pool_embeddings",
     "retrieval_recall",
     "binary_auc",
     "calibration",
@@ -5609,6 +5622,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
         ORDER BY user_id
+    """
+
+    sql["pool_embeddings"] = """
+        WITH ex AS (
+            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), s AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(v AS DECIMAL(38,8))) AS DOUBLE) AS sv,
+                   count(*) AS n
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+               list(floor(sv / n * 1000000.0 + 0.5) / 1000000.0
+                    ORDER BY pos) AS pooled
+        FROM s GROUP BY label ORDER BY label
     """
 
     sql["retrieval_recall"] = f"""

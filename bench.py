@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "binary_auc",
     "calibration",
     "retrieval_recall",
+    "pool_embeddings",
 ]
 
 

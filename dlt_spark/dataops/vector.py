@@ -112,3 +112,46 @@ def linear_probe(
         lambda acc, v: acc + v,
     )
     return F.round(dot + F.lit(float(bias)), decimals)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Mean-pool embeddings per group — the chunk->document (or
+    doc->cluster-centroid) aggregation step of an embedding pipeline.
+
+    Shape: posexplode -> one grouped aggregation keyed (group, position)
+    with decimal-exact sums (order-independent partials) -> re-assemble
+    the array by sorting the (position, mean) structs.  Shuffle volume
+    is rows x dim scalars, the same data the scan already read; the
+    quantization is the engine-portable integer HALF_UP
+    (``floor(x*10^d + 0.5)/10^d``), so results are bit-identical across
+    engines and partitionings.  Returns ``(group_col, n_vectors,
+    out_col)``."""
+    q = float(10 ** decimals)
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+    )
+    s = ex.groupBy(group_col, "_pos").agg(
+        F.sum(F.col("_v").cast("double").cast("decimal(38,8)")).alias("_sv"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.floor(
+        F.col("_sv").cast("double") / F.col("_n") * F.lit(q) + F.lit(0.5)
+    ) / F.lit(q)
+    return (
+        s.select(group_col, "_pos", mean.alias("_m"), "_n")
+        .groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda x: x["_m"],
+            ).alias(out_col),
+        )
+        .orderBy(group_col)
+    )

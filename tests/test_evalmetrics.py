@@ -63,3 +63,26 @@ def test_calibration_bins_edges_and_rates(spark):
     assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
     assert out[9]["n"] == 1 and out[9]["pos_rate"] == 1.0
     assert out[5]["mean_score"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_pool_embeddings_exact_means(spark):
+    from dlt_spark.dataops.vector import pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, 4.0]),
+            ("b", [10.0, 20.0]),
+        ],
+        ["g", "embedding"],
+    )
+    out = {r["g"]: r for r in pool_embeddings(df, "g").collect()}
+    assert out["a"]["pooled"] == [2.0, 3.0]
+    assert out["a"]["n_vectors"] == 2
+    assert out["b"]["pooled"] == [10.0, 20.0]
+    # partitioning invariance (decimal sums + struct sort)
+    again = {r["g"]: r for r in
+             pool_embeddings(df.repartition(4), "g").collect()}
+    assert {k: v["pooled"] for k, v in again.items()} == {
+        k: v["pooled"] for k, v in out.items()
+    }
