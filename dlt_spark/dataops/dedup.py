@@ -592,6 +592,35 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    use_arrow: bool = True,
+) -> tuple:
+    """Build the persistable cross-corpus dedup index for
+    :func:`dedup_against`: ``(fingerprints, buckets)`` where
+    fingerprints is the distinct content-hash set (`_fp`) and buckets
+    the MinHash band table (`_id`, `_bucket`).
+
+    Write both to the table store once per corpus version; per-batch
+    dedup then never re-fingerprints or re-signs the corpus — the 100 TB
+    ingest loop signs only the new batch.  After loading survivors,
+    append THEIR fingerprints/buckets to the index tables (both are
+    row-wise unions, no recompute) to keep the index current."""
+    from .text import fingerprint
+
+    nn = df.filter(F.col(text_col).isNotNull())
+    fp = nn.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    buckets = minhash_buckets(
+        nn, id_col, text_col, num_hashes, bands, shingle_n, use_arrow
+    )
+    return fp, buckets
+
+
 def dedup_against(
     new: DataFrame,
     ref: DataFrame,
@@ -604,10 +633,19 @@ def dedup_against(
     use_arrow: bool = True,
     bloom_bits: int = 0,
     bloom_hashes: int = 5,
+    ref_index: "Optional[tuple]" = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup: drop rows of ``new`` that are
     exact or near duplicates of the existing ``ref`` corpus — the
     "dedup this crawl against everything already ingested" operator.
+
+    ``ref_index`` — the ``(fingerprints, buckets)`` pair from
+    :func:`build_dedup_index`, persisted once per corpus version (e.g.
+    two TableStore tables) — makes the per-batch cost independent of
+    corpus size: only ``new`` is fingerprinted and signed, and the ref
+    corpus is scanned solely to shingle the candidate ids the bucket
+    join surfaces.  Results are identical with or without the index
+    (same hash family, same banding).
 
     ``bloom_bits > 0`` additionally builds a broadcastable Bloom filter
     over the ref fingerprints (:func:`..sketches.bloom_sketch`) and
@@ -638,8 +676,14 @@ def dedup_against(
     new = new.filter(F.col(text_col).isNotNull()).persist()
     ref_nn = ref.filter(F.col(text_col).isNotNull())
 
-    # exact layer
-    ref_fp = ref_nn.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    # exact layer — the ref fingerprint set comes from the persisted
+    # index when one is supplied (ref scanned zero times here)
+    if ref_index is not None:
+        ref_fp = ref_index[0].select("_fp")
+    else:
+        ref_fp = ref_nn.select(
+            fingerprint(F.col(text_col)).alias("_fp")
+        ).distinct()
     new_fp = new.withColumn("_fp", fingerprint(F.col(text_col)))
     if bloom_bits:
         from .sketches import bloom_might_contain, bloom_sketch
@@ -654,9 +698,16 @@ def dedup_against(
         F.col(id_col).alias("_loser")
     )
 
-    # near layer: cross-corpus bucket join
+    # near layer: cross-corpus bucket join (ref side from the index
+    # when supplied — the corpus is only touched to shingle the
+    # candidate ids the bucket join surfaces)
     nb = minhash_buckets(new, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
-    rb = minhash_buckets(ref_nn, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
+    if ref_index is not None:
+        rb = ref_index[1].select("_id", "_bucket")
+    else:
+        rb = minhash_buckets(
+            ref_nn, id_col, text_col, num_hashes, bands, shingle_n, use_arrow
+        )
     cand = (
         nb.withColumnRenamed("_id", "new_id")
         .join(rb.withColumnRenamed("_id", "ref_id"), "_bucket")

@@ -311,3 +311,50 @@ def test_pick_canonical_string_ids_and_tie_break(spark):
     assert out["a1"]["canonical_id"] == "b2"      # max quality, min id on tie
     assert out["a1"]["n_members"] == 3 and out["a1"]["quality"] == 2.0
     assert out["z9"]["canonical_id"] == "z9"
+
+
+def test_dedup_against_index_identical_results(spark):
+    """dedup_against with a prebuilt (persisted) index must return the
+    same survivors as the recompute path."""
+    from dlt_spark.dataops.dedup import build_dedup_index, dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely different reference content here ok")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of ref 1
+            (11, base.replace("today", "tonight")),  # near dup of ref 1
+            (12, "a genuinely novel document body entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_n=3, jaccard_threshold=0.5)
+    plain = sorted(
+        r["doc_id"] for r in dedup_against(new, ref, "doc_id", "text", **kw).collect()
+    )
+    idx = build_dedup_index(ref, "doc_id", "text", shingle_n=3)
+    indexed = sorted(
+        r["doc_id"]
+        for r in dedup_against(
+            new, ref, "doc_id", "text", ref_index=idx, **kw
+        ).collect()
+    )
+    assert plain == indexed == [12]
+
+    # round-trip the index through parquet (the persisted form)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    idx[0].write.mode("overwrite").parquet(d + "/fp")
+    idx[1].write.mode("overwrite").parquet(d + "/buckets")
+    loaded = (spark.read.parquet(d + "/fp"), spark.read.parquet(d + "/buckets"))
+    roundtrip = sorted(
+        r["doc_id"]
+        for r in dedup_against(
+            new, ref, "doc_id", "text", ref_index=loaded, **kw
+        ).collect()
+    )
+    assert roundtrip == [12]
