@@ -2860,94 +2860,42 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# each round.  Entries here are ordered never-externally-verified-first:
-# queries added since the last judged round lead, then entries the driver
-# has never checked (the judge's local verifier covered them once), then
-# the long regression tail that already has green driver rows.  New queries
-# added mid-round should be PREPENDED to this list.
-_DRIVER_WINDOW = [
-    "pool_embeddings",
-    "retrieval_recall",
-    "binary_auc",
-    "calibration",
-    "random_projection",
-    "pagerank",
-    "hybrid_search",
-    "dq_report",
-    "hard_negatives",
-    "winsorized_stats",
-    "trend_slopes",
-    "weighted_sample",
-    "event_transitions",
-    "rfm_segments",
-    "gap_fill",
-    "rolling_anomalies",
-    "variant_shred",
-    "epoch_shuffle",
-    "shard_manifest",
-    "attribution",
-    "distribution_drift",
-    "skew_diagnostics",
-    "bigram_logprob",
-    "fuzzy_pairs",
-    "unigram_logprob",
-    "semantic_dedup",
-    "cohort_retention",
-    "zscore_outliers",
-    "exact_percentiles",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q17",
-    "tpch_q21",
-    "tpch_q22",
-    "bm25_search",
-    "cms_heavy_hitters",
-    "remove_repeated_spans",
-    "hll_group_distinct",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "quantile_sketch",
-    "quantile_sketch_grouped",
-    "mix_temperature",
-    "salted_join_agg",
-    "dedup_corpus_lines",
-    "canonical_docs",
-    "vocab_coverage",
-    "pq_topk",
-    "curate_corpus",
-    "stats_summary",
-    "dup_clusters",
-    "repetition_signals",
-    "pii_redaction",
-    "remove_boilerplate",
-    "hash_split",
-    "gopher_filter",
-    "decontamination",
-    "sequence_packing",
-    "stratified_sample",
-    "topk_per_group",
-    "tpch_q5",
-    "pivot_agg",
-    "dedup_incremental",
-    "per_source_cap",
-]
+# each round.  The window is SELF-ROTATING: ordering is computed from the
+# CORRECTNESS_r*.json files the driver writes next to this module — queries
+# the driver has NEVER checked come first (stable registry order), then
+# already-green queries ordered oldest-check-first, so over successive
+# rounds every registry entry cycles through driver verification while the
+# most-stale regressions re-enter the window soonest.
+def _driver_window_order(names: "list[str]") -> "list[str]":
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last_checked: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", _os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+            if not isinstance(rows, dict):
+                continue
+        except Exception:
+            continue
+        for n in rows:
+            last_checked[n] = max(last_checked.get(n, 0), rnd)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_checked.get(n, -1), idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    ordered = {name: all_q[name] for name in _DRIVER_WINDOW}
-    ordered.update((n, f) for n, f in all_q.items() if n not in ordered)
-    return ordered
+    order = _driver_window_order(list(all_q))
+    return {name: all_q[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
