@@ -2711,6 +2711,65 @@ def _q_pool_embeddings(spark, sf_dir):
     return pool_embeddings(em, "label")
 
 
+def _q_bt_preference(spark, sf_dir):
+    """Bradley-Terry preference aggregation (RLHF preference-data
+    ranking): derive pairwise comparisons from consecutive same-user
+    events (higher value wins), reduce to pair counts ONCE, then 3 MM
+    iterations over the distinct-pair table with integer-micro scores
+    and nano-quantized per-pair terms — engine-exact, order-independent
+    (Hunter 2004 MM algorithm)."""
+    from dlt_spark.dataops.preference import bt_scores, preference_counts
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
+        "prev_value", F.lag("value").over(w)
+    )
+    pairs = seq.filter(
+        F.col("prev_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("prev_value").isNotNull()
+        & (F.col("value") != F.col("prev_value"))
+        & (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        F.when(F.col("value") > F.col("prev_value"), F.col("event_type"))
+        .otherwise(F.col("prev_type"))
+        .alias("winner"),
+        F.when(F.col("value") > F.col("prev_value"), F.col("prev_type"))
+        .otherwise(F.col("event_type"))
+        .alias("loser"),
+    )
+    return bt_scores(preference_counts(pairs, "winner", "loser"), iterations=3).orderBy(
+        "item"
+    )
+
+
+def _q_conversations(spark, sf_dir):
+    """Conversation assembly for SFT data: gap-bounded sessions, turn
+    segmentation (consecutive same-role collapse), alternation-QC
+    violation counts, and a deterministic ordered transcript — one
+    shuffle on the user key, everything else windows/aggregates inside
+    that partitioning."""
+    from dlt_spark.dataops.conversation import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = assemble_conversations(
+        ev, "user_id", "ts", "event_type", "event_id", gap_minutes=30.0
+    )
+    return out.withColumnRenamed("user", "user_id").orderBy("user_id", "session_seq")
+
+
+def _q_bpe_top_pairs(spark, sf_dir):
+    """Tokenizer-training statistic: top-50 adjacent character pairs
+    (the first BPE merge ranking).  The corpus collapses to a
+    (word, freq) table in one pass; pair extraction is codegen Column
+    work over DISTINCT words, cost ∝ vocabulary, not corpus size."""
+    from dlt_spark.dataops.tokenizer import top_bpe_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return top_bpe_pairs(docs, "text", k=50).orderBy("rank")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pool_embeddings": _q_pool_embeddings,
@@ -2856,6 +2915,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "outer_join_counts": _q_outer_join_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bt_preference": _q_bt_preference,
+        "conversations": _q_conversations,
+        "bpe_top_pairs": _q_bpe_top_pairs,
     }
 
 
@@ -5595,6 +5657,131 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(count(*) AS BIGINT) AS hits,
                round(count(*) / 10.0, 6) AS recall_at_10
         FROM truth JOIN approx USING (vec_id)
+    """
+
+    _bt_iter = """
+        d{k} AS (
+            SELECT comp.i,
+                   CAST(SUM(CAST(ROUND(CAST(n_ij AS DOUBLE)
+                       / (CAST(a.s AS DOUBLE) / 1000000.0
+                          + CAST(b.s AS DOUBLE) / 1000000.0)
+                       * 1000000000.0) AS BIGINT)) AS BIGINT) AS denom_nano
+            FROM comp JOIN s{p} a ON comp.i = a.i JOIN s{p} b ON comp.j = b.i
+            GROUP BY comp.i
+        ), r{k} AS (
+            SELECT items.i, items.w,
+                   CAST(ROUND(CAST(items.w AS DOUBLE)
+                       / (CAST(denom_nano AS DOUBLE) / 1000000000.0)
+                       * 1000000.0) AS BIGINT) AS s_raw
+            FROM items JOIN d{k} ON items.i = d{k}.i
+        ), t{k} AS (
+            SELECT CAST(SUM(s_raw) AS BIGINT) AS s_tot,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM r{k}
+        ), s{k} AS (
+            SELECT i, CAST(ROUND(CAST(s_raw AS DOUBLE) * CAST(n_items AS DOUBLE)
+                * 1000000.0 / CAST(s_tot AS DOUBLE)) AS BIGINT) AS s
+            FROM r{k}, t{k}
+        )"""
+    sql["bt_preference"] = (
+        """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   lag(event_type) OVER w AS prev_type,
+                   lag(value) OVER w AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), raw_pairs AS (
+            SELECT CASE WHEN value > prev_value THEN event_type ELSE prev_type END AS winner,
+                   CASE WHEN value > prev_value THEN prev_type ELSE event_type END AS loser
+            FROM seq
+            WHERE prev_type IS NOT NULL AND value IS NOT NULL
+                  AND prev_value IS NOT NULL AND value <> prev_value
+                  AND event_type <> prev_type
+        ), counts AS (
+            SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+            FROM raw_pairs GROUP BY winner, loser
+        ), comp AS (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM (
+                SELECT winner AS i, loser AS j, n FROM counts
+                UNION ALL
+                SELECT loser AS i, winner AS j, n FROM counts
+            ) GROUP BY i, j
+        ), wins AS (
+            SELECT winner AS i, CAST(SUM(n) AS BIGINT) AS w FROM counts GROUP BY winner
+        ), items AS (
+            SELECT c.i, coalesce(w.w, 0) AS w
+            FROM (SELECT DISTINCT i FROM comp) c LEFT JOIN wins w ON c.i = w.i
+        ), s0 AS (
+            SELECT i, CAST(1000000 AS BIGINT) AS s FROM items
+        ),"""
+        + _bt_iter.format(k=1, p=0)
+        + ","
+        + _bt_iter.format(k=2, p=1)
+        + ","
+        + _bt_iter.format(k=3, p=2)
+        + """
+        SELECT items.i AS item, items.w AS wins, cmp.comparisons, s3.s AS score_micro
+        FROM items
+        JOIN s3 ON items.i = s3.i
+        JOIN (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS comparisons
+              FROM comp GROUP BY i) cmp ON items.i = cmp.i
+        ORDER BY item
+    """
+    )
+
+    sql["conversations"] = """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER w AS prev_ts,
+                   lag(event_type) OVER w AS prev_role
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), marked AS (
+            SELECT *,
+                   CASE WHEN prev_ts IS NULL
+                             OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 1800000
+                        THEN 1 ELSE 0 END AS is_start,
+                   CASE WHEN event_type = prev_role THEN 1 ELSE 0 END AS same_role
+            FROM ordered
+        ), sess AS (
+            SELECT *,
+                   CAST(SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_messages,
+               CAST(SUM(CASE WHEN is_start = 1 OR coalesce(same_role, 0) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN is_start = 0 AND same_role = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               min(ts) AS started_at,
+               max(ts) AS ended_at,
+               string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS transcript
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """
+
+    sql["bpe_top_pairs"] = """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE word <> '' GROUP BY word
+        ), pairs AS (
+            SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+                   CAST(SUM(freq) AS BIGINT) AS n
+            FROM words, LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY 1
+        )
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
+        FROM pairs ORDER BY n DESC, pair ASC LIMIT 50
     """
 
     return sql

@@ -1,0 +1,146 @@
+"""Pairwise-preference aggregation: Bradley-Terry strength scores.
+
+RLHF / preference-data pipelines collect millions of pairwise
+comparisons (A beat B) from raters or reward models and need a global
+item ranking plus per-item strength.  The Bradley-Terry model
+``P(i beats j) = s_i / (s_i + s_j)`` fit by the MM algorithm
+(Hunter 2004, "MM algorithms for generalized Bradley-Terry models")
+is the standard estimator.  The reference engine has no such operator —
+beyond-reference dataop (SURVEY §2.L).
+
+Scale design (100 TB of raw comparisons):
+
+- Raw comparison events reduce FIRST to the pairwise count table
+  ``(winner, loser, n)`` — one shuffle on the pair key; every MM
+  iteration after that touches only ``O(distinct pairs)`` rows, never
+  the raw events again.
+- Each MM iteration is: join the symmetric pair table to the current
+  score table on both endpoints (scores are one row per item —
+  broadcast), one groupBy per endpoint, one normalization aggregate.
+  No iteration-to-iteration growth: the score lineage is truncated with
+  ``localCheckpoint`` per round (same pattern as connected components).
+- Engine-exact arithmetic: scores are carried as integer MICROS and
+  every per-pair MM term is quantized to integer NANOS before the sum,
+  so partial-aggregation order cannot change any digit — the DuckDB
+  oracle reproduces the fit bit-for-bit with unrolled CTE iterations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1_000_000
+_NANO = 1_000_000_000.0
+
+
+def preference_counts(
+    df: DataFrame, winner_col: str, loser_col: str, weight_col: Optional[str] = None
+) -> DataFrame:
+    """Reduce raw comparison events to ``(winner, loser, n)`` — the only
+    pass over the full-scale input."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.filter(F.col(winner_col) != F.col(loser_col))
+        .groupBy(F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser"))
+        .agg(F.sum(w).cast("bigint").alias("n"))
+    )
+
+
+def bt_scores(
+    counts: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Bradley-Terry strengths from a ``(winner, loser, n)`` count table
+    via ``iterations`` MM rounds from a uniform start.
+
+    MM update (Hunter 2004, eq. 2):
+    ``s_i' = W_i / sum_j n_ij / (s_i + s_j)`` with ``W_i`` = total wins
+    of ``i`` and ``n_ij`` = comparisons between ``i`` and ``j``; scores
+    are then rescaled so they sum to ``n_items`` (mean strength 1.0).
+
+    Returns ``(item, wins, comparisons, score_micro)`` where
+    ``score_micro`` is the strength in integer micro-units (exact —
+    see module docstring).  Items that never won keep score 0 only if
+    they also never lost; standard BT requires a connected comparison
+    graph for convergence, which the caller owns (same contract as any
+    BT fitter).
+    """
+    counts = counts.filter(F.col("n") > 0)
+    # symmetric comparison table: each unordered pair contributes a row
+    # for BOTH endpoints; n_ij aggregates wins in either direction
+    comp = (
+        counts.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
+        .unionByName(
+            counts.select(F.col("loser").alias("i"), F.col("winner").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n_ij"))
+        .localCheckpoint(eager=False)
+    )
+    wins = counts.groupBy(F.col("winner").alias("i")).agg(F.sum("n").alias("w"))
+    items = (
+        comp.select("i")
+        .distinct()
+        .join(wins, "i", "left")
+        .select("i", F.coalesce("w", F.lit(0)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    scores = items.select("i", F.lit(_MICRO).cast("bigint").alias("s"))
+    si = F.col("s").cast("double") / _MICRO
+    sj = F.col("s_j").cast("double") / _MICRO
+    for _ in range(iterations):
+        joined = (
+            comp.join(F.broadcast(scores), comp["i"] == scores["i"], "inner")
+            .drop(scores["i"])
+            .join(
+                F.broadcast(scores.select(F.col("i").alias("j"), F.col("s").alias("s_j"))),
+                "j",
+            )
+        )
+        # per-pair MM term quantized to integer nanos BEFORE the sum —
+        # the aggregate is then exact bigint arithmetic in any order
+        term = F.round(F.col("n_ij").cast("double") / (si + sj) * _NANO).cast("bigint")
+        denom = joined.groupBy("i").agg(F.sum(term).alias("denom_nano"))
+        raw = (
+            items.join(denom, "i")
+            .select(
+                "i",
+                "w",
+                F.round(
+                    F.col("w").cast("double")
+                    / (F.col("denom_nano").cast("double") / _NANO)
+                    * _MICRO
+                ).cast("bigint").alias("s_raw"),
+            )
+        )
+        # rescale to mean strength 1.0 (sum of micros == n_items * 1e6);
+        # total/n ride along every row via a broadcast 1-row aggregate
+        tot = raw.agg(
+            F.sum("s_raw").alias("s_tot"), F.count(F.lit(1)).alias("n_items")
+        )
+        scores = (
+            raw.join(F.broadcast(tot))
+            .select(
+                "i",
+                F.round(
+                    F.col("s_raw").cast("double")
+                    * F.col("n_items").cast("double")
+                    * _MICRO
+                    / F.col("s_tot").cast("double")
+                ).cast("bigint").alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    comparisons = comp.groupBy("i").agg(F.sum("n_ij").alias("comparisons"))
+    return (
+        items.join(scores, "i")
+        .join(comparisons, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("w").alias("wins"),
+            "comparisons",
+            F.col("s").alias("score_micro"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Unit tests for preference (Bradley-Terry), conversation assembly,
+and tokenizer-statistics dataops."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.dataops.conversation import assemble_conversations
+from dlt_spark.dataops.preference import bt_scores, preference_counts
+from dlt_spark.dataops.tokenizer import bpe_pair_counts, top_bpe_pairs, word_freq
+
+
+# ------------------------------------------------------------ bradley-terry
+
+
+def test_bt_ranking_matches_dominance(spark):
+    """A dominates B dominates C -> strict score ordering; scores
+    rescale to mean 1.0 (sum of micros == n_items * 1e6 +- rounding)."""
+    rows = [("A", "B")] * 9 + [("B", "A")] * 1 + [("B", "C")] * 9 + [("C", "B")] * 1
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {
+        r["item"]: r
+        for r in bt_scores(preference_counts(df, "winner", "loser"), iterations=3).collect()
+    }
+    assert out["A"]["score_micro"] > out["B"]["score_micro"] > out["C"]["score_micro"]
+    assert out["A"]["wins"] == 9 and out["C"]["wins"] == 1
+    assert out["B"]["comparisons"] == 20
+    total = sum(r["score_micro"] for r in out.values())
+    assert abs(total - 3_000_000) <= 3  # rescaled each iteration
+
+
+def test_bt_symmetric_input_is_uniform(spark):
+    df = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"), ("B", "C"), ("C", "B")],
+        "winner string, loser string",
+    )
+    out = bt_scores(preference_counts(df, "winner", "loser"), iterations=4).collect()
+    assert {r["score_micro"] for r in out} == {1_000_000}
+
+
+def test_bt_weighted_counts_equal_repeated_rows(spark):
+    reps = spark.createDataFrame(
+        [("A", "B")] * 5 + [("B", "A")] * 2, "winner string, loser string"
+    )
+    weighted = spark.createDataFrame(
+        [("A", "B", 5), ("B", "A", 2)], "winner string, loser string, k long"
+    )
+    a = bt_scores(preference_counts(reps, "winner", "loser")).collect()
+    b = bt_scores(preference_counts(weighted, "winner", "loser", "k")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------ conversations
+
+
+def _ts(minute: float):
+    return dt.datetime(2024, 1, 1, 10) + dt.timedelta(minutes=minute)
+
+
+def test_conversation_sessions_turns_violations(spark):
+    rows = [
+        # session 1: user>assistant>assistant>user  (one violation,
+        # 3 turns after collapsing the assistant run)
+        (1, _ts(0), 1, "user"),
+        (1, _ts(1), 2, "assistant"),
+        (1, _ts(2), 3, "assistant"),
+        (1, _ts(3), 4, "user"),
+        # >30 min gap -> session 2, clean alternation
+        (1, _ts(60), 5, "user"),
+        (1, _ts(61), 6, "assistant"),
+        # second user, single-message session
+        (2, _ts(0), 7, "user"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, role string")
+    out = {
+        (r["user"], r["session_seq"]): r
+        for r in assemble_conversations(df, "user_id", "ts", "role", "event_id").collect()
+    }
+    s1 = out[(1, 1)]
+    assert s1["n_messages"] == 4 and s1["n_turns"] == 3 and s1["n_violations"] == 1
+    assert s1["transcript"] == "user>assistant>assistant>user"
+    assert s1["started_at"] == _ts(0) and s1["ended_at"] == _ts(3)
+    s2 = out[(1, 2)]
+    assert s2["n_messages"] == 2 and s2["n_turns"] == 2 and s2["n_violations"] == 0
+    assert out[(2, 1)]["n_turns"] == 1
+
+
+def test_conversation_ties_break_on_id(spark):
+    t = _ts(0)
+    df = spark.createDataFrame(
+        [(1, t, 2, "b"), (1, t, 1, "a")], "user_id long, ts timestamp, event_id long, role string"
+    )
+    out = assemble_conversations(df, "user_id", "ts", "role", "event_id").collect()[0]
+    assert out["transcript"] == "a>b"
+
+
+# ------------------------------------------------------------ tokenizer
+
+
+def test_word_freq_and_pair_counts(spark):
+    df = spark.createDataFrame([("ab ab ba",), ("  AB  x ",)], "text string")
+    wf = {r["word"]: r["freq"] for r in word_freq(df, "text").collect()}
+    assert wf == {"ab": 3, "ba": 1, "x": 1}
+    pc = {r["pair"]: r["n"] for r in bpe_pair_counts(word_freq(df, "text")).collect()}
+    # 'ab' appears in word 'ab' (freq 3) and nowhere else; 'ba' in 'ba'
+    assert pc == {"ab": 3, "ba": 1}
+
+
+def test_top_bpe_pairs_rank_and_multichar_words(spark):
+    df = spark.createDataFrame([("abc abc abd",)], "text string")
+    out = top_bpe_pairs(df, "text", k=10).collect()
+    by_pair = {r["pair"]: (r["n"], r["rank"]) for r in out}
+    # 'ab' occurs in every word (3), 'bc' twice, 'bd' once
+    assert by_pair["ab"] == (3, 1)
+    assert by_pair["bc"] == (2, 2)
+    assert by_pair["bd"] == (1, 3)
+    # k cap respected and ranks are dense from 1
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
