@@ -2770,6 +2770,23 @@ def _q_bpe_top_pairs(spark, sf_dir):
     return top_bpe_pairs(docs, "text", k=50).orderBy("rank")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): unigram log-likelihood
+    ratio of each document between the target distribution (lang='en'
+    seed set) and the rest of the corpus.  One tokenize pass, one
+    conditional aggregation for both distributions, Zipf-head broadcast
+    score join; per-token ratios quantized to integer nanos before the
+    sum — engine-exact."""
+    from dlt_spark.dataops.lm import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    return dsir_logratio(docs, "doc_id", "text", "is_en", head_min_freq=100).orderBy(
+        "doc_id"
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pool_embeddings": _q_pool_embeddings,
@@ -2918,6 +2935,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_preference": _q_bt_preference,
         "conversations": _q_conversations,
         "bpe_top_pairs": _q_bpe_top_pairs,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -5782,6 +5800,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair, n,
                CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rank
         FROM pairs ORDER BY n DESC, pair ASC LIMIT 50
+    """
+
+    sql["dsir_weights"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), flags AS (
+            SELECT doc_id, (lang = 'en') AS is_target FROM documents
+        ), counts AS (
+            SELECT token,
+                   CAST(SUM(tf) AS BIGINT) AS c_all,
+                   CAST(SUM(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS c_t
+            FROM dt JOIN flags USING (doc_id) GROUP BY token
+        ), tot AS (
+            SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM counts
+        ), lp AS (
+            SELECT token,
+                   CAST(round((ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                             - ln(CAST(c_all - c_t + 1 AS DOUBLE)
+                                  / CAST(n_all - n_t + v AS DOUBLE)))
+                            * 1000000000.0) AS BIGINT) AS delta_nano
+            FROM counts, tot
+        )
+        SELECT dt.doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_toks,
+               CAST(SUM(tf * delta_nano) AS BIGINT) AS dsir_nano
+        FROM dt JOIN lp USING (token)
+        GROUP BY dt.doc_id
+        ORDER BY doc_id
     """
 
     return sql

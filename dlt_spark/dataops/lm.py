@@ -217,3 +217,72 @@ def bigram_logprob(
             / F.lit(1000000.0)
         ).alias("avg_neg_logp"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    head_min_freq: int = 1000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the unigram log-likelihood ratio between a TARGET
+    distribution (rows where boolean ``target_col`` is true — e.g. a
+    high-quality seed set) and the SOURCE distribution (the rest of the
+    corpus).  High scores = documents that look like the target;
+    importance resampling then keeps a weighted sample (compose with
+    :mod:`..sampling` — e.g. ``weighted_sample_k`` over the weights).
+
+    Returns ``(id_col, n_toks, dsir_nano)`` where ``dsir_nano`` is
+    ``sum_f tf(f) * (ln p_target(f) - ln p_source(f))`` in integer
+    nano-units (add-1 smoothing over the joint vocabulary; per-token
+    ratios quantized to nanos BEFORE the sum, so the aggregate is exact
+    bigint arithmetic in any order — bit-identical to the SQL oracle).
+
+    Scale shape: the corpus is tokenized ONCE (shared tf table,
+    locally checkpointed); both distributions come from one grouped
+    aggregation with a conditional sum; the score join splits the
+    Zipf head (broadcast) from the tail (shuffle), same as
+    :func:`unigram_logprob`.
+    """
+    flags = df.select(
+        F.col(id_col), F.col(target_col).cast("boolean").alias("_is_target")
+    )
+    dt = (
+        doc_term_freq(df, id_col, text_col)
+        .join(flags, id_col)
+        .localCheckpoint(eager=False)
+    )
+    counts = dt.groupBy("token").agg(
+        F.sum("tf").alias("c_all"),
+        F.sum(F.when(F.col("_is_target"), F.col("tf")).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_t = (F.col("c_t") + 1).cast("double") / (F.col("n_t") + F.col("v")).cast("double")
+    p_s = (F.col("c_all") - F.col("c_t") + 1).cast("double") / (
+        F.col("n_all") - F.col("n_t") + F.col("v")
+    ).cast("double")
+    delta = F.round((F.log(p_t) - F.log(p_s)) * F.lit(1000000000.0)).cast("bigint")
+    head_c = (
+        counts.filter(F.col("c_all") >= head_min_freq)
+        .join(F.broadcast(totals))
+        .select("token", delta.alias("delta_nano"))
+    )
+    tail_c = (
+        counts.filter(F.col("c_all") < head_min_freq)
+        .join(F.broadcast(totals))
+        .select("token", delta.alias("delta_nano"))
+    )
+    scored = dt.join(F.broadcast(head_c), "token").unionByName(
+        dt.join(tail_c, "token")
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_toks"),
+        F.sum(F.col("tf") * F.col("delta_nano")).alias("dsir_nano"),
+    )

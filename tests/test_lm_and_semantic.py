@@ -213,3 +213,23 @@ def test_semantic_dedup_cell_cap_stays_linear_and_consistent(spark):
     assert sorted(r["vec_id"] for r in capped.collect()) == sorted(
         r["vec_id"] for r in again.collect()
     )
+
+
+def test_dsir_logratio_separates_target_like_docs(spark):
+    """Docs sharing the target set's vocabulary must score higher than
+    docs sharing the source-only vocabulary."""
+    from dlt_spark.dataops.lm import dsir_logratio
+
+    rows = [
+        (1, "alpha beta alpha beta", True),
+        (2, "alpha beta gamma", True),
+        (3, "zeta eta zeta eta", False),
+        (4, "zeta eta theta", False),
+        (5, "alpha beta alpha", False),   # target-like but unlabeled
+        (6, "zeta eta zeta", False),      # source-like
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r for r in dsir_logratio(df, "doc_id", "text", "is_t").collect()}
+    assert out[5]["dsir_nano"] > 0 > out[6]["dsir_nano"]
+    assert out[1]["dsir_nano"] > out[3]["dsir_nano"]
+    assert out[5]["n_toks"] == 3
