@@ -2787,6 +2787,42 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+def _q_template_dedup(spark, sf_dir):
+    """Template-masked dedup: digit/punctuation-masked content hash
+    collapses documents generated from the same template (log lines,
+    form letters) that exact hashing misses.  Built here over synthetic
+    log lines derived from events; one codegen hash-groupBy — exact
+    dedup's scale shape."""
+    from dlt_spark.dataops.text import template_groups
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id"),
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.concat(F.lit("user="), F.col("user_id").cast("string")),
+            F.concat(F.lit("event="), F.col("event_id").cast("string")),
+        ).alias("line"),
+    )
+    return template_groups(lines, "event_id", "line", min_size=2).orderBy(
+        "template_hash"
+    )
+
+
+def _q_diverse_sample(spark, sf_dir):
+    """Coverage-driven diverse subset selection: per-IVF-cell most
+    central vectors (the distributed relaxation of facility-location /
+    MMR picking).  Deterministic sha-ranked centroid seeds, one codegen
+    assignment scan, WindowGroupLimit per-cell top-k."""
+    from dlt_spark.dataops.similarity import cell_representatives
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cell_representatives(
+        emb, "vec_id", "embedding", num_centroids=8, per_cell=3
+    ).orderBy("cell", "rep_rank")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pool_embeddings": _q_pool_embeddings,
@@ -2936,6 +2972,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversations": _q_conversations,
         "bpe_top_pairs": _q_bpe_top_pairs,
         "dsir_weights": _q_dsir_weights,
+        "template_dedup": _q_template_dedup,
+        "diverse_sample": _q_diverse_sample,
     }
 
 
@@ -5835,6 +5873,49 @@ def oracle_sql() -> dict[str, str]:
         FROM dt JOIN lp USING (token)
         GROUP BY dt.doc_id
         ORDER BY doc_id
+    """
+
+    sql["template_dedup"] = """
+        WITH lines AS (
+            SELECT event_id,
+                   event_type || ' ' || 'user=' || CAST(user_id AS VARCHAR)
+                       || ' ' || 'event=' || CAST(event_id AS VARCHAR) AS line
+            FROM events
+        )
+        SELECT sha256(trim(regexp_replace(regexp_replace(regexp_replace(
+                   lower(line), '[0-9]+', '0', 'g'),
+                   '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS template_hash,
+               count(*) AS n_docs,
+               min(event_id) AS min_id
+        FROM lines
+        GROUP BY 1
+        HAVING count(*) >= 2
+        ORDER BY template_hash
+    """
+
+    sql["diverse_sample"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        ), seeds AS (
+            SELECT ev AS cv, row_number() OVER (ORDER BY {_h42}) - 1 AS ci
+            FROM v ORDER BY {_h42} LIMIT 8
+        ), asg AS (
+            SELECT vec_id, ci, {_c("ev", "cv")} AS cos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY {_c("ev", "cv")} DESC, ci
+            ) AS rn
+            FROM v CROSS JOIN seeds
+        ), cells AS (
+            SELECT vec_id, CAST(ci AS INTEGER) AS cell,
+                   round(cos, 6) AS centrality
+            FROM asg WHERE rn = 1
+        )
+        SELECT vec_id, cell, centrality,
+               CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY centrality DESC, vec_id ASC
+               ) AS INTEGER) AS rep_rank
+        FROM cells
+        QUALIFY rep_rank <= 3
+        ORDER BY cell, rep_rank
     """
 
     return sql

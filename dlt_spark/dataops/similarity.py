@@ -628,3 +628,50 @@ def random_projection(
         for p in planes
     ]
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def cell_representatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    per_cell: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Coverage-driven diverse subset selection: keep the ``per_cell``
+    most central vectors of every IVF cell — the scalable stand-in for
+    facility-location / MMR selection (greedy MMR is inherently
+    sequential; per-cluster representatives are the standard distributed
+    relaxation, cf. SemDeDup's cluster pruning).
+
+    Returns ``(id_col, cell, centrality, rep_rank)``; ``centrality`` is
+    the cosine to the assigned centroid rounded to 6 decimals (ranking
+    happens on the rounded value with an id tie-break, so selection is
+    total-ordered and engine-exact).
+
+    Scale shape: centroid seeding is a TakeOrdered over sha-ranked ids
+    (deterministic under any partitioning); assignment + centrality is
+    one codegen scan with all centroid cosines in a single array column
+    (each evaluated once); the per-cell rank compiles to
+    WindowGroupLimit — per-partition top-k, no global sort."""
+    from pyspark.sql import Window
+
+    _, centroids = ivf_index(df, id_col, vec_col, num_centroids, iters=0, seed=seed)
+    cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
+    assigned = (
+        df.withColumn("_cos", cos_arr)
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_cos"), F.array_max(F.col("_cos"))) - 1).cast("int"),
+        )
+        .withColumn("centrality", F.round(F.array_max(F.col("_cos")), 6))
+        .drop("_cos")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centrality").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("rep_rank", F.row_number().over(w))
+        .filter(F.col("rep_rank") <= per_cell)
+        .select(id_col, "cell", "centrality", "rep_rank")
+    )

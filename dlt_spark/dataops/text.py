@@ -681,3 +681,38 @@ def dedup_lines_global(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def template_fingerprint(text: Column) -> Column:
+    """Template-masked content hash: lowercase, digit runs -> ``0``,
+    punctuation stripped, whitespace collapsed, then sha256.  Documents
+    generated from the same template (product pages, log lines, form
+    letters) collide even when their numbers/ids differ — the standard
+    boilerplate-dup signal exact hashing misses.  Pure codegen Column
+    work (shared RE2/Java regex subset).  SQL:
+    ``sha256(trim(regexp_replace(regexp_replace(regexp_replace(
+    lower(text), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'),
+    '\\s+', ' ', 'g')))``."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[0-9]+", "0")
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.sha2(t, 256)
+
+
+def template_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", min_size: int = 2
+) -> DataFrame:
+    """Template-duplicate groups: ``(template_hash, n_docs, min_id)``
+    for every masked-content group with >= ``min_size`` members.  One
+    hash-groupBy — the same scale shape as exact dedup; dropping all
+    but ``min_id`` per group is one anti-join away."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(template_fingerprint(F.col(text_col)).alias("template_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("min_id"),
+        )
+        .filter(F.col("n_docs") >= min_size)
+    )

@@ -358,3 +358,41 @@ def test_dedup_against_index_identical_results(spark):
         ).collect()
     )
     assert roundtrip == [12]
+
+
+def test_template_fingerprint_masks_numbers_and_punct(spark):
+    from dlt_spark.dataops.text import template_groups
+
+    rows = [
+        (1, "Order #123 shipped to user 42!"),
+        (2, "order #999, shipped   to user 7"),
+        (3, "a completely different line"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = template_groups(df, "id", "text", min_size=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["min_id"] == 1
+
+
+def test_cell_representatives_caps_and_orders(spark):
+    from dlt_spark.dataops.similarity import cell_representatives
+
+    import math
+    rows = []
+    # two well-separated directions, 5 vectors each with varying norm-1
+    # perturbation so centrality orders deterministically
+    for i in range(5):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        rows.append((10 + i, [0.0, 0.0, 1.0, 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cell_representatives(df, "vec_id", "embedding", num_centroids=2, per_cell=2)
+    rows_out = out.collect()
+    by_cell = {}
+    for r in rows_out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert all(len(v) == 2 for v in by_cell.values())
+    for v in by_cell.values():
+        ranks = sorted(r["rep_rank"] for r in v)
+        assert ranks == [1, 2]
+        top = min(v, key=lambda r: r["rep_rank"])
+        assert top["centrality"] == max(r["centrality"] for r in v)
