@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "calibration",
     "retrieval_recall",
     "pool_embeddings",
+    "bt_preference",
+    "conversations",
+    "bpe_top_pairs",
+    "dsir_weights",
+    "template_dedup",
+    "diverse_sample",
 ]
 
 

@@ -91,13 +91,9 @@ def bt_scores(
     si = F.col("s").cast("double") / _MICRO
     sj = F.col("s_j").cast("double") / _MICRO
     for _ in range(iterations):
-        joined = (
-            comp.join(F.broadcast(scores), comp["i"] == scores["i"], "inner")
-            .drop(scores["i"])
-            .join(
-                F.broadcast(scores.select(F.col("i").alias("j"), F.col("s").alias("s_j"))),
-                "j",
-            )
+        joined = comp.join(F.broadcast(scores), "i").join(
+            F.broadcast(scores.select(F.col("i").alias("j"), F.col("s").alias("s_j"))),
+            "j",
         )
         # per-pair MM term quantized to integer nanos BEFORE the sum —
         # the aggregate is then exact bigint arithmetic in any order
