@@ -2823,6 +2823,47 @@ def _q_diverse_sample(spark, sf_dir):
     ).orderBy("cell", "rep_rank")
 
 
+def _q_triangle_census(spark, sf_dir):
+    """Triangle census of the parts-bought-together co-occurrence graph
+    (lineitem pairs within an order): degree-ordered orientation bounds
+    per-node wedge fan-out by O(sqrt(m)) under any skew; all counts are
+    exact BIGINTs."""
+    from dlt_spark.dataops.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(pairs)
+
+
+def _q_token_pmi(spark, sf_dir):
+    """Collocation mining: top token pairs by normalized PMI (Bouma
+    2009) over document co-occurrence.  Inverted-index pair join
+    bounded by a document-frequency floor; counts exact BIGINT, log
+    ratio quantized to integer nanos."""
+    from dlt_spark.dataops.assoc import token_pmi
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_pmi(docs, "doc_id", "text", min_count=20, top_k=50)
+
+
+def _q_source_percentiles(spark, sf_dir):
+    """Cross-source score fairness: normalize each document's length
+    score to its within-source percentile so one global keep-threshold
+    treats every source equally.  One shuffle on the source key,
+    per-group window sort."""
+    from dlt_spark.dataops.sampling import percentile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return percentile_normalize(docs, "source", "n_chars").orderBy("doc_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pool_embeddings": _q_pool_embeddings,
@@ -2974,6 +3015,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "template_dedup": _q_template_dedup,
         "diverse_sample": _q_diverse_sample,
+        "triangle_census": _q_triangle_census,
+        "token_pmi": _q_token_pmi,
+        "source_percentiles": _q_source_percentiles,
     }
 
 
@@ -5916,6 +5960,83 @@ def oracle_sql() -> dict[str, str]:
         FROM cells
         QUALIFY rep_rank <= 3
         ORDER BY cell, rep_rank
+    """
+
+    sql["triangle_census"] = """
+        WITH pairs AS (
+            SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                            greatest(x.l_partkey, y.l_partkey) AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+            ) GROUP BY id
+        ), e AS (
+            SELECT p.a, p.b, da.deg AS da, db.deg AS db
+            FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
+        ), oriented AS (
+            SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+            FROM e
+        ), wedges AS (
+            SELECT e1.v AS v, e2.v AS w
+            FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ), tri AS (
+            SELECT w.v, w.w FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = w.v AND o.v = w.w)
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+               (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+    """
+
+    sql["token_pmi"] = """
+        WITH dt AS (
+            SELECT DISTINCT doc_id AS _doc, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE token <> ''
+        ), nd AS (
+            SELECT CAST(count(DISTINCT _doc) AS BIGINT) AS n_docs FROM dt
+        ), freq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM dt GROUP BY token HAVING count(*) >= 20
+        ), kept AS (
+            SELECT dt._doc, dt.token FROM dt JOIN freq USING (token)
+        ), pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM kept a JOIN kept b ON a._doc = b._doc AND a.token < b.token
+            GROUP BY 1, 2 HAVING count(*) >= 20
+        )
+        SELECT token_a, token_b, n_ab, fa.n AS n_a, fb.n AS n_b,
+               CASE WHEN n_ab = n_docs THEN CAST(1000000000 AS BIGINT)
+                    ELSE CAST(round(
+                        ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                           / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)))
+                        / ln(CAST(n_docs AS DOUBLE) / CAST(n_ab AS DOUBLE))
+                        * 1000000000.0) AS BIGINT)
+               END AS npmi_nano
+        FROM pairs
+        JOIN freq fa ON pairs.token_a = fa.token
+        JOIN freq fb ON pairs.token_b = fb.token
+        CROSS JOIN nd
+        ORDER BY npmi_nano DESC, token_a, token_b
+        LIMIT 50
+    """
+
+    sql["source_percentiles"] = """
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars ASC
+               ), 9) AS pct
+        FROM documents
+        ORDER BY doc_id
     """
 
     return sql

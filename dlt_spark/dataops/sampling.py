@@ -279,3 +279,23 @@ def weighted_sample_k(
         .limit(k)
         .drop("_ws")
     )
+
+
+def percentile_normalize(
+    df: DataFrame, group_col: str, score_col: str, out_col: str = "pct"
+) -> DataFrame:
+    """Within-group percentile normalization of a score column:
+    ``pct = percent_rank()`` over ``score_col`` inside each group,
+    rounded to 9 decimals.  The curation use case: raw quality scores
+    are not comparable ACROSS sources (different length/style
+    distributions); normalizing to within-source percentiles first
+    makes one global keep-threshold fair to every source (the
+    per-domain analog of quality_tiers' corpus-wide tiers).
+
+    Scale shape: one shuffle on the group key, per-group sort inside
+    the window — no global sort; ties share a rank (standard
+    percent_rank), so the output is engine-exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 9))

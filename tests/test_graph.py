@@ -52,3 +52,27 @@ def test_pagerank_checkpoint_matches_plain(spark):
         map(tuple, pagerank(edges, iters=4, checkpoint_every=2).collect())
     )
     assert plain == ckpt
+
+
+def test_triangle_count_known_graphs(spark):
+    from dlt_spark.dataops.graph import triangle_count
+
+    # K4: 4 triangles, 6 edges, plus a pendant node (no new triangles)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == 7 and row["n_nodes"] == 5
+
+    # duplicate / reversed / self-loop edges canonicalize away
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    row = triangle_count(noisy).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_edges"] == 3
+
+    # star graph: all edges point INTO the hub under degree ordering,
+    # so zero oriented wedges — the skew guard working as designed
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    row = triangle_count(star).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 0

@@ -233,3 +233,21 @@ def test_dsir_logratio_separates_target_like_docs(spark):
     assert out[5]["dsir_nano"] > 0 > out[6]["dsir_nano"]
     assert out[1]["dsir_nano"] > out[3]["dsir_nano"]
     assert out[5]["n_toks"] == 3
+
+
+def test_token_pmi_finds_collocation(spark):
+    from dlt_spark.dataops.assoc import token_pmi
+
+    # "neural network" always co-occur; "random noise" words never pair
+    docs = [(i, "neural network layer") for i in range(10)]
+    docs += [(100 + i, "random walk") for i in range(5)]
+    docs += [(200 + i, "noise floor") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = token_pmi(df, "doc_id", "text", min_count=3, top_k=10).collect()
+    pairs = {(r["token_a"], r["token_b"]): r for r in out}
+    assert ("network", "neural") in pairs or ("neural", "network") in pairs
+    key = ("network", "neural") if ("network", "neural") in pairs else ("neural", "network")
+    r = pairs[key]
+    assert r["n_ab"] == 10
+    # perfect within-corpus association but not corpus-wide -> npmi < 1
+    assert 0 < r["npmi_nano"] <= 1_000_000_000

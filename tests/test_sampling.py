@@ -123,3 +123,15 @@ def test_weighted_sample_k_properties(spark):
     df2 = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "doc_id long, w int")
     assert {r["doc_id"] for r in
             weighted_sample_k(df2, "doc_id", "w", k=5).collect()} == {3}
+
+
+def test_percentile_normalize_per_group(spark):
+    from dlt_spark.dataops.sampling import percentile_normalize
+
+    rows = [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("b", 5), ("b", 100)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = percentile_normalize(df, "g", "s").collect()
+    a = sorted(r["pct"] for r in out if r["g"] == "a")
+    assert a == [0.0, 0.5, 1.0]
+    b = [r["pct"] for r in out if r["g"] == "b"]
+    assert sorted(b) == [0.0, 0.0, 1.0]  # ties share percent_rank
