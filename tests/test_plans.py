@@ -246,3 +246,55 @@ def test_random_projection_no_shuffle(spark):
     plan = _plan(entry._q_random_projection(spark, SF))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_diverse_sample_windowgrouplimit_and_single_scan(spark):
+    """Per-cell representative pick must compile to WindowGroupLimit
+    (per-partition top-k), and centroid assignment must be one codegen
+    scan — no python, no cartesian."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_diverse_sample(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_no_cartesian(spark):
+    """Wedge and closing-edge joins are key equi-joins; the degree-
+    ordered orientation must never degrade to a cartesian product."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_triangle_census(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_source_percentiles_single_group_shuffle(spark):
+    """percent_rank per source: exactly one hash exchange on the group
+    key feeding the window sort (plus the presentation range sort)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_source_percentiles(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pairs_take_ordered_not_global_sort(spark):
+    """The top-k pair cut must be TakeOrdered (partial heaps), never a
+    full sort of the pair table."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_bpe_top_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_conversations_reuse_user_partitioning(spark):
+    """Session windows, turn marking, and the conversation aggregate
+    all run inside the ONE user-key exchange (the final orderBy adds a
+    range exchange for presentation only)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_conversations(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan
