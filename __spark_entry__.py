@@ -2864,6 +2864,22 @@ def _q_source_percentiles(spark, sf_dir):
     return percentile_normalize(docs, "source", "n_chars").orderBy("doc_id")
 
 
+def _q_hits_scores(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities over the supplier->part
+    supply graph: BIGINT nano scores, per-iteration L1 normalization by
+    integer division — order-independent, replayed exactly by the SQL
+    oracle.  Top-20 authorities as TakeOrdered."""
+    from dlt_spark.dataops.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    out = hits(edges, iters=2)
+    return out.orderBy(F.desc("authority_nano"), F.col("id")).limit(20)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pool_embeddings": _q_pool_embeddings,
@@ -3018,6 +3034,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_census": _q_triangle_census,
         "token_pmi": _q_token_pmi,
         "source_percentiles": _q_source_percentiles,
+        "hits_scores": _q_hits_scores,
     }
 
 
@@ -6038,5 +6055,50 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         ORDER BY doc_id
     """
+
+    _hits_it = """
+        ra{k} AS (
+            SELECT e._dst AS id, CAST(SUM(h.s) AS BIGINT) AS v
+            FROM e JOIN h{p} h ON e._src = h.id GROUP BY e._dst
+        ), ar{k} AS (
+            SELECT n.id, coalesce(r.v, 0) AS v
+            FROM nodes n LEFT JOIN ra{k} r ON n.id = r.id
+        ), a{k} AS (
+            SELECT id, (v * 1000000000) // t AS s
+            FROM ar{k}, (SELECT CAST(SUM(v) AS BIGINT) AS t FROM ar{k})
+        ), rh{k} AS (
+            SELECT e._src AS id, CAST(SUM(a.s) AS BIGINT) AS v
+            FROM e JOIN a{k} a ON e._dst = a.id GROUP BY e._src
+        ), hr{k} AS (
+            SELECT n.id, coalesce(r.v, 0) AS v
+            FROM nodes n LEFT JOIN rh{k} r ON n.id = r.id
+        ), h{k} AS (
+            SELECT id, (v * 1000000000) // t AS s
+            FROM hr{k}, (SELECT CAST(SUM(v) AS BIGINT) AS t FROM hr{k})
+        )"""
+    sql["hits_scores"] = (
+        """
+        WITH e AS (
+            SELECT DISTINCT l_suppkey + 1000000000 AS _src, l_partkey AS _dst
+            FROM lineitem
+        ), nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT _src AS id FROM e UNION ALL SELECT _dst FROM e
+            )
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        ), h0 AS (
+            SELECT id, (SELECT 1000000000 // n FROM nn) AS s FROM nodes
+        ),"""
+        + _hits_it.format(k=1, p=0)
+        + ","
+        + _hits_it.format(k=2, p=1)
+        + """
+        SELECT nodes.id, a2.s AS authority_nano, h2.s AS hub_nano
+        FROM nodes JOIN a2 ON nodes.id = a2.id JOIN h2 ON nodes.id = h2.id
+        ORDER BY authority_nano DESC, nodes.id ASC
+        LIMIT 20
+    """
+    )
 
     return sql

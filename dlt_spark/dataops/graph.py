@@ -153,3 +153,80 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
     return stats.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge table — the link-curation companion to
+    :func:`pagerank` (authorities = heavily-cited content, hubs =
+    link aggregators; both are crawl-frontier / quality signals).
+
+    Returns ``(id, authority_nano, hub_nano)``.  Scores live as BIGINT
+    nano-units; each half-iteration is one edge join + one BIGINT-sum
+    aggregation, then an L1 normalization by integer division against
+    the 1-row total (broadcast) — order-independent and replayed
+    exactly by the SQL oracle.  Scale: identical shape to pagerank —
+    per-iteration cost is one shuffle of the (id, int64) score table
+    against the edge list; lineage is truncated every
+    ``checkpoint_every`` iterations.
+
+    Overflow headroom: normalized scores sum to 1e9 total, so any
+    aggregate of products/sums stays far below 2^63 even at 1e12 edges.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("id"))
+        .unionByName(e.select(F.col("_dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge table")
+    init = NANO // n
+    hub = nodes.select("id", F.lit(init).cast("bigint").alias("_h"))
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return df.join(F.broadcast(tot)).select(
+            "id", F.expr(f"({col} * {NANO}L) div _tot").alias(col)
+        )
+
+    auth = None
+    for i in range(iters):
+        raw_auth = (
+            e.join(hub.withColumnRenamed("id", "_src"), "_src")
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum("_h").alias("_a"))
+        )
+        auth = _l1_normalize(
+            nodes.join(raw_auth, "id", "left").select(
+                "id", F.coalesce("_a", F.lit(0)).alias("_a")
+            ),
+            "_a",
+        )
+        raw_hub = (
+            e.join(auth.withColumnRenamed("id", "_dst"), "_dst")
+            .groupBy(F.col("_src").alias("id"))
+            .agg(F.sum("_a").alias("_h"))
+        )
+        hub = _l1_normalize(
+            nodes.join(raw_hub, "id", "left").select(
+                "id", F.coalesce("_h", F.lit(0)).alias("_h")
+            ),
+            "_h",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        nodes.join(auth, "id")
+        .join(hub, "id")
+        .select("id", F.col("_a").alias("authority_nano"), F.col("_h").alias("hub_nano"))
+    )

@@ -76,3 +76,20 @@ def test_triangle_count_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     row = triangle_count(star).collect()[0]
     assert row["n_triangles"] == 0 and row["n_wedges"] == 0
+
+
+def test_hits_authority_orders_by_indegree_structure(spark):
+    from dlt_spark.dataops.graph import hits
+
+    # hub 0 links to {1,2,3}; hub 9 links to {1}; authority 1 has the
+    # most in-links from the strongest hub set
+    edges = [(0, 1), (0, 2), (0, 3), (9, 1), (8, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: r for r in hits(df, iters=3).collect()}
+    assert out[1]["authority_nano"] > out[2]["authority_nano"] > 0
+    assert out[2]["authority_nano"] == out[3]["authority_nano"]
+    assert out[0]["hub_nano"] > out[9]["hub_nano"]
+    # pure hubs have zero authority, pure authorities zero hub
+    assert out[0]["authority_nano"] == 0 and out[1]["hub_nano"] == 0
+    # L1 mass conserved up to integer-division remainders
+    assert sum(r["authority_nano"] for r in out.values()) <= 10**9
