@@ -246,7 +246,13 @@ def main() -> None:
             row.append(f"{v[0]}s" if v and v[0] is not None else "FAIL")
         row.append(str(report.get(name, "-")))
         lines.append("| " + " | ".join(row) + " |")
-    with open(os.path.join(HERE, "SCALE.md"), "w") as f:
+    # a custom --queries run is a batch probe: append the table to
+    # SCALE.md instead of clobbering the accumulated findings
+    custom = any(a.startswith("--queries") for a in sys.argv[1:])
+    mode = "a" if custom else "w"
+    with open(os.path.join(HERE, "SCALE.md"), mode) as f:
+        if custom:
+            f.write("\n")
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"tiers": {t: {n: v[0] for n, v in r.items()} for t, r in results.items()},
                       "exponent": report}))
