@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "dsir_weights",
     "template_dedup",
     "diverse_sample",
+    "triangle_census",
+    "token_pmi",
+    "source_percentiles",
+    "hits_scores",
 ]
 
 
