@@ -2882,6 +2882,16 @@ def _q_hits_scores(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "bt_preference": _q_bt_preference,
+        "conversations": _q_conversations,
+        "bpe_top_pairs": _q_bpe_top_pairs,
+        "dsir_weights": _q_dsir_weights,
+        "template_dedup": _q_template_dedup,
+        "diverse_sample": _q_diverse_sample,
+        "triangle_census": _q_triangle_census,
+        "token_pmi": _q_token_pmi,
+        "source_percentiles": _q_source_percentiles,
+        "hits_scores": _q_hits_scores,
         "pool_embeddings": _q_pool_embeddings,
         "retrieval_recall": _q_retrieval_recall,
         "binary_auc": _q_binary_auc,
@@ -3025,16 +3035,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "outer_join_counts": _q_outer_join_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "bt_preference": _q_bt_preference,
-        "conversations": _q_conversations,
-        "bpe_top_pairs": _q_bpe_top_pairs,
-        "dsir_weights": _q_dsir_weights,
-        "template_dedup": _q_template_dedup,
-        "diverse_sample": _q_diverse_sample,
-        "triangle_census": _q_triangle_census,
-        "token_pmi": _q_token_pmi,
-        "source_percentiles": _q_source_percentiles,
-        "hits_scores": _q_hits_scores,
     }
 
 
