@@ -278,6 +278,48 @@ def monitor_stream(
     return writer.start()
 
 
+def _sync_dedup_index(
+    pipe: Pipeline,
+    table_name: str,
+    fp_table: str,
+    bk_table: str,
+    id_col: str,
+    text_col: str,
+    idx_params: dict,
+) -> tuple:
+    """Bring the persisted dedup index up to date with the data table
+    and return ``(fingerprints, buckets)``.
+
+    The index tables carry a ``_load_id`` column; any load id present
+    in the data table but missing from the index (e.g. a crash between
+    the data commit and the index append) is re-signed FROM THE STORED
+    ROWS of that load — the index converges to the table, never the
+    other way, so a lagging index can only cause extra work, never a
+    wrong dedup verdict."""
+    from pyspark.sql import functions as F
+
+    from ..dataops.dedup import build_dedup_index
+
+    store = pipe.store
+    have: set = set()
+    if fp_table in store.list_tables():
+        have = {
+            r["_load_id"]
+            for r in store.read(fp_table).select("_load_id").distinct().collect()
+        }
+    data = store.read(table_name)
+    all_lids = {r[0] for r in data.select("_dlt_load_id").distinct().collect()}
+    for lid in sorted(all_lids - have):
+        rows = data.filter(F.col("_dlt_load_id") == lid).select(id_col, text_col)
+        fp, bk = build_dedup_index(rows, id_col, text_col, **idx_params)
+        store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
+        store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
+    return (
+        store.read(fp_table).select("_fp"),
+        store.read(bk_table).select("_id", "_bucket"),
+    )
+
+
 def dedup_ingest(
     pipe: Pipeline,
     stream_df: DataFrame,
@@ -287,6 +329,7 @@ def dedup_ingest(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     trigger_available_now: bool = True,
+    use_index: bool = True,
     **dedup_kwargs,
 ):
     """Streaming dedup ingestion: every micro-batch is deduplicated
@@ -298,16 +341,36 @@ def dedup_ingest(
     The "dedup the crawl as it lands" operator: the reference corpus is
     the destination table itself, so the invariant — no two near-
     duplicate documents in the table — holds after every batch without
-    a full-corpus recompute.  At 100 TB the per-batch cost is the new
-    batch's shingling plus a bucket-bounded join against the corpus
-    fingerprints (pass ``bloom_bits`` to prefilter the exact layer)."""
+    a full-corpus recompute.
+
+    With ``use_index`` (default), the corpus fingerprint + MinHash
+    bucket tables are PERSISTED alongside the data
+    (``_dlt_<table>_dedup_fp`` / ``_buckets``, one generation per load
+    id) and only the new batch is fingerprinted and signed — per-batch
+    cost is independent of corpus size, the 100 TB ingest-loop form.
+    The index is self-healing: load ids missing from it (crash between
+    data commit and index append) are re-signed from the stored rows on
+    the next batch (see :func:`_sync_dedup_index`).  Results are
+    identical with or without the index (same hash family and banding —
+    pinned by tests).  Pass ``bloom_bits`` to prefilter the exact layer.
+    """
     import hashlib
 
     from ..dataops.dedup import dedup_against, drop_exact_dups
 
     stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    fp_table = f"_dlt_{table_name}_dedup_fp"
+    bk_table = f"_dlt_{table_name}_dedup_buckets"
+    idx_params = {
+        "num_hashes": dedup_kwargs.get("num_hashes", 64),
+        "bands": dedup_kwargs.get("bands", 16),
+        "shingle_n": dedup_kwargs.get("shingle_n", 5),
+        "use_arrow": dedup_kwargs.get("use_arrow", True),
+    }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         lid = f"dstream-{stream_id}-{batch_id:012d}"
         try:
             committed = set(pipe.dataset().load_ids())
@@ -323,11 +386,31 @@ def dedup_ingest(
         if table_name in pipe.store.list_tables():
             ref = pipe.store.read(table_name).select(id_col, text_col)
         if ref is not None:
+            idx = (
+                _sync_dedup_index(
+                    pipe, table_name, fp_table, bk_table, id_col, text_col, idx_params
+                )
+                if use_index
+                else None
+            )
             fresh = dedup_against(
                 fresh, ref, id_col, text_col,
-                jaccard_threshold=jaccard_threshold, **dedup_kwargs,
+                jaccard_threshold=jaccard_threshold, ref_index=idx, **dedup_kwargs,
             )
         pipe.run(fresh, table_name=table_name, load_id=lid)
+        if use_index:
+            # sign THIS load's survivors from the committed rows (not the
+            # pre-commit plan) so index content provably matches the table
+            loaded = (
+                pipe.store.read(table_name)
+                .filter(F.col("_dlt_load_id") == lid)
+                .select(id_col, text_col)
+            )
+            from ..dataops.dedup import build_dedup_index
+
+            fp, bk = build_dedup_index(loaded, id_col, text_col, **idx_params)
+            pipe.store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
+            pipe.store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

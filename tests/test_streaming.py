@@ -248,3 +248,54 @@ def test_dedup_ingest_stream(spark, tmp_path):
     ids = {r["doc_id"] for r in pipe.store.read("docs").collect()}
     assert 11 in ids and 10 not in ids  # near-dup of loaded corpus dropped
     assert ids == {1, 3, 11}
+
+
+def test_dedup_ingest_index_persists_and_self_heals(spark, tmp_path):
+    """The streaming dedup index: batches append per-load generations,
+    results match the no-index path, and an index wiped behind the
+    pipeline's back is rebuilt from the stored rows on the next batch."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.streaming import dedup_ingest, stream_files
+
+    src = tmp_path / "ddx_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [(1, base), (2, "completely different content here ok")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("ddx", str(tmp_path / "dest_ddx"), "ds", spark)
+    q = dedup_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ddx"),
+        "docs", "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    assert "_dlt_docs_dedup_fp" in pipe.store.list_tables()
+    assert "_dlt_docs_dedup_buckets" in pipe.store.list_tables()
+    lids0 = {r["_load_id"] for r in pipe.store.read("_dlt_docs_dedup_fp").collect()}
+    assert len(lids0) == 1
+
+    # wipe the index (simulate a crash between data commit and index
+    # append) — the next batch must rebuild it and still dedup correctly
+    pipe.store.drop("_dlt_docs_dedup_fp")
+    pipe.store.drop("_dlt_docs_dedup_buckets")
+
+    spark.createDataFrame(
+        [(10, base.replace("today", "tonight")),  # near-dup of loaded 1
+         (11, "yet another genuinely novel document body entirely")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = dedup_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ddx"),
+        "docs", "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+    )
+    q2.awaitTermination(120)
+    ids = {r["doc_id"] for r in pipe.store.read("docs").collect()}
+    assert ids == {1, 2, 11}  # near-dup 10 dropped via the REBUILT index
+    lids = {r["_load_id"] for r in pipe.store.read("_dlt_docs_dedup_fp").collect()}
+    assert len(lids) == 2  # backfilled load 0 + appended load 1
+    # bucket table carries the full signed corpus
+    n_ids = pipe.store.read("_dlt_docs_dedup_buckets").select("_id").distinct().count()
+    assert n_ids == 3
