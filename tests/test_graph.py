@@ -93,3 +93,26 @@ def test_hits_authority_orders_by_indegree_structure(spark):
     assert out[0]["authority_nano"] == 0 and out[1]["hub_nano"] == 0
     # L1 mass conserved up to integer-division remainders
     assert sum(r["authority_nano"] for r in out.values()) <= 10**9
+
+
+def test_triangle_count_matches_bruteforce_random_graphs(spark):
+    """Seeded Erdős–Rényi graphs: the oriented-wedge count must equal a
+    brute-force itertools enumeration."""
+    import itertools
+    import random
+
+    from dlt_spark.dataops.graph import triangle_count
+
+    for seed, n, p in [(1, 12, 0.3), (2, 15, 0.5), (3, 10, 0.8)]:
+        rnd = random.Random(seed)
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n) if rnd.random() < p]
+        adj = set(edges)
+        expected = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = triangle_count(df).collect()[0]
+        assert row["n_triangles"] == expected, (seed, expected, row)
+        assert row["n_edges"] == len(edges)

@@ -119,3 +119,55 @@ def test_top_bpe_pairs_rank_and_multichar_words(spark):
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_bt_scores_match_numpy_mm_reference(spark):
+    """The distributed MM fit must track a dense NumPy implementation of
+    the same quantized recipe to the last micro-unit."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(7)
+    items = list("ABCDE")
+    counts = {}
+    for _ in range(60):
+        i, j = rnd.sample(items, 2)
+        counts[(i, j)] = counts.get((i, j), 0) + 1
+    rows = [(w, l, n) for (w, l), n in counts.items()]
+    df = spark.createDataFrame(rows, "winner string, loser string, n long")
+
+    from dlt_spark.dataops.preference import bt_scores, preference_counts
+
+    got = {
+        r["item"]: r["score_micro"]
+        for r in bt_scores(preference_counts(df, "winner", "loser", "n"), iterations=3).collect()
+    }
+
+    # dense reference with the identical integer quantization
+    idx = {it: k for k, it in enumerate(items)}
+    n_ij = np.zeros((5, 5), dtype=np.int64)
+    wins = np.zeros(5, dtype=np.int64)
+    for (w, l), c in counts.items():
+        n_ij[idx[w], idx[l]] += c
+        n_ij[idx[l], idx[w]] += c
+        wins[idx[w]] += c
+    s = np.full(5, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        denom = np.zeros(5, dtype=np.int64)
+        for a in range(5):
+            for b in range(5):
+                if a != b and n_ij[a, b]:
+                    denom[a] += round(
+                        n_ij[a, b] / (s[a] / 1e6 + s[b] / 1e6) * 1e9
+                    )
+        raw = np.array(
+            [round(wins[a] / (denom[a] / 1e9) * 1e6) for a in range(5)], dtype=np.int64
+        )
+        tot = raw.sum()
+        s = np.array(
+            [round(float(raw[a]) * 5.0 * 1e6 / float(tot)) for a in range(5)],
+            dtype=np.int64,
+        )
+    for it in items:
+        assert got[it] == s[idx[it]], (it, got[it], int(s[idx[it]]))
