@@ -5796,8 +5796,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM r{k}
         ), s{k} AS (
-            SELECT i, CAST(ROUND(CAST(s_raw AS DOUBLE) * CAST(n_items AS DOUBLE)
-                * 1000000.0 / CAST(s_tot AS DOUBLE)) AS BIGINT) AS s
+            SELECT i, GREATEST(CAST(ROUND(CAST(s_raw AS DOUBLE)
+                * CAST(n_items AS DOUBLE)
+                * 1000000.0 / CAST(s_tot AS DOUBLE)) AS BIGINT),
+                CAST(1 AS BIGINT)) AS s
             FROM r{k}, t{k}
         )"""
     sql["bt_preference"] = (

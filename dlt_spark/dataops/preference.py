@@ -116,16 +116,24 @@ def bt_scores(
         tot = raw.agg(
             F.sum("s_raw").alias("s_tot"), F.count(F.lit(1)).alias("n_items")
         )
+        # clamp to >= 1 micro: an all-loss item otherwise reaches score 0
+        # and a later 0-vs-0 comparison divides by zero (NULL/Inf) — the
+        # MM fixed point needs strictly positive strengths (Hunter 2004
+        # assumes a connected graph with wins on both sides; the clamp
+        # keeps the degenerate case finite instead of poisoning the fit)
         scores = (
             raw.join(F.broadcast(tot))
             .select(
                 "i",
-                F.round(
-                    F.col("s_raw").cast("double")
-                    * F.col("n_items").cast("double")
-                    * _MICRO
-                    / F.col("s_tot").cast("double")
-                ).cast("bigint").alias("s"),
+                F.greatest(
+                    F.round(
+                        F.col("s_raw").cast("double")
+                        * F.col("n_items").cast("double")
+                        * _MICRO
+                        / F.col("s_tot").cast("double")
+                    ).cast("bigint"),
+                    F.lit(1).cast("bigint"),
+                ).alias("s"),
             )
             .localCheckpoint(eager=False)
         )

@@ -166,8 +166,22 @@ def test_bt_scores_match_numpy_mm_reference(spark):
         )
         tot = raw.sum()
         s = np.array(
-            [round(float(raw[a]) * 5.0 * 1e6 / float(tot)) for a in range(5)],
+            [max(round(float(raw[a]) * 5.0 * 1e6 / float(tot)), 1) for a in range(5)],
             dtype=np.int64,
         )
     for it in items:
         assert got[it] == s[idx[it]], (it, got[it], int(s[idx[it]]))
+
+
+def test_bt_all_loss_item_stays_finite(spark):
+    """An item that never wins must keep an epsilon score (never 0),
+    and a comparison graph containing it must not produce NULL/Inf."""
+    rows = [("A", "Z")] * 5 + [("B", "Z")] * 5 + [("A", "B"), ("B", "A")]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {
+        r["item"]: r["score_micro"]
+        for r in bt_scores(preference_counts(df, "winner", "loser"), iterations=4).collect()
+    }
+    assert out["Z"] >= 1
+    assert all(v is not None and v >= 1 for v in out.values())
+    assert out["A"] > out["Z"] and out["B"] > out["Z"]
