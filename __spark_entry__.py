@@ -2880,8 +2880,33 @@ def _q_hits_scores(spark, sf_dir):
     return out.orderBy(F.desc("authority_nano"), F.col("id")).limit(20)
 
 
+def _q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficients over the parts-bought-
+    together graph (link-farm density signal): degree-ordered wedge
+    enumeration crediting all three triangle corners; integer-nano
+    coefficient.  Top-50 densest nodes with degree >= 3."""
+    from dlt_spark.dataops.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    out = clustering_coefficient(pairs)
+    return (
+        out.filter(F.col("degree") >= 3)
+        .orderBy(F.desc("coefficient_nano"), F.col("id"))
+        .limit(50)
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "clustering_coeff": _q_clustering_coeff,
         "bt_preference": _q_bt_preference,
         "conversations": _q_conversations,
         "bpe_top_pairs": _q_bpe_top_pairs,
@@ -6102,5 +6127,49 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
     """
     )
+
+    sql["clustering_coeff"] = """
+        WITH pairs AS (
+            SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                            greatest(x.l_partkey, y.l_partkey) AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+            ) GROUP BY id
+        ), e AS (
+            SELECT p.a, p.b, da.degree AS da, db.degree AS db
+            FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
+        ), oriented AS (
+            SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+            FROM e
+        ), wedges AS (
+            SELECT e1.u AS u, e1.v AS v, e2.v AS w
+            FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ), tri AS (
+            SELECT wd.u, wd.v, wd.w FROM wedges wd
+            WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = wd.v AND o.v = wd.w)
+        ), per_node AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ) GROUP BY id
+        )
+        SELECT deg.id, deg.degree,
+               coalesce(per_node.triangles, 0) AS triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN (2 * coalesce(per_node.triangles, 0) * 1000000000)
+                         // (deg.degree * (deg.degree - 1))
+                    ELSE 0 END AS coefficient_nano
+        FROM deg LEFT JOIN per_node ON deg.id = per_node.id
+        WHERE deg.degree >= 3
+        ORDER BY coefficient_nano DESC, deg.id ASC
+        LIMIT 50
+    """
 
     return sql

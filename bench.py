@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "token_pmi",
     "source_percentiles",
     "hits_scores",
+    "clustering_coeff",
 ]
 
 

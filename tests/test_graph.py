@@ -116,3 +116,20 @@ def test_triangle_count_matches_bruteforce_random_graphs(spark):
         row = triangle_count(df).collect()[0]
         assert row["n_triangles"] == expected, (seed, expected, row)
         assert row["n_edges"] == len(edges)
+
+
+def test_clustering_coefficient_known_values(spark):
+    from dlt_spark.dataops.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 on node 1
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    # node 1: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert out[1]["degree"] == 3 and out[1]["triangles"] == 1
+    assert out[1]["coefficient_nano"] == 333_333_333
+    # nodes 2,3: deg 2, 1 triangle -> coefficient 1.0
+    assert out[2]["coefficient_nano"] == out[3]["coefficient_nano"] == 1_000_000_000
+    # pendant: deg 1 -> 0
+    assert out[4]["triangles"] == 0 and out[4]["coefficient_nano"] == 0
