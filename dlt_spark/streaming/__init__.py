@@ -124,6 +124,72 @@ def sessionize_stream(
     )
 
 
+def stream_conversations(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    role_col: str,
+    id_col: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`dlt_spark.dataops.conversation.assemble_conversations`:
+    session-windowed conversation records assembled AS THE EVENTS LAND —
+    one row per closed conversation with message/turn counts,
+    alternation-QC violations, and the ordered transcript.
+
+    Built on native ``session_window`` + watermark (state bounded by
+    open sessions, emission on window close), with the turn structure
+    computed from the ordered collected messages via array expressions —
+    no Python in the stream, fully incremental, late data within
+    ``delay`` merges into its session."""
+    win = F.session_window(F.col(ts_col), gap)
+    msgs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(role_col).alias("role"),
+            )
+        )
+    )
+    roles = F.transform(F.col("_msgs"), lambda m: m["role"])
+    # adjacent same-role count: zip roles with roles[1:]; zip_with pads
+    # the shorter side with NULL, and NULL comparisons drop out of the
+    # filter — so the trailing pad never counts
+    same_adj = F.size(
+        F.filter(
+            F.zip_with(
+                roles,
+                F.slice(roles, 2, F.greatest(F.size(roles) - 1, F.lit(1))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(win, F.col(user_col).alias("user"))
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min(ts_col).alias("started_at"),
+            F.max(ts_col).alias("ended_at"),
+            msgs.alias("_msgs"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user",
+            "n_messages",
+            "started_at",
+            "ended_at",
+            (F.col("n_messages") - same_adj).alias("n_turns"),
+            same_adj.alias("n_violations"),
+            F.array_join(roles, ">").alias("transcript"),
+        )
+    )
+
+
 def stateful_running_agg(
     stream_df: DataFrame,
     keys: Sequence[str],

@@ -299,3 +299,45 @@ def test_dedup_ingest_index_persists_and_self_heals(spark, tmp_path):
     # bucket table carries the full signed corpus
     n_ids = pipe.store.read("_dlt_docs_dedup_buckets").select("_id").distinct().count()
     assert n_ids == 3
+
+
+def test_stream_conversations_assembles_sessions(spark, tmp_path):
+    """Streaming conversation assembly: session windows close past the
+    watermark and emit turn-collapsed records with QC counts."""
+    import datetime as dt
+
+    from dlt_spark.streaming import stream_conversations
+
+    src = tmp_path / "conv_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10)
+
+    def m(minute, eid, role, user=1):
+        return (user, t0 + dt.timedelta(minutes=minute), eid, role)
+
+    schema = "user_id long, ts timestamp, event_id long, role string"
+    spark.createDataFrame(
+        [
+            m(0, 1, "user"), m(1, 2, "assistant"), m(2, 3, "assistant"),
+            m(3, 4, "user"),
+            m(120, 5, "user"), m(121, 6, "assistant"),  # later session
+            # a far-future event pushes the watermark so both close
+            m(600, 7, "user"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_conversations(stream, "user_id", "ts", "role", "event_id",
+                               gap="30 minutes", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("convs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["session_start"]: r for r in spark.sql("SELECT * FROM convs").collect()}
+    s1 = rows[t0]
+    assert s1["n_messages"] == 4 and s1["n_turns"] == 3 and s1["n_violations"] == 1
+    assert s1["transcript"] == "user>assistant>assistant>user"
+    s2 = rows[t0 + dt.timedelta(minutes=120)]
+    assert s2["n_turns"] == 2 and s2["n_violations"] == 0
