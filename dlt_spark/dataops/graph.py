@@ -151,15 +151,24 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
     ).select("v", F.col("w2").alias("w"))
-    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
-    # semi-join keeps wedge multiplicity (each wedge closes at most one
-    # distinct oriented edge), so count(wedges ⋉ edges) == triangles
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_closed")
+    )
+    # LEFT join against the (distinct) oriented edges marks each wedge
+    # closed/open without multiplying rows, so ONE pass over the wedge
+    # table yields both the wedge and the triangle count (a semi-join
+    # variant scanned the — potentially huge — wedge table twice)
+    marked = wedges.join(closing, ["v", "w"], "left")
+    wt = marked.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_closed"), F.lit(0))), F.lit(0)
+        ).cast("bigint").alias("n_triangles"),
+    )
     stats = (
         und.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(wt)
     )
     return stats.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
 
