@@ -53,7 +53,9 @@ def assemble_conversations(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap_ms = int(gap_minutes * 60_000)
-    ts_ms = (F.unix_micros(F.col(ts_col)) / 1000).cast("bigint")
+    # exact integer epoch-ms (a double true-division here would diverge
+    # from the oracle's epoch_ms for pre-epoch timestamps)
+    ts_ms = F.unix_millis(F.col(ts_col))
     prev_ms = F.lag(ts_ms).over(w)
     is_start = F.when(
         prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), 1

@@ -209,6 +209,8 @@ def hits(
         raise ValueError("empty edge table")
     init = NANO // n
     hub = nodes.select("id", F.lit(init).cast("bigint").alias("_h"))
+    # iters=0: the uniform start IS the result (pagerank's contract)
+    auth = nodes.select("id", F.lit(init).cast("bigint").alias("_a"))
 
     def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
         tot = df.agg(F.sum(col).alias("_tot"))
@@ -216,7 +218,6 @@ def hits(
             "id", F.expr(f"({col} * {NANO}L) div _tot").alias(col)
         )
 
-    auth = None
     for i in range(iters):
         raw_auth = (
             e.join(hub.withColumnRenamed("id", "_src"), "_src")
@@ -308,12 +309,11 @@ def clustering_coefficient(
         F.col("degree") >= 2,
         F.expr("(2 * triangles * 1000000000L) div (degree * (degree - 1))"),
     ).otherwise(F.lit(0)).cast("bigint")
+    # coalesce triangles to 0 BEFORE the coefficient expression — a
+    # degree>=2 node with no triangles would otherwise propagate the
+    # left-join NULL through the div and report NULL instead of 0
     return (
         deg.join(per_node, "id", "left")
-        .select(
-            "id",
-            "degree",
-            F.coalesce("triangles", F.lit(0)).alias("triangles"),
-            coeff.alias("coefficient_nano"),
-        )
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
     )

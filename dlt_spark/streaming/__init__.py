@@ -349,6 +349,7 @@ def _sync_dedup_index(
     table_name: str,
     fp_table: str,
     bk_table: str,
+    mk_table: str,
     id_col: str,
     text_col: str,
     idx_params: dict,
@@ -356,34 +357,62 @@ def _sync_dedup_index(
     """Bring the persisted dedup index up to date with the data table
     and return ``(fingerprints, buckets)``.
 
-    The index tables carry a ``_load_id`` column; any load id present
-    in the data table but missing from the index (e.g. a crash between
-    the data commit and the index append) is re-signed FROM THE STORED
-    ROWS of that load — the index converges to the table, never the
-    other way, so a lagging index can only cause extra work, never a
-    wrong dedup verdict."""
+    Completeness is tracked by a MARKER table (``mk_table``): one row
+    per load id, appended only AFTER both the fingerprint and bucket
+    generations commit.  A crash between any of the three appends
+    leaves the marker absent, so the next batch re-signs that load FROM
+    THE STORED ROWS — the index converges to the table, never the other
+    way, so a lagging index can only cause extra work, never a wrong
+    dedup verdict.  (Keying on the fp rows themselves would break two
+    ways: a crash between the fp and bucket appends would mark a load
+    complete with no buckets, and a load whose rows all have NULL text
+    appends zero fp rows and would be re-signed forever.)"""
     from pyspark.sql import functions as F
-
-    from ..dataops.dedup import build_dedup_index
 
     store = pipe.store
     have: set = set()
-    if fp_table in store.list_tables():
-        have = {
-            r["_load_id"]
-            for r in store.read(fp_table).select("_load_id").distinct().collect()
-        }
-    data = store.read(table_name)
-    all_lids = {r[0] for r in data.select("_dlt_load_id").distinct().collect()}
-    for lid in sorted(all_lids - have):
-        rows = data.filter(F.col("_dlt_load_id") == lid).select(id_col, text_col)
-        fp, bk = build_dedup_index(rows, id_col, text_col, **idx_params)
-        store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
-        store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
+    if mk_table in store.list_tables():
+        have = {r["_load_id"] for r in store.read(mk_table).collect()}
+    # candidate lids come from pipeline METADATA (tiny), not a corpus
+    # scan; lids that loaded other tables yield empty generations plus a
+    # marker, so each is reconciled exactly once
+    try:
+        all_lids = set(pipe.dataset().load_ids())
+    except FileNotFoundError:
+        all_lids = set()
+    missing = sorted(all_lids - have)
+    if missing:
+        data = store.read(table_name)
+        for lid in missing:
+            rows = data.filter(F.col("_dlt_load_id") == lid).select(id_col, text_col)
+            _append_index_generation(pipe, rows, lid, fp_table, bk_table, mk_table, id_col, text_col, idx_params)
     return (
         store.read(fp_table).select("_fp"),
         store.read(bk_table).select("_id", "_bucket"),
     )
+
+
+def _append_index_generation(
+    pipe: Pipeline,
+    rows: DataFrame,
+    lid: str,
+    fp_table: str,
+    bk_table: str,
+    mk_table: str,
+    id_col: str,
+    text_col: str,
+    idx_params: dict,
+) -> None:
+    """Sign one load's rows into the index: fp + bucket generations,
+    then the completeness marker LAST (see :func:`_sync_dedup_index`)."""
+    from pyspark.sql import functions as F
+
+    from ..dataops.dedup import build_dedup_index
+
+    fp, bk = build_dedup_index(rows, id_col, text_col, **idx_params)
+    pipe.store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
+    pipe.store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
+    pipe.store.append_rows([{"_load_id": lid}], mk_table)
 
 
 def dedup_ingest(
@@ -427,6 +456,7 @@ def dedup_ingest(
     stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     fp_table = f"_dlt_{table_name}_dedup_fp"
     bk_table = f"_dlt_{table_name}_dedup_buckets"
+    mk_table = f"_dlt_{table_name}_dedup_loads"
     idx_params = {
         "num_hashes": dedup_kwargs.get("num_hashes", 64),
         "bands": dedup_kwargs.get("bands", 16),
@@ -454,7 +484,8 @@ def dedup_ingest(
         if ref is not None:
             idx = (
                 _sync_dedup_index(
-                    pipe, table_name, fp_table, bk_table, id_col, text_col, idx_params
+                    pipe, table_name, fp_table, bk_table, mk_table,
+                    id_col, text_col, idx_params,
                 )
                 if use_index
                 else None
@@ -463,20 +494,17 @@ def dedup_ingest(
                 fresh, ref, id_col, text_col,
                 jaccard_threshold=jaccard_threshold, ref_index=idx, **dedup_kwargs,
             )
+        if use_index:
+            # pin the survivors once: the SAME materialized rows feed the
+            # load AND the index signing — no post-commit corpus re-scan,
+            # and the index provably matches what was committed
+            fresh = fresh.localCheckpoint(eager=True)
         pipe.run(fresh, table_name=table_name, load_id=lid)
         if use_index:
-            # sign THIS load's survivors from the committed rows (not the
-            # pre-commit plan) so index content provably matches the table
-            loaded = (
-                pipe.store.read(table_name)
-                .filter(F.col("_dlt_load_id") == lid)
-                .select(id_col, text_col)
+            _append_index_generation(
+                pipe, fresh.select(id_col, text_col), lid,
+                fp_table, bk_table, mk_table, id_col, text_col, idx_params,
             )
-            from ..dataops.dedup import build_dedup_index
-
-            fp, bk = build_dedup_index(loaded, id_col, text_col, **idx_params)
-            pipe.store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
-            pipe.store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -133,3 +133,18 @@ def test_clustering_coefficient_known_values(spark):
     assert out[2]["coefficient_nano"] == out[3]["coefficient_nano"] == 1_000_000_000
     # pendant: deg 1 -> 0
     assert out[4]["triangles"] == 0 and out[4]["coefficient_nano"] == 0
+
+
+def test_clustering_coefficient_zero_triangle_node_is_zero_and_hits_iter0(spark):
+    from dlt_spark.dataops.graph import clustering_coefficient, hits
+
+    # path graph: node 2 has degree 2 and no triangles -> coefficient 0
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r["id"]: r for r in clustering_coefficient(path).collect()}
+    assert out[2]["coefficient_nano"] == 0 and out[2]["triangles"] == 0
+
+    # hits iters=0 returns the uniform start, same contract as pagerank
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    rows = hits(df, iters=0).collect()
+    assert len(rows) == 3
+    assert {r["authority_nano"] for r in rows} == {333333333}

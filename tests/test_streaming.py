@@ -281,6 +281,7 @@ def test_dedup_ingest_index_persists_and_self_heals(spark, tmp_path):
     # append) — the next batch must rebuild it and still dedup correctly
     pipe.store.drop("_dlt_docs_dedup_fp")
     pipe.store.drop("_dlt_docs_dedup_buckets")
+    pipe.store.drop("_dlt_docs_dedup_loads")
 
     spark.createDataFrame(
         [(10, base.replace("today", "tonight")),  # near-dup of loaded 1
