@@ -2904,8 +2904,45 @@ def _q_clustering_coeff(spark, sf_dir):
     )
 
 
+def _q_best_of_n(spark, sf_dir):
+    """Best-of-n selection (RLHF reward argmax per prompt): per
+    customer, the highest-price order with the top1-top2 margin.
+    WindowGroupLimit rank + same-window lead — one group-key shuffle."""
+    from dlt_spark.dataops.preference import best_of_n
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return best_of_n(orders, "o_custkey", "o_orderkey", "o_totalprice").orderBy(
+        "group"
+    )
+
+
+def _q_rater_agreement(spark, sf_dir):
+    """Pairwise Cohen's kappa (labeling QC before preference fitting):
+    synthetic raters = supplier buckets labeling orders by return flag;
+    exact BIGINT agreement/marginal counts, nano-quantized kappa."""
+    from dlt_spark.dataops.preference import rater_agreement
+
+    li = _t(spark, sf_dir, "lineitem")
+    labels = (
+        li.select(
+            F.col("l_orderkey").alias("item"),
+            (F.col("l_suppkey") % 5).alias("rater"),
+            F.col("l_returnflag").alias("label"),
+        )
+        .groupBy("item", "rater")
+        .agg(F.min("label").alias("label"))
+    )
+    return rater_agreement(labels, "item", "rater", "label", min_common=50).orderBy(
+        "rater_a", "rater_b"
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "best_of_n": _q_best_of_n,
+        "rater_agreement": _q_rater_agreement,
         "clustering_coeff": _q_clustering_coeff,
         "bt_preference": _q_bt_preference,
         "conversations": _q_conversations,
@@ -6170,6 +6207,71 @@ def oracle_sql() -> dict[str, str]:
         WHERE deg.degree >= 3
         ORDER BY coefficient_nano DESC, deg.id ASC
         LIMIT 50
+    """
+
+    sql["best_of_n"] = """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER w AS rn,
+                   lead(o_totalprice) OVER w AS next_score
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ), cnt AS (
+            SELECT o_custkey, count(*) AS n_candidates FROM orders GROUP BY o_custkey
+        )
+        SELECT r.o_custkey AS "group", r.o_orderkey AS best,
+               r.o_totalprice AS best_score, cnt.n_candidates,
+               r.o_totalprice - r.next_score AS margin
+        FROM ranked r JOIN cnt ON r.o_custkey = cnt.o_custkey
+        WHERE r.rn = 1
+        ORDER BY "group"
+    """
+
+    sql["rater_agreement"] = """
+        WITH labels AS (
+            SELECT l_orderkey AS item, l_suppkey % 5 AS rater,
+                   min(l_returnflag) AS label
+            FROM lineitem GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.item, a.rater AS rater_a, b.rater AS rater_b,
+                   a.label AS la, b.label AS lb
+            FROM labels a JOIN labels b
+              ON a.item = b.item AND a.rater < b.rater
+        ), obs AS (
+            SELECT rater_a, rater_b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM pairs GROUP BY rater_a, rater_b
+            HAVING count(*) >= 50
+        ), ca AS (
+            SELECT rater_a, rater_b, la AS l, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2, 3
+        ), cb AS (
+            SELECT rater_a, rater_b, lb AS l, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2, 3
+        ), chance AS (
+            SELECT ca.rater_a, ca.rater_b,
+                   CAST(SUM(ca.n * cb.n) AS BIGINT) AS chance_num
+            FROM ca JOIN cb ON ca.rater_a = cb.rater_a
+                 AND ca.rater_b = cb.rater_b AND ca.l = cb.l
+            GROUP BY ca.rater_a, ca.rater_b
+        )
+        SELECT obs.rater_a, obs.rater_b, obs.n_common, obs.n_agree,
+               CASE WHEN CAST(coalesce(chance_num, 0) AS DOUBLE)
+                         / (CAST(n_common AS DOUBLE) * CAST(n_common AS DOUBLE)) >= 1.0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(
+                        (CAST(n_agree AS DOUBLE) / CAST(n_common AS DOUBLE)
+                         - CAST(coalesce(chance_num, 0) AS DOUBLE)
+                           / (CAST(n_common AS DOUBLE) * CAST(n_common AS DOUBLE)))
+                        / (1.0 - CAST(coalesce(chance_num, 0) AS DOUBLE)
+                           / (CAST(n_common AS DOUBLE) * CAST(n_common AS DOUBLE)))
+                        * 1000000000.0) AS BIGINT)
+               END AS kappa_nano
+        FROM obs LEFT JOIN chance
+          ON obs.rater_a = chance.rater_a AND obs.rater_b = chance.rater_b
+        ORDER BY obs.rater_a, obs.rater_b
     """
 
     return sql

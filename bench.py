@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "source_percentiles",
     "hits_scores",
     "clustering_coeff",
+    "best_of_n",
+    "rater_agreement",
 ]
 
 

@@ -148,3 +148,114 @@ def bt_scores(
             F.col("s").alias("score_micro"),
         )
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    group_col: str,
+    candidate_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Best-of-n selection over scored candidates (the RLHF sampling
+    step: keep the reward-model argmax per prompt, with the margin
+    diagnostics selection quality is judged by).
+
+    Returns one row per group: ``(group, best, best_score, n_candidates,
+    margin)`` where ``margin = best_score - runner_up_score`` (NULL when
+    the group has a single candidate).  Ties break on the candidate id,
+    so selection is total-ordered.
+
+    Scale shape: one shuffle on the group key; the rank filter compiles
+    to WindowGroupLimit (per-partition top-k, no per-group sort spill);
+    margins come from the same window pass via ``lead``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(candidate_col).asc()
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_next", F.lead(F.col(score_col)).over(w)
+    )
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .join(cnt, group_col)
+        .select(
+            F.col(group_col).alias("group"),
+            F.col(candidate_col).alias("best"),
+            F.col(score_col).alias("best_score"),
+            "n_candidates",
+            (F.col(score_col) - F.col("_next")).alias("margin"),
+        )
+    )
+
+
+def rater_agreement(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    min_common: int = 10,
+) -> DataFrame:
+    """Pairwise inter-rater reliability: Cohen's kappa for every rater
+    pair that shares >= ``min_common`` items — the labeling-quality
+    gate preference data runs through before BT fitting (raters with
+    near-zero kappa against everyone are noise or spam).
+
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with observed agreement
+    ``p_o`` and chance agreement ``p_e`` from each rater's own label
+    marginals over the SHARED items.  Returns ``(rater_a, rater_b,
+    n_common, n_agree, kappa_nano)``; kappa is quantized to integer
+    nanos from exact BIGINT counts — engine-exact.  Perfect chance
+    agreement (``p_e = 1``: both raters constant and identical) reports
+    kappa 0 by convention.
+
+    Scale shape: the item self-join is the inverted-index pattern —
+    fan-out per item is raters-per-item squared (bounded by labeling
+    redundancy, typically 2-5), never corpus size; marginals are one
+    aggregation over the pair-expanded labels."""
+    r = df.select(
+        F.col(item_col).alias("_it"),
+        F.col(rater_col).alias("_r"),
+        F.col(label_col).alias("_l"),
+    )
+    pairs = (
+        r.select("_it", F.col("_r").alias("rater_a"), F.col("_l").alias("_la"))
+        .join(
+            r.select("_it", F.col("_r").alias("rater_b"), F.col("_l").alias("_lb")),
+            "_it",
+        )
+        .filter(F.col("rater_a") < F.col("rater_b"))
+    )
+    # per-pair observed agreement and per-pair-per-label marginals from
+    # one expanded table: counts are exact ints
+    obs = pairs.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long")).alias("n_agree"),
+    ).filter(F.col("n_common") >= min_common)
+    # chance agreement p_e = sum_l cA(l)*cB(l) / n^2 from each rater's
+    # label marginals over the SHARED items
+    ca = (
+        pairs.groupBy("rater_a", "rater_b", F.col("_la").alias("_l"))
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    cb = (
+        pairs.groupBy("rater_a", "rater_b", F.col("_lb").alias("_l"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    chance = (
+        ca.join(cb, ["rater_a", "rater_b", "_l"])
+        .groupBy("rater_a", "rater_b")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_chance_num"))
+    )
+    joined = obs.join(chance, ["rater_a", "rater_b"], "left")
+    po = F.col("n_agree").cast("double") / F.col("n_common").cast("double")
+    pe = F.coalesce(F.col("_chance_num"), F.lit(0)).cast("double") / (
+        F.col("n_common").cast("double") * F.col("n_common").cast("double")
+    )
+    kappa = F.when(pe >= 1.0, F.lit(0).cast("bigint")).otherwise(
+        F.round((po - pe) / (F.lit(1.0) - pe) * F.lit(1000000000.0)).cast("bigint")
+    )
+    return joined.select(
+        "rater_a", "rater_b", "n_common", "n_agree", kappa.alias("kappa_nano")
+    )

@@ -185,3 +185,44 @@ def test_bt_all_loss_item_stays_finite(spark):
     assert out["Z"] >= 1
     assert all(v is not None and v >= 1 for v in out.values())
     assert out["A"] > out["Z"] and out["B"] > out["Z"]
+
+
+def test_best_of_n_selection_and_margin(spark):
+    from dlt_spark.dataops.preference import best_of_n
+
+    rows = [
+        ("p1", "c1", 0.9), ("p1", "c2", 0.7), ("p1", "c3", 0.7),
+        ("p2", "c9", 0.5),
+        ("p3", "c4", 0.3), ("p3", "c5", 0.3),  # tie -> lower id wins
+    ]
+    df = spark.createDataFrame(rows, "prompt string, cand string, score double")
+    out = {r["group"]: r for r in best_of_n(df, "prompt", "cand", "score").collect()}
+    assert out["p1"]["best"] == "c1" and abs(out["p1"]["margin"] - 0.2) < 1e-9
+    assert out["p1"]["n_candidates"] == 3
+    assert out["p2"]["margin"] is None and out["p2"]["n_candidates"] == 1
+    assert out["p3"]["best"] == "c4" and out["p3"]["margin"] == 0.0
+
+
+def test_rater_agreement_kappa_known_values(spark):
+    from dlt_spark.dataops.preference import rater_agreement
+
+    # raters 1,2 agree perfectly on varied labels -> kappa 1;
+    # raters 1,3: rater 3 constant -> kappa 0 region
+    rows = []
+    for i in range(12):
+        lab = "x" if i % 2 == 0 else "y"
+        rows += [(i, 1, lab), (i, 2, lab), (i, 3, "x")]
+    df = spark.createDataFrame(rows, "item long, rater long, label string")
+    out = {
+        (r["rater_a"], r["rater_b"]): r
+        for r in rater_agreement(df, "item", "rater", "label", min_common=5).collect()
+    }
+    assert out[(1, 2)]["kappa_nano"] == 1_000_000_000
+    assert out[(1, 2)]["n_agree"] == 12
+    # constant rater: p_o = p_e = 0.5 -> kappa 0
+    assert out[(1, 3)]["kappa_nano"] == 0
+    # both constant and identical -> p_e = 1 -> kappa 0 by convention
+    rows2 = [(i, 1, "z") for i in range(8)] + [(i, 2, "z") for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "item long, rater long, label string")
+    out2 = rater_agreement(df2, "item", "rater", "label", min_common=5).collect()
+    assert out2[0]["kappa_nano"] == 0 and out2[0]["n_agree"] == 8
