@@ -218,10 +218,12 @@ def winsorized_stats(
     for the bounds (same shape, sketch partials).
     """
     v = F.col(value_col)
+    # native percentile (not an f-string expr) so arbitrary column names
+    # — spaces, quotes — cannot break or inject into the parser
     bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        F.percentile(v, F.lit(lo)).alias("_lo"),
+        F.percentile(v, F.lit(hi)).alias("_hi"),
+        F.percentile(v, F.lit(0.5)).alias("_med"),
     )
     j = df.join(F.broadcast(bounds), group_col)
     clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
@@ -229,7 +231,7 @@ def winsorized_stats(
         F.count("*").alias("n"),
         F.sum(clipped.cast("decimal(38,6)")).alias("_s1"),
         F.sum((clipped * clipped).cast("decimal(38,6)")).alias("_s2"),
-        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad"),
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"),
     )
     n = F.col("n")
     s1 = F.col("_s1").cast("double")
