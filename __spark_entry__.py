@@ -2939,8 +2939,19 @@ def _q_rater_agreement(spark, sf_dir):
     )
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (low-entropy spam filter): one
+    position-explode collapsed to per-(doc, char) counts; per-class
+    terms quantized to nanos before the exact BIGINT sum."""
+    from dlt_spark.dataops.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "char_entropy": _q_char_entropy,
         "best_of_n": _q_best_of_n,
         "rater_agreement": _q_rater_agreement,
         "clustering_coeff": _q_clustering_coeff,
@@ -6272,6 +6283,28 @@ def oracle_sql() -> dict[str, str]:
         FROM obs LEFT JOIN chance
           ON obs.rater_a = chance.rater_a AND obs.rater_b = chance.rater_b
         ORDER BY obs.rater_a, obs.rater_b
+    """
+
+    sql["char_entropy"] = """
+        WITH chars AS (
+            SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM documents,
+                 LATERAL unnest(generate_series(1, length(text))) AS t(i)
+            WHERE text IS NOT NULL AND length(text) >= 1
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars
+            FROM chars GROUP BY doc_id
+        )
+        SELECT chars.doc_id, totals.n_chars,
+               CAST(SUM(CAST(round(
+                   CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   * ln(CAST(n_chars AS DOUBLE) / CAST(cnt AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_nano
+        FROM chars JOIN totals USING (doc_id)
+        GROUP BY chars.doc_id, totals.n_chars
+        ORDER BY doc_id
     """
 
     return sql

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "clustering_coeff",
     "best_of_n",
     "rater_agreement",
+    "char_entropy",
 ]
 
 

@@ -716,3 +716,40 @@ def template_groups(
         )
         .filter(F.col("n_docs") >= min_size)
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    low-entropy spam signal ("aaaa…", repeated separators, binary junk
+    pasted as text score near 0; natural language sits around 4 bits).
+
+    Returns ``(id_col, n_chars, entropy_nano)`` with entropy in NATS
+    quantized to integer nano-units: each character class contributes
+    ``(c/n) * ln(n/c)`` rounded to nanos BEFORE the sum, so the
+    aggregate is exact BIGINT arithmetic in any order — bit-identical
+    to the SQL oracle.
+
+    Scale shape: one position-explode pass reduced immediately to
+    per-(doc, char) counts (the same collapse as term frequencies);
+    cost ∝ corpus characters, one shuffle on (doc, char)."""
+    pos = F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i")
+    chars = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
+        .select(F.col(id_col), F.col(text_col).alias("_t"), pos)
+        .select(id_col, F.expr("substring(_t, _i, 1)").alias("_c"))
+        .groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    totals = chars.groupBy(id_col).agg(F.sum("_cnt").alias("n_chars"))
+    term = F.round(
+        F.col("_cnt").cast("double")
+        / F.col("n_chars").cast("double")
+        * F.log(F.col("n_chars").cast("double") / F.col("_cnt").cast("double"))
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    return (
+        chars.join(totals, id_col)
+        .groupBy(id_col, "n_chars")
+        .agg(F.sum(term).alias("entropy_nano"))
+        .select(id_col, "n_chars", "entropy_nano")
+    )

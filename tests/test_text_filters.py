@@ -144,3 +144,18 @@ def test_cross_doc_repeated_fraction(spark):
     assert out[3]["rep_pos"] == 0
     assert out[3]["repeated_frac"] == 0.0
     assert 0 < out[1]["repeated_frac"] < 1
+
+
+def test_char_entropy_orders_spam_below_language(spark):
+    from dlt_spark.dataops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaa"), (2, "abababababab"), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_nano"] == 0  # single symbol
+    # two equiprobable symbols -> ln 2
+    assert abs(out[2]["entropy_nano"] - 693_147_181) <= 12
+    assert out[3]["entropy_nano"] > out[2]["entropy_nano"] > out[1]["entropy_nano"]
+    assert out[3]["n_chars"] == 19
