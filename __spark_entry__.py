@@ -2949,8 +2949,30 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: MinHash candidate pairs ->
+    connected components -> split by CLUSTER id, so no near-duplicate
+    pair straddles train and eval (the leakage a per-doc hash split
+    cannot prevent)."""
+    from dlt_spark.dataops.dedup import connected_components, minhash_lsh_candidates
+    from dlt_spark.dataops.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        shingle_n=_MINHASH_SHINGLE,
+    )
+    comp = connected_components(pairs)
+    out = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", comp,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.orderBy("doc_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "leakage_safe_split": _q_leakage_safe_split,
         "char_entropy": _q_char_entropy,
         "best_of_n": _q_best_of_n,
         "rater_agreement": _q_rater_agreement,
@@ -6304,6 +6326,21 @@ def oracle_sql() -> dict[str, str]:
                    * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_nano
         FROM chars JOIN totals USING (doc_id)
         GROUP BY chars.doc_id, totals.n_chars
+        ORDER BY doc_id
+    """
+
+    sql["leakage_safe_split"] = f"""
+        WITH comp AS ({sql["dup_clusters"]}),
+        k AS (
+            SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS skey
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            LEFT JOIN comp ON d.doc_id = comp.id
+        )
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(sha256('split:' || CAST(k.skey AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0 < 0.8 THEN 'train'
+                    WHEN CAST(('0x' || substr(sha256('split:' || CAST(k.skey AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM k
         ORDER BY doc_id
     """
 

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "best_of_n",
     "rater_agreement",
     "char_entropy",
+    "leakage_safe_split",
 ]
 
 

@@ -299,3 +299,34 @@ def percentile_normalize(
 
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 9))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    weights: Dict[str, float],
+    salt: str = "split",
+    label_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates: rows
+    are split by their duplicate-CLUSTER id (``components`` =
+    ``(id, component)`` from
+    :func:`dlt_spark.dataops.dedup.connected_components`), so every
+    member of a near-dup cluster lands in the SAME split — the leakage
+    guard a per-document :func:`hash_split` cannot give (a train doc's
+    near-copy in the eval split inflates every metric it touches).
+
+    Rows absent from ``components`` (no duplicates found) split by
+    their own id.  One broadcast-ready left join + the same
+    sha-fraction assignment as :func:`hash_split` — deterministic under
+    any partitioning, retry, or engine."""
+    rep = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_split_key")
+    )
+    joined = df.join(rep, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("_split_key"), F.col(id_col))
+    )
+    return hash_split(joined, "_split_key", weights, salt, label_col).drop(
+        "_split_key"
+    )

@@ -135,3 +135,22 @@ def test_percentile_normalize_per_group(spark):
     assert a == [0.0, 0.5, 1.0]
     b = [r["pct"] for r in out if r["g"] == "b"]
     assert sorted(b) == [0.0, 0.0, 1.0]  # ties share percent_rank
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from dlt_spark.dataops.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # clusters: {0..9} -> comp 0, {10,11} -> comp 10
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(10 + i, 10) for i in range(2)],
+        "id long, component long",
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", comp, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert len({by_id[i] for i in range(10)}) == 1  # whole cluster together
+    assert len({by_id[i] for i in (10, 11)}) == 1
+    assert set(by_id.values()) <= {"train", "val", "test"}
+    assert len(by_id) == 40
