@@ -440,8 +440,13 @@ class Pipeline:
         load_id: str,
         boundary_timestamp: Optional[str],
     ) -> Dict[str, Any]:
-        disposition = res.write_disposition or "append"
-        strategy = res.merge_strategy or (
+        # per-table hint overrides from `mark.with_hints` items take
+        # precedence over the resource-level hints for THIS table
+        _ov = getattr(res, "table_hint_overrides", {}).get(table_name, {})
+        disposition = _ov.get("write_disposition") or res.write_disposition or "append"
+        _pk = _ov.get("primary_key") or res.primary_key
+        _mk = _ov.get("merge_key") or res.merge_key
+        strategy = _ov.get("merge_strategy") or res.merge_strategy or (
             "delete-insert" if disposition == "merge" else None
         )
         if res.incremental is not None:
@@ -452,7 +457,7 @@ class Pipeline:
         row_id_type = "random"
         if strategy == "scd2":
             row_id_type = "row_hash"
-        elif strategy in ("upsert", "insert-only") and res.primary_key:
+        elif strategy in ("upsert", "insert-only") and _pk:
             row_id_type = "key_hash"
 
         normalizer = RelationalNormalizer(
@@ -465,7 +470,7 @@ class Pipeline:
             table_name,
             load_id=load_id,
             row_id_type=row_id_type,
-            primary_key=res.primary_key,
+            primary_key=_pk,
         )
 
         root_name = self.schema.naming.normalize_table_identifier(table_name)
@@ -505,11 +510,15 @@ class Pipeline:
         for f in root_df.schema.fields:
             c = new_column(f.name, **from_spark_type(f.dataType))
             c.update(self.schema.infer_hints(f.name))  # default hints by regex
-            if res.primary_key and f.name in res.primary_key:
+            if _pk and f.name in _pk:
                 c["primary_key"] = True
-            if res.merge_key and f.name in res.merge_key:
+            if _mk and f.name in _mk:
                 c["merge_key"] = True
-            for user_col in (res.columns or {}).values() if isinstance(res.columns, dict) else []:
+            _cols = {
+                **(res.columns if isinstance(res.columns, dict) else {}),
+                **(_ov.get("columns") or {}),
+            }
+            for user_col in _cols.values():
                 if user_col.get("name") == f.name:
                     c.update(user_col)
             cols.append(c)

@@ -48,8 +48,50 @@ def with_table_name(item: Any, table_name: str) -> WithTableName:
     return WithTableName(item, table_name)
 
 
+class WithHints:
+    """Item wrapper carrying per-table load hints (reference
+    ``dlt.mark.with_hints`` + ``make_hints``, ``extract/hints.py:127``):
+    the item routes to ``hints["table_name"]`` (or the resource static
+    name) and the hints override the resource-level
+    write_disposition / primary_key / merge_key / merge_strategy for
+    THAT table at load time."""
+
+    __slots__ = ("item", "hints")
+
+    def __init__(self, item: Any, hints: dict) -> None:
+        self.item = item
+        self.hints = hints
+
+
+def make_hints(
+    table_name: "Optional[str]" = None,
+    write_disposition: "Optional[str]" = None,
+    primary_key: "Optional[Sequence[str]]" = None,
+    merge_key: "Optional[Sequence[str]]" = None,
+    merge_strategy: "Optional[str]" = None,
+    columns: "Optional[dict]" = None,
+) -> dict:
+    """Build a hints dict for :func:`with_hints` — same surface as the
+    reference ``dlt.mark.make_hints``; only non-None entries are kept."""
+    out = {
+        "table_name": table_name,
+        "write_disposition": write_disposition,
+        "primary_key": [primary_key] if isinstance(primary_key, str) else primary_key,
+        "merge_key": [merge_key] if isinstance(merge_key, str) else merge_key,
+        "merge_strategy": merge_strategy,
+        "columns": columns,
+    }
+    return {k: v for k, v in out.items() if v is not None}
+
+
+def with_hints(item: Any, hints: dict) -> WithHints:
+    return WithHints(item, hints)
+
+
 class mark:  # noqa: N801 - mirrors `dlt.mark`
     with_table_name = staticmethod(with_table_name)
+    with_hints = staticmethod(with_hints)
+    make_hints = staticmethod(make_hints)
 
 
 class DltResource:
@@ -86,6 +128,8 @@ class DltResource:
         self._limit: Optional[int] = None
         self._max_time: Optional[float] = None
         self._selected_tables: Optional[List[str]] = None
+        # per-table hint overrides collected from WithHints items
+        self.table_hint_overrides: Dict[str, dict] = {}
         if self.columns:
             self._adopt_columns_model()
 
@@ -315,7 +359,11 @@ class DltResource:
                 continue
             for out in self._apply_item_steps(item):
                 tname = self._route(out)
-                payload = out.item if isinstance(out, WithTableName) else out
+                if isinstance(out, WithHints):
+                    payload = out.item
+                    self.table_hint_overrides.setdefault(tname, {}).update(out.hints)
+                else:
+                    payload = out.item if isinstance(out, WithTableName) else out
                 if self._selected_tables and tname not in self._selected_tables:
                     continue
                 routed.setdefault(tname, []).append(payload)
@@ -342,6 +390,8 @@ class DltResource:
     def _route(self, item: Any) -> str:
         if isinstance(item, WithTableName):
             return item.table_name
+        if isinstance(item, WithHints):
+            return item.hints.get("table_name") or self._static_table_name()
         if callable(self.table_name):
             return self.table_name(item)
         return self.table_name

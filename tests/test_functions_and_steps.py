@@ -195,3 +195,37 @@ def test_apply_hints_set_and_remove():
     assert r.table_name == "t"
     assert r.write_disposition == "append"
     assert r.primary_key is None and r.merge_key is None
+
+
+def test_with_hints_routes_and_overrides_disposition(spark, tmp_path):
+    """`mark.with_hints` items: route to the hinted table and load it
+    with the hinted write_disposition/primary_key (reference
+    dlt.mark.with_hints + make_hints)."""
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource, mark
+
+    def gen():
+        yield {"id": 1, "v": "a"}
+        yield mark.with_hints(
+            {"pk": 1, "v": "x"},
+            mark.make_hints(
+                table_name="keyed", write_disposition="merge",
+                merge_strategy="upsert", primary_key="pk",
+            ),
+        )
+        yield mark.with_hints(
+            {"pk": 1, "v": "y"},  # same pk -> upsert overwrites
+            mark.make_hints(
+                table_name="keyed", write_disposition="merge",
+                merge_strategy="upsert", primary_key="pk",
+            ),
+        )
+
+    pipe = dlt_spark.pipeline("wh", str(tmp_path / "wh"), "ds", spark)
+    pipe.run(DltResource(gen, name="base"))
+    base = pipe.dataset()["base"].spark_df().collect()
+    assert [r["id"] for r in base] == [1]
+    keyed = pipe.dataset()["keyed"].spark_df().collect()
+    assert len(keyed) == 1 and keyed[0]["v"] == "y"  # upsert by pk
+    # schema recorded the hinted disposition
+    assert pipe.schema.tables["keyed"]["write_disposition"] == "merge"
