@@ -14,6 +14,7 @@ from .load.destination import CustomDestination, destination
 from .pipeline.pipeline import CannotAttachPipeline, LoadInfo, Pipeline, attach, pipeline
 from .pipeline.resources import (
     DltResource,
+    defer,
     DltSource,
     DltTransformer,
     ModelResource,
@@ -23,13 +24,36 @@ from .pipeline.resources import (
     source,
     transformer,
 )
+from .pipeline import current  # noqa: F401  (dlt.current analog)
 from .schema.schema import Schema, SchemaContractViolation
 from .session import spark_session
+
+
+def run(data, *, pipeline_name: str = "dlt_spark", destination: str = None,
+        dataset_name: str = "default", spark=None, **kwargs):
+    """Module-level ``dlt.run`` convenience (reference ``dlt/__init__.py``
+    run): build (or reuse) a pipeline and run ``data`` through it.
+    ``destination`` is the table-store root path."""
+    import tempfile
+
+    root = destination or tempfile.mkdtemp(prefix="dlt_spark_run_")
+    pipe = pipeline(pipeline_name, root, dataset_name, spark)
+    return pipe.run(data, **kwargs)
+
+
+def state():
+    """``dlt.state()`` analog: the source-scope state dict of the
+    pipeline currently executing ``run`` (persisted at commit)."""
+    return current.source_state()
 
 __version__ = "0.1.0"
 
 __all__ = [
     "spark_session",
+    "run",
+    "state",
+    "current",
+    "defer",
     "attach",
     "CannotAttachPipeline",
     "config",

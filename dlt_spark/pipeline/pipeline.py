@@ -201,10 +201,12 @@ class Pipeline:
         boundary_timestamp: Optional[str] = None,
         load_id: Optional[str] = None,
     ) -> LoadInfo:
+        from . import current as _current
         from .trace import start_trace
 
         self._active_trace = start_trace(self.pipeline_name)
         self.last_trace = self._active_trace
+        _current._push(self)
         try:
             extract_info = self.extract(
                 data,
@@ -223,6 +225,7 @@ class Pipeline:
             )
             return self.load(norm_info)
         finally:
+            _current._pop()
             self._active_trace.finished_at = (
                 self._active_trace.steps[-1].finished_at
                 if self._active_trace.steps and self._active_trace.steps[-1].finished_at

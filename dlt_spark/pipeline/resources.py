@@ -94,6 +94,53 @@ class mark:  # noqa: N801 - mirrors `dlt.mark`
     make_hints = staticmethod(make_hints)
 
 
+class _Deferred:
+    __slots__ = ("fn", "args", "kwargs")
+
+    def __init__(self, fn, args, kwargs) -> None:
+        self.fn, self.args, self.kwargs = fn, args, kwargs
+
+
+def defer(fn):
+    """``@dlt.defer`` analog (reference ``dlt/__init__.py`` defer):
+    calls return a deferred marker; the extraction loop resolves a
+    window of pending markers CONCURRENTLY in a thread pool (I/O-bound
+    per-item fetches overlap instead of serializing).  Spark-side work
+    needs no defer — tasks are already parallel; this covers the
+    driver-side generator phase the reference parallelizes with its
+    futures pool."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return _Deferred(fn, args, kwargs)
+
+    return wrapper
+
+
+def _resolve_deferred(items: "Iterable[Any]", max_workers: int = 8) -> "Iterable[Any]":
+    """Stream items, resolving runs of ``_Deferred`` markers in a shared
+    thread pool (window = ``max_workers``, order preserved)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending: List = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for it in items:
+            if isinstance(it, _Deferred):
+                pending.append(pool.submit(it.fn, *it.args, **it.kwargs))
+                if len(pending) >= max_workers:
+                    for f in pending:
+                        yield f.result()
+                    pending = []
+            else:
+                for f in pending:
+                    yield f.result()
+                pending = []
+                yield it
+        for f in pending:
+            yield f.result()
+
+
 class DltResource:
     def __init__(
         self,
@@ -302,7 +349,7 @@ class DltResource:
         if inspect.isgenerator(data) or isinstance(data, (list, tuple)) or (
             isinstance(data, Iterable) and not isinstance(data, (DataFrame, str, bytes, dict))
         ):
-            yield from data
+            yield from _resolve_deferred(data)
         else:
             yield data
 

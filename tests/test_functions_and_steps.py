@@ -229,3 +229,51 @@ def test_with_hints_routes_and_overrides_disposition(spark, tmp_path):
     assert len(keyed) == 1 and keyed[0]["v"] == "y"  # upsert by pk
     # schema recorded the hinted disposition
     assert pipe.schema.tables["keyed"]["write_disposition"] == "merge"
+
+
+def test_defer_resolves_concurrently_in_order(spark, tmp_path):
+    import threading
+    import time as _time
+
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    seen = []
+
+    @dlt_spark.defer
+    def fetch(i):
+        _time.sleep(0.2)
+        seen.append(threading.current_thread().name)
+        return {"i": i}
+
+    def gen():
+        for i in range(8):
+            yield fetch(i)
+
+    t0 = _time.time()
+    pipe = dlt_spark.pipeline("dfr", str(tmp_path / "dfr"), "ds", spark)
+    pipe.run(DltResource(gen, name="t"))
+    wall = _time.time() - t0
+    rows = sorted(r["i"] for r in pipe.dataset()["t"].spark_df().collect())
+    assert rows == list(range(8))
+    assert len({n for n in seen}) > 1  # actually ran on multiple threads
+
+
+def test_current_state_roundtrips(spark, tmp_path):
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    def gen():
+        st = dlt_spark.state()
+        st["cursor"] = st.get("cursor", 0) + 10
+        yield {"v": st["cursor"]}
+
+    pipe = dlt_spark.pipeline("cur", str(tmp_path / "cur"), "ds", spark)
+    pipe.run(DltResource(gen, name="t"))
+    pipe.run(DltResource(gen, name="t"))
+    vals = sorted(r["v"] for r in pipe.dataset()["t"].spark_df().collect())
+    assert vals == [10, 20]  # state persisted and re-read across runs
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        dlt_spark.current.pipeline()
