@@ -87,10 +87,12 @@ class Pipeline:
         max_identifier_length: int = 0,
         import_schema_path: Optional[str] = None,
         export_schema_path: Optional[str] = None,
+            progress: "Optional[str]" = None,
     ) -> None:
         from ..schema.naming import naming_from_name
 
         self.pipeline_name = pipeline_name
+        self.progress = progress
         self.dataset_name = dataset_name
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.store: TableStore = ParquetTableStore(self.spark, destination, dataset_name)
@@ -160,6 +162,18 @@ class Pipeline:
             try:
                 with TraceStep(self._active_trace, step, self.spark) as st:
                     yield st
+                if self.progress == "log":
+                    import sys as _sys
+
+                    dur = (
+                        (st.finished_at - st.started_at).total_seconds()
+                        if st.finished_at and st.started_at
+                        else 0.0
+                    )
+                    print(
+                        f"[{self.pipeline_name}] {step} done in {dur:.2f}s",
+                        file=_sys.stderr,
+                    )
             finally:
                 if owned:
                     self._active_trace.finished_at = self._active_trace.steps[-1].finished_at
@@ -641,6 +655,7 @@ def pipeline(
     max_identifier_length: int = 0,
     import_schema_path: Optional[str] = None,
     export_schema_path: Optional[str] = None,
+    progress: Optional[str] = None,
 ) -> Pipeline:
     """Pipeline factory.  ``destination`` / ``dataset_name`` omitted fall
     back to config (``pipelines.<name>.destination`` then bare keys —
@@ -661,4 +676,5 @@ def pipeline(
         naming=naming, max_identifier_length=max_identifier_length,
         import_schema_path=import_schema_path,
         export_schema_path=export_schema_path,
+        progress=progress,
     )

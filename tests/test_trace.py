@@ -61,3 +61,15 @@ def test_standalone_step_gets_own_trace(pipe):
     assert tr.finished_at is not None
     pipe.normalize()
     assert [s.step for s in pipe.last_trace.steps] == ["normalize"]
+
+
+def test_progress_log_collector(spark, tmp_path, capfd):
+    import dlt_spark
+
+    pipe = dlt_spark.pipeline(
+        "prg", str(tmp_path / "prg"), "ds", spark, progress="log"
+    )
+    pipe.run([{"a": 1}], table_name="t")
+    err = capfd.readouterr().err
+    assert "[prg] extract done" in err
+    assert "[prg] load done" in err
