@@ -2970,8 +2970,28 @@ def _q_leakage_safe_split(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def _q_label_spread(spark, sf_dir):
+    """Semi-supervised label spreading: 20% seed lang labels propagate
+    to unlabeled near-dup neighbors over the MinHash candidate graph
+    (clamped seeds, integer majority votes, total-ordered ties)."""
+    from dlt_spark.dataops.graph import label_propagation
+    from dlt_spark.dataops.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("lang")).alias("label"),
+    )
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        shingle_n=_MINHASH_SHINGLE,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return label_propagation(labels, pairs, iters=2).orderBy("id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "label_spread": _q_label_spread,
         "leakage_safe_split": _q_leakage_safe_split,
         "char_entropy": _q_char_entropy,
         "best_of_n": _q_best_of_n,
@@ -6343,5 +6363,46 @@ def oracle_sql() -> dict[str, str]:
         FROM k
         ORDER BY doc_id
     """
+
+    _lp_it = """
+        v{k} AS (
+            SELECT e.s AS id, c.l AS nl, CAST(count(*) AS BIGINT) AS n
+            FROM edges e JOIN l{p} c ON e.d = c.id
+            WHERE c.l IS NOT NULL GROUP BY 1, 2
+        ), b{k} AS (
+            SELECT id, nl FROM (
+                SELECT id, nl, row_number() OVER (
+                    PARTITION BY id ORDER BY n DESC, nl ASC
+                ) AS rn FROM v{k}
+            ) WHERE rn = 1
+        ), l{k} AS (
+            SELECT s.id, coalesce(s.seed, b{k}.nl, l{p}.l) AS l
+            FROM seeds s
+            LEFT JOIN b{k} ON s.id = b{k}.id
+            LEFT JOIN l{p} ON s.id = l{p}.id
+        )"""
+    sql["label_spread"] = (
+        f"""
+        WITH cand AS ({sql["dedup_minhash_lsh"]}),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM cand
+            UNION
+            SELECT id_b AS s, id_a AS d FROM cand
+        ),
+        seeds AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 5 = 0 THEN lang END AS seed
+            FROM documents WHERE doc_id < 300
+        ),
+        l0 AS (SELECT id, seed AS l FROM seeds),"""
+        + _lp_it.format(k=1, p=0)
+        + ","
+        + _lp_it.format(k=2, p=1)
+        + """
+        SELECT s.id, l2.l AS label, s.seed IS NOT NULL AS is_seed
+        FROM seeds s JOIN l2 ON s.id = l2.id
+        ORDER BY s.id
+    """
+    )
 
     return sql

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "rater_agreement",
     "char_entropy",
     "leakage_safe_split",
+    "label_spread",
 ]
 
 

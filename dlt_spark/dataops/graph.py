@@ -317,3 +317,82 @@ def clustering_coefficient(
         .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
         .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
     )
+
+
+def label_propagation(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-supervised label spreading over an undirected graph: seed
+    labels stay clamped; each round every node adopts the MAJORITY
+    label among its labeled neighbors (ties -> smallest label; a node
+    with no labeled neighbors keeps its previous label).  The curation
+    use case: spread a small set of human quality/domain labels to
+    unlabeled near-duplicate / similarity neighbors.
+
+    ``labels`` is ``(id_col, label_col)`` with NULL for unlabeled rows.
+    Returns ``(id, label, is_seed)``; after ``iters`` rounds unreached
+    nodes keep NULL.  Deterministic and engine-exact: votes are integer
+    counts, tie-breaks total-ordered, no floats anywhere.
+
+    Scale shape: per iteration one edge-to-labels join + one grouped
+    vote count + a WindowGroupLimit majority pick — pagerank's cost
+    profile; lineage truncated per round."""
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeds = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_seed")
+    ).localCheckpoint(eager=False)
+    nodes = seeds.select("id")
+    cur = seeds.select("id", F.col("_seed").alias("_l"))
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        votes = (
+            e.join(
+                cur.filter(F.col("_l").isNotNull()).select(
+                    F.col("id").alias("_d"), F.col("_l").alias("_nl")
+                ),
+                "_d",
+            )
+            .groupBy(F.col("_s").alias("id"), F.col("_nl"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("_n").desc(), F.col("_nl").asc())
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("_nl").alias("_best"))
+        )
+        cur = (
+            nodes.join(seeds, "id", "left")
+            .join(best, "id", "left")
+            .join(cur.select("id", F.col("_l").alias("_prev")), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_seed"), F.col("_best"), F.col("_prev")).alias("_l"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.join(seeds, "id")
+        .select(
+            "id",
+            F.col("_l").alias(label_col),
+            F.col("_seed").isNotNull().alias("is_seed"),
+        )
+    )

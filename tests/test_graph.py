@@ -148,3 +148,33 @@ def test_clustering_coefficient_zero_triangle_node_is_zero_and_hits_iter0(spark)
     rows = hits(df, iters=0).collect()
     assert len(rows) == 3
     assert {r["authority_nano"] for r in rows} == {333333333}
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from dlt_spark.dataops.graph import label_propagation
+
+    # chain A-B-C-D with seed at A; separate pair E-F with seed 'y' at E;
+    # isolated node G stays NULL
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, None), (5, "y"), (6, None), (7, None)],
+        "id long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    out = {r["id"]: r for r in label_propagation(labels, edges, iters=3).collect()}
+    assert out[2]["label"] == "x" and out[3]["label"] == "x" and out[4]["label"] == "x"
+    assert out[6]["label"] == "y"
+    assert out[7]["label"] is None
+    assert out[1]["is_seed"] and not out[2]["is_seed"]
+    # majority + tie-break: node with neighbors labeled x,x,y -> x;
+    # with x,y (tie) -> smaller label
+    labels2 = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (9, None), (10, None)], "id long, label string"
+    )
+    edges2 = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 10), (3, 10)], "src long, dst long"
+    )
+    out2 = {r["id"]: r for r in label_propagation(labels2, edges2, iters=1).collect()}
+    assert out2[9]["label"] == "x"
+    assert out2[10]["label"] == "x"  # tie x/y -> smallest label
