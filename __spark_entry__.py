@@ -3183,7 +3183,34 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
         for n in rows:
             last_checked[n] = max(last_checked.get(n, 0), rnd)
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_checked.get(n, -1), idx[n]))
+    # VERDICT r3 item #1: these 35 names were externally verified only by
+    # the judge's local gate — they claim the window before anything else
+    # until a CORRECTNESS file shows the driver has covered them
+    backlog = [
+        "curate_corpus", "stats_summary", "dup_clusters",
+        "repetition_signals", "pii_redaction", "remove_boilerplate",
+        "hash_split", "gopher_filter", "decontamination",
+        "sequence_packing", "stratified_sample", "topk_per_group",
+        "tpch_q5", "pivot_agg", "dedup_incremental", "per_source_cap",
+        "hll_distinct", "ivf_topk", "quality_probe", "incremental_rollup",
+        "video_frame_sample", "value_histogram", "profile_table",
+        "interval_join", "dedup_containment", "event_deltas",
+        "cross_doc_repetition", "chunk_documents", "sample_exact_k",
+        "tpch_q6", "tpch_q10", "corpus_mix", "event_funnel",
+        "quality_tiers", "clean_text",
+    ]
+    prio = {n: i for i, n in enumerate(backlog)}
+    # tiers: (0) backlog not yet driver-checked, (1) other never-checked
+    # oldest-registered first (registry dict is newest-first), then
+    # (2) checked entries oldest-round-first as regression rotation
+    def key(n):
+        if n in prio and n not in last_checked:
+            return (0, prio[n], 0)
+        if n not in last_checked:
+            return (1, -idx[n], 0)
+        return (2, last_checked[n], idx[n])
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
