@@ -2989,8 +2989,27 @@ def _q_label_spread(spark, sf_dir):
     return label_propagation(labels, pairs, iters=2).orderBy("id")
 
 
+def _q_ab_welch(spark, sf_dir):
+    """Experimentation readout: Welch's t between hash-assigned variants
+    of the event stream per event_type — decimal-exact moments, fixed
+    double op order, nano-quantized t and Welch dof."""
+    from dlt_spark.dataops.profiling import ab_welch_test
+    from dlt_spark.dataops.sampling import hash_fraction
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    hf = hash_fraction(F.col("user_id"), "ab")
+    assigned = ev.withColumn(
+        "variant",
+        F.when(hf < 1.0 / 3, "a").when(hf < 2.0 / 3, "b").otherwise("c"),
+    )
+    return ab_welch_test(
+        assigned, "variant", "value", group_cols=["event_type"], control="a"
+    ).orderBy("event_type", "variant")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ab_welch": _q_ab_welch,
         "label_spread": _q_label_spread,
         "leakage_safe_split": _q_leakage_safe_split,
         "char_entropy": _q_char_entropy,
@@ -6431,5 +6450,47 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s.id
     """
     )
+
+    sql["ab_welch"] = """
+        WITH assigned AS (
+            SELECT event_type, value,
+                   CASE WHEN CAST(('0x' || substr(sha256('ab:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0 < 1.0/3 THEN 'a'
+                        WHEN CAST(('0x' || substr(sha256('ab:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0 < 2.0/3 THEN 'b'
+                        ELSE 'c' END AS variant
+            FROM events
+        ), stats AS (
+            SELECT event_type, variant,
+                   CAST(count(value) AS BIGINT) AS n,
+                   SUM(CAST(value AS DECIMAL(38,6))) AS s1,
+                   SUM(CAST(value * value AS DECIMAL(38,6))) AS s2
+            FROM assigned GROUP BY 1, 2
+        ), c AS (
+            SELECT event_type, n AS n_c, s1 AS s1_c, s2 AS s2_c
+            FROM stats WHERE variant = 'a'
+        ), j AS (
+            SELECT s.event_type, s.variant, c.n_c, s.n AS n_v,
+                   CAST(c.s1_c AS DOUBLE) / CAST(c.n_c AS DOUBLE) AS m1,
+                   CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS m2,
+                   (CAST(c.s2_c AS DOUBLE) - CAST(c.s1_c AS DOUBLE)
+                        * (CAST(c.s1_c AS DOUBLE) / CAST(c.n_c AS DOUBLE)))
+                       / (CAST(c.n_c AS DOUBLE) - 1) / CAST(c.n_c AS DOUBLE) AS se1,
+                   (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE)
+                        * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                       / (CAST(s.n AS DOUBLE) - 1) / CAST(s.n AS DOUBLE) AS se2
+            FROM stats s JOIN c ON s.event_type = c.event_type
+            WHERE s.variant <> 'a' AND c.n_c >= 2 AND s.n >= 2
+        )
+        SELECT event_type, variant, n_c, n_v,
+               round(m1, 6) AS mean_c,
+               round(m2, 6) AS mean_v,
+               round(m2 - m1, 6) AS uplift,
+               CAST(round((m2 - m1) / sqrt(se1 + se2) * 1000000000.0) AS BIGINT) AS t_nano,
+               CAST(round((se1 + se2) * (se1 + se2)
+                   / (se1 * se1 / (CAST(n_c AS DOUBLE) - 1)
+                      + se2 * se2 / (CAST(n_v AS DOUBLE) - 1))
+                   * 1000000000.0) AS BIGINT) AS dof_nano
+        FROM j
+        ORDER BY event_type, variant
+    """
 
     return sql

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "leakage_safe_split",
     "label_spread",
+    "ab_welch",
 ]
 
 

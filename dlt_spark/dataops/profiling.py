@@ -245,3 +245,73 @@ def winsorized_stats(
         ),
         F.round(F.col("_mad"), decimals).alias("mad"),
     ).orderBy(group_col)
+
+
+def ab_welch_test(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    control: Optional[str] = None,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between every variant and the
+    control — the experimentation readout (uplift + significance) over
+    event streams.
+
+    Returns one row per (group, variant != control): ``(…group, variant,
+    n_c, n_v, mean_c, mean_v, uplift, t_nano, dof_nano)`` with the t
+    statistic and Welch–Satterthwaite degrees of freedom quantized to
+    integer nanos.  ``control`` defaults to the lexicographically
+    smallest variant.
+
+    Engine-exact: per-variant moments are DECIMAL sums (order-
+    independent); means/variances/t derive from those exact sums with a
+    fixed double op order, then quantize — reproducible in SQL.  One
+    grouped aggregation over the events + a broadcast self-join of the
+    tiny per-variant stats table."""
+    gcols = list(group_cols or [])
+    v = F.col(value_col)
+    stats = df.groupBy(*gcols, F.col(variant_col).alias("variant")).agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).alias("s2"),
+    )
+    if control is None:
+        ctl_pick = stats.groupBy(*gcols).agg(F.min("variant").alias("_ctl"))
+        stats_c = stats.join(
+            F.broadcast(ctl_pick), gcols if gcols else None
+        ).filter(F.col("variant") == F.col("_ctl"))
+    else:
+        stats_c = stats.filter(F.col("variant") == control)
+    c = stats_c.select(
+        *gcols,
+        F.col("n").alias("n_c"),
+        F.col("s1").alias("s1_c"),
+        F.col("s2").alias("s2_c"),
+        F.col("variant").alias("_ctl_name"),
+    )
+    joined = (
+        stats.join(F.broadcast(c), gcols if gcols else None)
+        .filter(F.col("variant") != F.col("_ctl_name"))
+    )
+    n1, n2 = F.col("n_c").cast("double"), F.col("n").cast("double")
+    m1 = F.col("s1_c").cast("double") / n1
+    m2 = F.col("s1").cast("double") / n2
+    var1 = (F.col("s2_c").cast("double") - F.col("s1_c").cast("double") * m1) / (n1 - 1)
+    var2 = (F.col("s2").cast("double") - F.col("s1").cast("double") * m2) / (n2 - 1)
+    se1, se2 = var1 / n1, var2 / n2
+    t = (m2 - m1) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    return joined.filter((F.col("n_c") >= 2) & (F.col("n") >= 2)).select(
+        *gcols,
+        "variant",
+        F.col("n_c"),
+        F.col("n").alias("n_v"),
+        F.round(m1, 6).alias("mean_c"),
+        F.round(m2, 6).alias("mean_v"),
+        F.round(m2 - m1, 6).alias("uplift"),
+        F.round(t * F.lit(1000000000.0)).cast("bigint").alias("t_nano"),
+        F.round(dof * F.lit(1000000000.0)).cast("bigint").alias("dof_nano"),
+    )

@@ -146,3 +146,27 @@ def test_random_projection_preserves_distances(spark):
     again = {x["vec_id"]: x["rp_embedding"]
              for x in random_projection(df.repartition(5), 64, 16).collect()}
     assert again == proj
+
+
+def test_ab_welch_matches_reference_formula(spark):
+    import math
+
+    from dlt_spark.dataops.profiling import ab_welch_test
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b = [14.0, 15.0, 13.5, 16.0, 14.5, 15.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "variant string, value double")
+    out = ab_welch_test(df, "variant", "value", control="a").collect()
+    assert len(out) == 1
+    r = out[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se = va / len(a) + vb / len(b)
+    t = (mb - ma) / math.sqrt(se)
+    dof = se * se / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert abs(r["t_nano"] / 1e9 - t) < 1e-6
+    assert abs(r["dof_nano"] / 1e9 - dof) < 1e-6
+    assert abs(r["uplift"] - round(mb - ma, 6)) < 1e-9
+    assert r["n_c"] == 5 and r["n_v"] == 6
