@@ -618,6 +618,9 @@ def build_dedup_index(
     buckets = minhash_buckets(
         nn, id_col, text_col, num_hashes, bands, shingle_n, use_arrow
     )
+    # stamp the hash-family params so dedup_against can refuse an index
+    # built with a different recipe (silently-wrong buckets otherwise)
+    buckets._dlt_index_params = (num_hashes, bands, shingle_n)
     return fp, buckets
 
 
@@ -703,6 +706,14 @@ def dedup_against(
     # candidate ids the bucket join surfaces)
     nb = minhash_buckets(new, id_col, text_col, num_hashes, bands, shingle_n, use_arrow)
     if ref_index is not None:
+        stamped = getattr(ref_index[1], "_dlt_index_params", None)
+        if stamped is not None and stamped != (num_hashes, bands, shingle_n):
+            raise ValueError(
+                f"ref_index was built with (num_hashes, bands, shingle_n)="
+                f"{stamped}, but dedup_against was called with "
+                f"{(num_hashes, bands, shingle_n)} — bucket joins would be"
+                " silently wrong; rebuild the index or pass matching params"
+            )
         rb = ref_index[1].select("_id", "_bucket")
     else:
         rb = minhash_buckets(

@@ -396,3 +396,15 @@ def test_cell_representatives_caps_and_orders(spark):
         assert ranks == [1, 2]
         top = min(v, key=lambda r: r["rep_rank"])
         assert top["centrality"] == max(r["centrality"] for r in v)
+
+
+def test_dedup_against_rejects_mismatched_index_params(spark):
+    import pytest
+
+    from dlt_spark.dataops.dedup import build_dedup_index, dedup_against
+
+    ref = spark.createDataFrame([(1, "some reference text body here")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "entirely new text")], "doc_id long, text string")
+    idx = build_dedup_index(ref, "doc_id", "text", shingle_n=3)
+    with pytest.raises(ValueError, match="hash"):
+        dedup_against(new, ref, "doc_id", "text", shingle_n=5, ref_index=idx)
