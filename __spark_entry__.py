@@ -3007,8 +3007,19 @@ def _q_ab_welch(spark, sf_dir):
     ).orderBy("event_type", "variant")
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """word2vec-style skip-gram co-occurrence counts (±2 window): pairs
+    from per-offset array self-zips — pure codegen Column work, fan-out
+    exactly tokens x window, no self-join."""
+    from dlt_spark.dataops.assoc import skipgram_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return skipgram_counts(docs, "doc_id", "text", window=2, min_count=20, top_k=100)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "skipgram_pairs": _q_skipgram_pairs,
         "ab_welch": _q_ab_welch,
         "label_spread": _q_label_spread,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -6491,6 +6502,30 @@ def oracle_sql() -> dict[str, str]:
                    * 1000000000.0) AS BIGINT) AS dof_nano
         FROM j
         ORDER BY event_type, variant
+    """
+
+    sql["skipgram_pairs"] = """
+        WITH arr AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL
+              AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+        ), pairs AS (
+            SELECT least(t[i], t[i + 1]) AS token_a,
+                   greatest(t[i], t[i + 1]) AS token_b
+            FROM arr, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+            UNION ALL
+            SELECT least(t[i], t[i + 2]), greatest(t[i], t[i + 2])
+            FROM arr, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+            WHERE len(t) > 2
+        )
+        SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS n
+        FROM pairs
+        WHERE token_a <> '' AND token_b <> ''
+        GROUP BY 1, 2
+        HAVING count(*) >= 20
+        ORDER BY n DESC, token_a, token_b
+        LIMIT 100
     """
 
     return sql

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "label_spread",
     "ab_welch",
+    "skipgram_pairs",
 ]
 
 

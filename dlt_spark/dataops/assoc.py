@@ -85,3 +85,55 @@ def token_pmi(
         .orderBy(F.col("npmi_nano").desc(), "token_a", "token_b")
         .limit(top_k)
     )
+
+
+def skipgram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    top_k: int = 200,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts within a ±``window`` token
+    distance — the word2vec/GloVe preprocessing statistic.  Returns the
+    ``top_k`` unordered pairs ``(token_a, token_b, n)`` with
+    ``n >= min_count`` (ties break on the pair).
+
+    Scale design: pairs are generated per offset ``d`` by zipping each
+    document's token array with itself shifted ``d`` — pure Column work
+    (slice + arrays_zip + explode), NO self-join and no positions
+    table; total fan-out is exactly ``tokens × window``, independent of
+    document count skew.  One shuffle on the pair key; TakeOrdered for
+    the top-k cut."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+    )
+    branches = []
+    for d in range(1, window + 1):
+        n_pairs = F.size("_t") - d
+        z = F.arrays_zip(
+            F.slice(F.col("_t"), 1, F.greatest(n_pairs, F.lit(0))),
+            F.slice(F.col("_t"), d + 1, F.greatest(n_pairs, F.lit(0))),
+        )
+        branches.append(
+            base.filter(F.size("_t") > d)
+            .select(F.explode(z).alias("_p"))
+            .select(
+                F.least(F.col("_p.0"), F.col("_p.1")).alias("token_a"),
+                F.greatest(F.col("_p.0"), F.col("_p.1")).alias("token_b"),
+            )
+        )
+    pairs = branches[0]
+    for b in branches[1:]:
+        pairs = pairs.unionAll(b)
+    counted = (
+        pairs.filter((F.col("token_a") != "") & (F.col("token_b") != ""))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counted.orderBy(F.col("n").desc(), "token_a", "token_b").limit(top_k)

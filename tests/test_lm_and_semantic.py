@@ -251,3 +251,23 @@ def test_token_pmi_finds_collocation(spark):
     assert r["n_ab"] == 10
     # perfect within-corpus association but not corpus-wide -> npmi < 1
     assert 0 < r["npmi_nano"] <= 1_000_000_000
+
+
+def test_skipgram_counts_window_semantics(spark):
+    from dlt_spark.dataops.assoc import skipgram_counts
+
+    df = spark.createDataFrame([(1, "a b c a b")], "id long, text string")
+    out = {
+        (r["token_a"], r["token_b"]): r["n"]
+        for r in skipgram_counts(df, "id", "text", window=2, min_count=1, top_k=10).collect()
+    }
+    # offsets 1: (a,b)(b,c)(c,a)(a,b); offset 2: (a,c)(b,a)(c,b)
+    assert out[("a", "b")] == 3
+    assert out[("a", "c")] == 2
+    assert out[("b", "c")] == 2
+    # window=1 drops the distance-2 pairs
+    out1 = {
+        (r["token_a"], r["token_b"]): r["n"]
+        for r in skipgram_counts(df, "id", "text", window=1, min_count=1, top_k=10).collect()
+    }
+    assert out1 == {("a", "b"): 2, ("b", "c"): 1, ("a", "c"): 1}
