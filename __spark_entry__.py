@@ -3017,8 +3017,22 @@ def _q_skipgram_pairs(spark, sf_dir):
     return skipgram_counts(docs, "doc_id", "text", window=2, min_count=20, top_k=100)
 
 
+def _q_decayed_engagement(spark, sf_dir):
+    """Freshness-weighted per-user engagement: exponentially decayed
+    value sums back from a fixed reference instant (half-life 7 days);
+    per-row decay terms nano-quantized before the exact BIGINT sum."""
+    from dlt_spark.dataops.timeseries import decayed_sum
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return decayed_sum(
+        ev, ["user_id"], "ts", "value", "2024-04-01 00:00:00",
+        half_life_hours=168.0,
+    ).orderBy("user_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "decayed_engagement": _q_decayed_engagement,
         "skipgram_pairs": _q_skipgram_pairs,
         "ab_welch": _q_ab_welch,
         "label_spread": _q_label_spread,
@@ -6526,6 +6540,19 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= 20
         ORDER BY n DESC, token_a, token_b
         LIMIT 100
+    """
+
+    sql["decayed_engagement"] = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * pow(0.5,
+                   (CAST(epoch_ms(TIMESTAMP '2024-04-01 00:00:00') AS DOUBLE)
+                    - CAST(epoch_ms(ts) AS DOUBLE)) / 3600000.0 / 168.0)
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_nano
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
     """
 
     return sql

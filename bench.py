@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "label_spread",
     "ab_welch",
     "skipgram_pairs",
+    "decayed_engagement",
 ]
 
 

@@ -185,3 +185,36 @@ def trend_slopes(
         )
         .orderBy(key_col)
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    reference_ts: str,
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """Exponentially time-decayed per-key aggregate: ``score = sum_i
+    value_i * 0.5^(age_i / half_life)`` with age measured back from an
+    EXPLICIT ``reference_ts`` (ISO string — passed in, never "now", so
+    results are reproducible).  The freshness-weighted engagement /
+    sampling-priority primitive.
+
+    Returns ``(…key_cols, n_events, score_nano)``.  Each row's decayed
+    term is quantized to integer nanos BEFORE the sum, so the per-key
+    aggregate is exact BIGINT arithmetic in any order — engine-exact.
+
+    Scale shape: pure Column decay inside the scan, one grouped
+    aggregation — nothing else."""
+    ref_ms = F.unix_millis(F.to_timestamp(F.lit(reference_ts)))
+    age_h = (ref_ms - F.unix_millis(F.col(ts_col))).cast("double") / F.lit(3600000.0)
+    decay = F.pow(F.lit(0.5), age_h / F.lit(float(half_life_hours)))
+    term = F.round(F.col(value_col).cast("double") * decay * F.lit(1000000000.0)).cast(
+        "bigint"
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(term).alias("score_nano"))
+    )

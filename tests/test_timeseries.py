@@ -62,3 +62,27 @@ def test_rolling_anomalies_window_is_trailing(spark):
            rolling_anomalies(df, "k", window=3).collect()}
     assert out[7]["mean_n"] == 1.0             # days 5-7 all count 1
     assert out[8]["mean_n"] > 30
+
+
+def test_decayed_sum_half_life(spark):
+    import datetime as dt
+
+    from dlt_spark.dataops.timeseries import decayed_sum
+
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),                                  # age 0 -> weight 1
+        (1, t0 - dt.timedelta(hours=24), 10.0),         # one half-life -> 0.5
+        (1, t0 - dt.timedelta(hours=48), 10.0),         # two -> 0.25
+        (2, t0, 4.0),
+        (2, None, 99.0),                                 # null ts dropped
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        r["k"]: r
+        for r in decayed_sum(df, ["k"], "ts", "v", "2024-01-02 00:00:00",
+                             half_life_hours=24.0).collect()
+    }
+    assert out[1]["n_events"] == 3
+    assert abs(out[1]["score_nano"] - 17_500_000_000) <= 3
+    assert out[2]["n_events"] == 1 and out[2]["score_nano"] == 4_000_000_000
