@@ -53,18 +53,21 @@ def binary_auc(
     scored = hist.withColumn(
         "_cum_neg_below", F.coalesce(F.sum("_nn").over(w), F.lit(0))
     )
+    auc = F.round(
+        (
+            F.sum(F.col("_np") * F.col("_cum_neg_below")).cast("double")
+            + F.sum(F.col("_np") * F.col("_nn")).cast("double") / 2.0
+        )
+        / (F.sum("_np").cast("double") * F.sum("_nn").cast("double")),
+        decimals,
+    )
+    # single-class input has no ranking pairs: report NULL explicitly
+    # instead of a 0/0 NaN leaking into downstream comparisons
     return scored.agg(
         F.sum("_np").alias("n_pos"),
         F.sum("_nn").alias("n_neg"),
-        F.round(
-            (
-                F.sum(F.col("_np") * F.col("_cum_neg_below")).cast("double")
-                + F.sum(F.col("_np") * F.col("_nn")).cast("double") / 2.0
-            )
-            / (
-                F.sum("_np").cast("double") * F.sum("_nn").cast("double")
-            ),
-            decimals,
+        F.when(
+            (F.sum("_np") > 0) & (F.sum("_nn") > 0), auc
         ).alias("auc"),
     )
 

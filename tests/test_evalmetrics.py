@@ -86,3 +86,12 @@ def test_pool_embeddings_exact_means(spark):
     assert {k: v["pooled"] for k, v in again.items()} == {
         k: v["pooled"] for k, v in out.items()
     }
+
+
+def test_binary_auc_single_class_is_null_not_nan(spark):
+    from dlt_spark.dataops.evalmetrics import binary_auc
+
+    df = spark.createDataFrame([(0.2, 1), (0.9, 1)], "s double, y int")
+    row = binary_auc(df, "s", "y").collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 0
+    assert row["auc"] is None
