@@ -3245,13 +3245,15 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
     ]
     prio = {n: i for i, n in enumerate(backlog)}
     # tiers: (0) backlog not yet driver-checked, (1) other never-checked
-    # oldest-registered first (registry dict is newest-first), then
-    # (2) checked entries oldest-round-first as regression rotation
+    # NEWEST-registered first (the registry dict is newest-first, so the
+    # code most in need of external verification — this round's new
+    # queries — fills the remaining window slots), then (2) checked
+    # entries oldest-round-first as regression rotation
     def key(n):
         if n in prio and n not in last_checked:
             return (0, prio[n], 0)
         if n not in last_checked:
-            return (1, -idx[n], 0)
+            return (1, idx[n], 0)
         return (2, last_checked[n], idx[n])
 
     return sorted(names, key=key)

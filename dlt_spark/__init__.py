@@ -33,10 +33,16 @@ def run(data, *, pipeline_name: str = "dlt_spark", destination: str = None,
         dataset_name: str = "default", spark=None, **kwargs):
     """Module-level ``dlt.run`` convenience (reference ``dlt/__init__.py``
     run): build (or reuse) a pipeline and run ``data`` through it.
-    ``destination`` is the table-store root path."""
+    ``destination`` is the table-store root path; when omitted, a STABLE
+    per-``pipeline_name`` directory under the system temp dir is used so
+    repeated calls attach to the same store (state, schema, and loaded
+    data accumulate — the reference's named-pipeline reuse)."""
+    import os
     import tempfile
 
-    root = destination or tempfile.mkdtemp(prefix="dlt_spark_run_")
+    root = destination or os.path.join(
+        tempfile.gettempdir(), f"dlt_spark_{pipeline_name}"
+    )
     pipe = pipeline(pipeline_name, root, dataset_name, spark)
     return pipe.run(data, **kwargs)
 

@@ -106,6 +106,8 @@ def skipgram_counts(
     table; total fan-out is exactly ``tokens × window``, independent of
     document count skew.  One shuffle on the pair key; TakeOrdered for
     the top-k cut."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = (
         df.filter(F.col(text_col).isNotNull())

@@ -99,26 +99,12 @@ def pagerank(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Global triangle census of an undirected graph: one row
-    ``(n_nodes, n_edges, n_wedges, n_triangles)``.
-
-    Scale design — the standard degree-ordered orientation (node-
-    iterator++): every undirected edge is oriented from its lower
-    ``(degree, id)`` endpoint to the higher, which bounds each node's
-    out-degree by O(sqrt(m)) regardless of skew (a celebrity node's
-    star generates NO wedges at the celebrity because all its edges
-    point INTO it).  Triangles are then wedges (two out-edges of one
-    node) semi-matched against the oriented edge set:
-
-    - canonicalize + distinct: one shuffle;
-    - degrees: one aggregation over the exploded endpoints;
-    - wedge join and closing-edge join shuffle on node / edge keys with
-      the orientation bound capping fan-out.
-
-    Counts are plain BIGINTs — exact, order-independent, reproducible
-    in ANSI SQL.
-    """
+def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
+    """Shared degree-ordered-orientation core for the triangle family:
+    returns ``(und, deg, oriented, wedges)`` — canonical undirected
+    edges, per-node degrees, edges oriented low->high ``(degree, id)``
+    (bounding out-degree by O(sqrt(m)) under any skew), and the wedge
+    table ``(u, v, w)`` with ``(v, w)`` in orientation order."""
     a, b = F.col(src), F.col(dst)
     und = (
         edges.filter(a != b)
@@ -131,6 +117,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     e = (
         und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
@@ -150,14 +137,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
-    ).select("v", F.col("w2").alias("w"))
+    ).select("u", "v", F.col("w2").alias("w"))
+    return und, deg, oriented, wedges
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    Scale design — the standard degree-ordered orientation (node-
+    iterator++, shared core :func:`_oriented_wedges`): every undirected
+    edge is oriented from its lower ``(degree, id)`` endpoint to the
+    higher, which bounds each node's out-degree by O(sqrt(m)) regardless
+    of skew (a celebrity node's star generates NO wedges at the celebrity
+    because all its edges point INTO it).  Triangles are wedges (two
+    out-edges of one node) matched against the oriented edge set; ONE
+    pass over the wedge table yields both counts via a LEFT-join match
+    flag (the oriented edges are distinct, so no row multiplication).
+
+    Counts are plain BIGINTs — exact, order-independent, reproducible
+    in ANSI SQL.
+    """
+    und, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_closed")
     )
-    # LEFT join against the (distinct) oriented edges marks each wedge
-    # closed/open without multiplying rows, so ONE pass over the wedge
-    # table yields both the wedge and the triangle count (a semi-join
-    # variant scanned the — potentially huge — wedge table twice)
     marked = wedges.join(closing, ["v", "w"], "left")
     wt = marked.agg(
         F.count(F.lit(1)).alias("n_wedges"),
@@ -259,45 +263,13 @@ def clustering_coefficient(
     the link-farm / community-density signal (spam neighborhoods are
     dense; organic hubs are sparse).
 
-    Same degree-ordered-orientation core as :func:`triangle_count`, but
+    Shares :func:`_oriented_wedges` with :func:`triangle_count`, but
     each closed wedge keeps its full ``(u, v, w)`` triple so every
     triangle credits all three corners (one explode + one count).  The
     coefficient is integer-nano via exact BIGINT ratio — reproducible
     in SQL.  Isolated and degree-1 nodes report coefficient 0.
     """
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
-    )
-    e = (
-        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), "a")
-        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), "b")
-    )
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = e.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=False)
-    e2 = oriented.select(
-        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
-    )
-    wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
-    ).select("u", "v", F.col("w2").alias("w"))
+    _, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["v", "w"], "left_semi")
     per_node = (
@@ -305,6 +277,7 @@ def clustering_coefficient(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    deg_named = deg.select("id", F.col("deg").alias("degree"))
     coeff = F.when(
         F.col("degree") >= 2,
         F.expr("(2 * triangles * 1000000000L) div (degree * (degree - 1))"),
@@ -313,7 +286,7 @@ def clustering_coefficient(
     # degree>=2 node with no triangles would otherwise propagate the
     # left-join NULL through the div and report NULL instead of 0
     return (
-        deg.join(per_node, "id", "left")
+        deg_named.join(per_node, "id", "left")
         .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
         .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
     )

@@ -134,6 +134,28 @@ def lsh_topk(
 # ----------------------------------------------------------- IVF-flat
 
 
+def _assign_cells(
+    frame: DataFrame, vec_col: str, centroids: list, keep_centrality: bool = False
+) -> DataFrame:
+    """Shared centroid assignment: all centroid cosines land in ONE
+    array column so each is evaluated once — a when-chain argmax
+    re-inlines every (interpreted, higher-order-function) cosine into
+    the nested branches and blows the expression tree up combinatorially
+    (measured ~6x slower at 8 centroids).  ``array_position`` of the max
+    takes the FIRST hit, preserving smallest-index tie-breaks.  With
+    ``keep_centrality`` the max cosine survives as ``_ivf_cos_max``."""
+    from .dedup import cosine_sim
+
+    cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
+    out = frame.withColumn("_ivf_cos", cos_arr).withColumn(
+        "_ivf_cell",
+        (F.array_position(F.col("_ivf_cos"), F.array_max(F.col("_ivf_cos"))) - 1).cast("int"),
+    )
+    if keep_centrality:
+        out = out.withColumn("_ivf_cos_max", F.array_max(F.col("_ivf_cos")))
+    return out.drop("_ivf_cos")
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -169,21 +191,7 @@ def ivf_index(
     centroids = [list(map(float, sample_rows[i][0])) for i in range(num_centroids)]
 
     def assign(frame: DataFrame) -> DataFrame:
-        # all centroid cosines land in ONE array column so each is
-        # evaluated once — a when-chain argmax re-inlines every
-        # (interpreted, higher-order-function) cosine into the nested
-        # branches and blows the expression tree up combinatorially
-        # (measured ~6x slower at 8 centroids).  array_position of the
-        # max takes the FIRST hit, preserving smallest-index tie-breaks.
-        cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
-        return (
-            frame.withColumn("_ivf_cos", cos_arr)
-            .withColumn(
-                "_ivf_cell",
-                (F.array_position(F.col("_ivf_cos"), F.array_max(F.col("_ivf_cos"))) - 1).cast("int"),
-            )
-            .drop("_ivf_cos")
-        )
+        return _assign_cells(frame, vec_col, centroids)
 
     for _ in range(iters):
         assigned = assign(df)
@@ -657,15 +665,11 @@ def cell_representatives(
     from pyspark.sql import Window
 
     _, centroids = ivf_index(df, id_col, vec_col, num_centroids, iters=0, seed=seed)
-    cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
     assigned = (
-        df.withColumn("_cos", cos_arr)
-        .withColumn(
-            "cell",
-            (F.array_position(F.col("_cos"), F.array_max(F.col("_cos"))) - 1).cast("int"),
-        )
-        .withColumn("centrality", F.round(F.array_max(F.col("_cos")), 6))
-        .drop("_cos")
+        _assign_cells(df, vec_col, centroids, keep_centrality=True)
+        .withColumnRenamed("_ivf_cell", "cell")
+        .withColumn("centrality", F.round(F.col("_ivf_cos_max"), 6))
+        .drop("_ivf_cos_max")
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("centrality").desc(), F.col(id_col).asc()

@@ -207,6 +207,14 @@ def decayed_sum(
 
     Scale shape: pure Column decay inside the scan, one grouped
     aggregation — nothing else."""
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(reference_ts)
+    except ValueError as ex:
+        raise ValueError(
+            f"reference_ts {reference_ts!r} is not an ISO timestamp"
+        ) from ex
     ref_ms = F.unix_millis(F.to_timestamp(F.lit(reference_ts)))
     age_h = (ref_ms - F.unix_millis(F.col(ts_col))).cast("double") / F.lit(3600000.0)
     decay = F.pow(F.lit(0.5), age_h / F.lit(float(half_life_hours)))

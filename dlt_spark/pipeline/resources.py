@@ -365,6 +365,10 @@ class DltResource:
         if callable(data) and not isinstance(data, DataFrame):
             data = data()
 
+        # per-extraction: stale per-table hints from a previous run must
+        # not leak into a run whose items carry different (or no) hints
+        self.table_hint_overrides = {}
+
         if isinstance(data, DataFrame):
             return {self._static_table_name(): self._apply_df_steps(data)}
         try:

@@ -372,7 +372,27 @@ def _sync_dedup_index(
     store = pipe.store
     have: set = set()
     if mk_table in store.list_tables():
-        have = {r["_load_id"] for r in store.read(mk_table).collect()}
+        mk_rows = store.read(mk_table).collect()
+        have = {r["_load_id"] for r in mk_rows}
+        # the hash family is PERSISTED with every marker: an index built
+        # with different params must never silently band-join against
+        # new-batch buckets (restarting with changed num_hashes would
+        # otherwise drop the near-dup layer to ~zero candidates)
+        stored = {
+            (r["num_hashes"], r["bands"], r["shingle_n"])
+            for r in mk_rows
+            if "num_hashes" in r.asDict()
+        }
+        want = (
+            idx_params["num_hashes"], idx_params["bands"], idx_params["shingle_n"]
+        )
+        if stored and stored != {want}:
+            raise ValueError(
+                f"persisted dedup index for {table_name!r} was built with"
+                f" (num_hashes, bands, shingle_n) in {sorted(stored)} but this"
+                f" stream is configured with {want}; drop the"
+                f" {fp_table}/{bk_table}/{mk_table} tables to rebuild"
+            )
     # candidate lids come from pipeline METADATA (tiny), not a corpus
     # scan; lids that loaded other tables yield empty generations plus a
     # marker, so each is reconciled exactly once
@@ -384,12 +404,27 @@ def _sync_dedup_index(
     if missing:
         data = store.read(table_name)
         for lid in missing:
+            # a crash may have left PARTIAL generations for this lid
+            # (fp appended, no marker): drop them first so the re-sign
+            # is idempotent — duplicate bucket rows would multiply the
+            # candidate-join fan-out on every later batch
+            for t in (fp_table, bk_table):
+                if t in store.list_tables():
+                    existing = store.read(t)
+                    if existing.filter(F.col("_load_id") == lid).limit(1).count():
+                        store.overwrite(
+                            existing.filter(F.col("_load_id") != lid), t
+                        )
             rows = data.filter(F.col("_dlt_load_id") == lid).select(id_col, text_col)
             _append_index_generation(pipe, rows, lid, fp_table, bk_table, mk_table, id_col, text_col, idx_params)
-    return (
-        store.read(fp_table).select("_fp"),
-        store.read(bk_table).select("_id", "_bucket"),
+    fp = store.read(fp_table).select("_fp")
+    bk = store.read(bk_table).select("_id", "_bucket")
+    # re-stamp the hash family so dedup_against's same-process guard
+    # also fires for the persisted path
+    bk._dlt_index_params = (
+        idx_params["num_hashes"], idx_params["bands"], idx_params["shingle_n"]
     )
+    return fp, bk
 
 
 def _append_index_generation(
@@ -412,7 +447,15 @@ def _append_index_generation(
     fp, bk = build_dedup_index(rows, id_col, text_col, **idx_params)
     pipe.store.append(fp.withColumn("_load_id", F.lit(lid)), fp_table)
     pipe.store.append(bk.withColumn("_load_id", F.lit(lid)), bk_table)
-    pipe.store.append_rows([{"_load_id": lid}], mk_table)
+    pipe.store.append_rows(
+        [{
+            "_load_id": lid,
+            "num_hashes": idx_params["num_hashes"],
+            "bands": idx_params["bands"],
+            "shingle_n": idx_params["shingle_n"],
+        }],
+        mk_table,
+    )
 
 
 def dedup_ingest(
@@ -494,17 +537,29 @@ def dedup_ingest(
                 fresh, ref, id_col, text_col,
                 jaccard_threshold=jaccard_threshold, ref_index=idx, **dedup_kwargs,
             )
+        # dedup_against persists its input and exposes the handle for
+        # the caller to release — a long-running stream must not leak
+        # one cached batch per micro-batch
+        to_release = list(getattr(fresh, "_dlt_persisted", []))
         if use_index:
             # pin the survivors once: the SAME materialized rows feed the
             # load AND the index signing — no post-commit corpus re-scan,
             # and the index provably matches what was committed
             fresh = fresh.localCheckpoint(eager=True)
-        pipe.run(fresh, table_name=table_name, load_id=lid)
-        if use_index:
-            _append_index_generation(
-                pipe, fresh.select(id_col, text_col), lid,
-                fp_table, bk_table, mk_table, id_col, text_col, idx_params,
-            )
+            to_release.append(fresh)
+        try:
+            pipe.run(fresh, table_name=table_name, load_id=lid)
+            if use_index:
+                _append_index_generation(
+                    pipe, fresh.select(id_col, text_col), lid,
+                    fp_table, bk_table, mk_table, id_col, text_col, idx_params,
+                )
+        finally:
+            for h in to_release:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
