@@ -3030,8 +3030,19 @@ def _q_decayed_engagement(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def _q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day: one reduction to
+    distinct (day, user) then a bounded window-explode — no range
+    self-join, cost ∝ pairs x 7."""
+    from dlt_spark.dataops.timeseries import rolling_distinct
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id")
+    return rolling_distinct(ev, "ts", "user_id", window_days=7).orderBy("day")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rolling_active_users": _q_rolling_active_users,
         "decayed_engagement": _q_decayed_engagement,
         "skipgram_pairs": _q_skipgram_pairs,
         "ab_welch": _q_ab_welch,
@@ -6555,6 +6566,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts IS NOT NULL AND value IS NOT NULL
         GROUP BY user_id
         ORDER BY user_id
+    """
+
+    sql["rolling_active_users"] = """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), per_day AS (
+            SELECT d AS day, CAST(count(*) AS BIGINT) AS day_distinct
+            FROM pairs GROUP BY d
+        ), contrib AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS rolling_distinct FROM (
+                SELECT DISTINCT p.d + CAST(o AS INTEGER) AS day, p.k
+                FROM pairs p, LATERAL unnest(generate_series(0, 6)) AS t(o)
+            ) GROUP BY day
+        )
+        SELECT per_day.day, per_day.day_distinct, contrib.rolling_distinct
+        FROM per_day JOIN contrib ON per_day.day = contrib.day
+        ORDER BY per_day.day
     """
 
     return sql

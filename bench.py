@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "ab_welch",
     "skipgram_pairs",
     "decayed_engagement",
+    "rolling_active_users",
 ]
 
 

@@ -226,3 +226,50 @@ def decayed_sum(
         .groupBy(*[F.col(c) for c in key_cols])
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(term).alias("score_nano"))
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct counts per day (e.g. rolling 7-day
+    active users) — the metric a naive per-day `COUNT(DISTINCT)` over a
+    range self-join makes quadratic.
+
+    Scale shape: reduce ONCE to distinct ``(day, key)``; each such pair
+    contributes to the ``window_days`` target days it is visible in
+    (one bounded explode), then one distinct + one count per target
+    day — total cost ∝ |day-key pairs| × window, no self-join, no
+    per-day rescan.  Exact integer counts.
+
+    Returns ``(day, day_distinct, rolling_distinct)`` for every day
+    present in the data; the trailing window covers days
+    ``[day - window_days + 1, day]``."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.to_date(F.col(ts_col))
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(day.alias("_day"), F.col(key_col).alias("_k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_day = pairs.groupBy(F.col("_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("day_distinct")
+    )
+    contrib = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_o"),
+            "_day",
+            "_k",
+        )
+        .select(F.date_add(F.col("_day"), F.col("_o")).alias("day"), "_k")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("rolling_distinct"))
+    )
+    return per_day.join(contrib, "day").select(
+        "day", "day_distinct", "rolling_distinct"
+    )

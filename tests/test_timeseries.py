@@ -86,3 +86,29 @@ def test_decayed_sum_half_life(spark):
     assert out[1]["n_events"] == 3
     assert abs(out[1]["score_nano"] - 17_500_000_000) <= 3
     assert out[2]["n_events"] == 1 and out[2]["score_nano"] == 4_000_000_000
+
+
+def test_rolling_distinct_window_semantics(spark):
+    import datetime as dt
+
+    from dlt_spark.dataops.timeseries import rolling_distinct
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        (dt.datetime.combine(d, dt.time(1)), 1),
+        (dt.datetime.combine(d, dt.time(2)), 1),   # dup same day
+        (dt.datetime.combine(d, dt.time(3)), 2),
+        (dt.datetime.combine(d + dt.timedelta(days=1), dt.time(1)), 1),
+        (dt.datetime.combine(d + dt.timedelta(days=3), dt.time(1)), 3),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {r["day"]: r for r in rolling_distinct(df, "ts", "user_id", window_days=2).collect()}
+    assert out[d]["day_distinct"] == 2 and out[d]["rolling_distinct"] == 2
+    d1 = d + dt.timedelta(days=1)
+    # day1 window = {day0, day1}: users {1,2} from day0 plus {1} -> 2
+    assert out[d1]["day_distinct"] == 1 and out[d1]["rolling_distinct"] == 2
+    d3 = d + dt.timedelta(days=3)
+    # day3 window = {day2, day3}: only user 3
+    assert out[d3]["rolling_distinct"] == 1
+    # day2 has no events -> not emitted
+    assert (d + dt.timedelta(days=2)) not in out
