@@ -298,3 +298,22 @@ def test_conversations_reuse_user_partitioning(spark):
     plan = _plan(entry._q_conversations(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_distinct_no_range_self_join(spark):
+    """Rolling distinct must be explode + aggregations — never a range
+    self-join (no CartesianProduct / non-equi BroadcastNestedLoop)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_rolling_active_users(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_label_spread_no_python_in_iterations(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._q_label_spread(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
