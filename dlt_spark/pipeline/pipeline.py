@@ -552,13 +552,34 @@ class Pipeline:
         if enforced is None:
             return {"schema": registered, "__tables__": {}}
         tables[root_name] = enforced
+        # nested (child-table) hints: keys may be the nested path
+        # relative to the root ("items", "items__sub") or the full
+        # normalized child table name (reference make_hints nested_hints)
+        nested = {}
+        for k, v in (getattr(res, "nested_hints", None) or {}).items():
+            kn = self.schema.naming.normalize_path(k)
+            nested[kn] = v
+            nested[f"{root_name}__{kn}"] = v
         for child_name, child_df in list(tables.items()):
             if child_name == root_name:
                 continue
+            ch = nested.get(child_name, {})
+            ch_pk = ch.get("primary_key") or []
+            ch_pk = [ch_pk] if isinstance(ch_pk, str) else list(ch_pk)
+            ch_mk = ch.get("merge_key") or []
+            ch_mk = [ch_mk] if isinstance(ch_mk, str) else list(ch_mk)
+            ch_cols = ch.get("columns") or {}
             child_cols = []
             for f in child_df.schema.fields:
                 cc = new_column(f.name, **from_spark_type(f.dataType))
                 cc.update(self.schema.infer_hints(f.name))
+                if f.name in ch_pk:
+                    cc["primary_key"] = True
+                if f.name in ch_mk:
+                    cc["merge_key"] = True
+                for user_col in ch_cols.values():
+                    if user_col.get("name") == f.name:
+                        cc.update(user_col)
                 child_cols.append(cc)
             self.schema.update_table(
                 new_table(child_name, parent=root_name, columns=child_cols)

@@ -156,6 +156,7 @@ class DltResource:
         max_table_nesting: Optional[int] = None,
         parallelized: bool = False,
         selected: bool = True,
+        nested_hints: Optional[dict] = None,
     ) -> None:
         self._data = data
         self.name = name
@@ -170,6 +171,11 @@ class DltResource:
         self.max_table_nesting = max_table_nesting
         self.parallelized = parallelized
         self.selected = selected
+        # per-child-table hints keyed by nested path ("items" or
+        # "items__sub") or full child table name (reference
+        # ``make_hints(nested_hints=...)``, hints.py:127): supported
+        # keys per child: columns, primary_key, merge_key
+        self.nested_hints = nested_hints or {}
         self._item_steps: List = []  # driver-side per-item steps
         self._df_steps: List[Callable[[DataFrame], DataFrame]] = []
         self._limit: Optional[int] = None
@@ -212,6 +218,7 @@ class DltResource:
         incremental: Optional[Incremental] = None,
         merge_strategy: Optional[str] = None,
         max_table_nesting: Optional[int] = None,
+        nested_hints: Optional[dict] = None,
     ) -> "DltResource":
         """Set or modify load hints after creation (reference
         ``extract/hints.py:395 apply_hints``): ``None`` leaves the
@@ -236,6 +243,8 @@ class DltResource:
             self.merge_strategy = merge_strategy or None
         if max_table_nesting is not None:
             self.max_table_nesting = max_table_nesting
+        if nested_hints is not None:
+            self.nested_hints = nested_hints or {}
         return self
 
     # -- pipe steps (reference resource.py:327-447) --

@@ -50,3 +50,29 @@ def test_sort_hint_clusters_written_files(spark, tmp_path):
     for f in files:
         ts = pq.read_table(f.replace("file:", ""), columns=["ts"])["ts"].to_pylist()
         assert ts == sorted(ts)  # rows clustered within every file
+
+
+def test_nested_hints_mark_child_table_keys(spark, tmp_path):
+    """nested_hints (reference make_hints nested_hints): child tables
+    get primary_key / column hints by nested path."""
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    data = [
+        {"id": 1, "Items": [{"sku": "a", "qty": 1}, {"sku": "b", "qty": 2}]},
+    ]
+    res = DltResource(
+        data, name="orders", primary_key="id",
+        nested_hints={"Items": {
+            "primary_key": "sku",
+            "columns": {"qty": {"name": "qty", "x_unit": "each"}},
+        }},
+    )
+    pipe = dlt_spark.pipeline("nh", str(tmp_path / "nh"), "ds", spark)
+    pipe.run(res)
+    child = pipe.schema.tables["orders__items"]
+    cols = {c["name"]: c for c in child["columns"]} if isinstance(child["columns"], list) else child["columns"]
+    sku = cols["sku"] if isinstance(cols, dict) else None
+    assert (sku or [c for c in child["columns"] if c["name"] == "sku"][0])["primary_key"] is True
+    qty = cols["qty"] if isinstance(cols, dict) else [c for c in child["columns"] if c["name"] == "qty"][0]
+    assert qty["x_unit"] == "each"
