@@ -203,6 +203,13 @@ class Relation:
         # any table -> loads by _dlt_load_id
         if C_DLT_LOAD_ID in lcols and "load_id" in rcols:
             return (C_DLT_LOAD_ID, "load_id")
+        # declared table references (make_hints(references=...)) beat the
+        # natural-key fallback: the schema records (columns ->
+        # referenced_table.referenced_columns); single-column refs fit
+        # the (left, right) link form
+        ref = self._declared_reference(other)
+        if ref is not None:
+            return ref
         # fall back to shared natural keys (e.g. *_nationkey TPC-H style)
         shared = [c for c in self._df.columns if c in rcols and not c.startswith("_dlt_")]
         if shared:
@@ -210,6 +217,29 @@ class Relation:
         raise ValueError(
             f"cannot derive join condition between {self.name!r} and {other.name!r};"
             " pass on=..."
+        )
+
+
+    def _declared_reference(self, other: "Relation"):
+        """Single-column declared reference between self and other (in
+        either direction), from the schema's ``references`` table hint."""
+        schema = getattr(self._dataset, "schema", None) if self._dataset else None
+        if schema is None:
+            return None
+
+        def _find(src_name, dst_name, flip):
+            tbl = schema.tables.get(src_name) or {}
+            for r in tbl.get("references") or []:
+                if r.get("referenced_table") != dst_name:
+                    continue
+                cols = r.get("columns") or []
+                rcols = r.get("referenced_columns") or []
+                if len(cols) == 1 and len(rcols) == 1:
+                    return (rcols[0], cols[0]) if flip else (cols[0], rcols[0])
+            return None
+
+        return _find(self.name, other.name, False) or _find(
+            other.name, self.name, True
         )
 
     # -- load-visibility helpers (reference relation.py:590-621) --

@@ -539,10 +539,12 @@ class Pipeline:
                 if user_col.get("name") == f.name:
                     c.update(user_col)
             cols.append(c)
+        refs = _ov.get("references") or getattr(res, "references", None) or None
         tbl = new_table(
             root_name,
             write_disposition=disposition,
             columns=cols,
+            references=refs,
             x_merge_strategy=strategy,
             x_boundary_timestamp=boundary_timestamp,
             resource=res.name,

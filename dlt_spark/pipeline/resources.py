@@ -70,6 +70,7 @@ def make_hints(
     merge_key: "Optional[Sequence[str]]" = None,
     merge_strategy: "Optional[str]" = None,
     columns: "Optional[dict]" = None,
+    references: "Optional[list]" = None,
 ) -> dict:
     """Build a hints dict for :func:`with_hints` — same surface as the
     reference ``dlt.mark.make_hints``; only non-None entries are kept."""
@@ -80,6 +81,7 @@ def make_hints(
         "merge_key": [merge_key] if isinstance(merge_key, str) else merge_key,
         "merge_strategy": merge_strategy,
         "columns": columns,
+        "references": references,
     }
     return {k: v for k, v in out.items() if v is not None}
 
@@ -157,6 +159,7 @@ class DltResource:
         parallelized: bool = False,
         selected: bool = True,
         nested_hints: Optional[dict] = None,
+        references: Optional[list] = None,
     ) -> None:
         self._data = data
         self.name = name
@@ -176,6 +179,10 @@ class DltResource:
         # ``make_hints(nested_hints=...)``, hints.py:127): supported
         # keys per child: columns, primary_key, merge_key
         self.nested_hints = nested_hints or {}
+        # declared table references (FK metadata the read path's join
+        # derivation and the dq `references` check consume) — reference
+        # ``make_hints(references=...)``, schema/typing.py:335
+        self.references = references or []
         self._item_steps: List = []  # driver-side per-item steps
         self._df_steps: List[Callable[[DataFrame], DataFrame]] = []
         self._limit: Optional[int] = None
@@ -219,6 +226,7 @@ class DltResource:
         merge_strategy: Optional[str] = None,
         max_table_nesting: Optional[int] = None,
         nested_hints: Optional[dict] = None,
+        references: Optional[list] = None,
     ) -> "DltResource":
         """Set or modify load hints after creation (reference
         ``extract/hints.py:395 apply_hints``): ``None`` leaves the
@@ -245,6 +253,8 @@ class DltResource:
             self.max_table_nesting = max_table_nesting
         if nested_hints is not None:
             self.nested_hints = nested_hints or {}
+        if references is not None:
+            self.references = references or []
         return self
 
     # -- pipe steps (reference resource.py:327-447) --

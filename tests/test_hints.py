@@ -76,3 +76,29 @@ def test_nested_hints_mark_child_table_keys(spark, tmp_path):
     assert (sku or [c for c in child["columns"] if c["name"] == "sku"][0])["primary_key"] is True
     qty = cols["qty"] if isinstance(cols, dict) else [c for c in child["columns"] if c["name"] == "qty"][0]
     assert qty["x_unit"] == "each"
+
+
+def test_declared_references_drive_join_derivation(spark, tmp_path):
+    """make_hints(references=...): a declared FK wins over the shared-
+    natural-key fallback when deriving a Relation join."""
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    pipe = dlt_spark.pipeline("refs", str(tmp_path / "refs"), "ds", spark)
+    pipe.run(DltResource([{"id": 10, "name": "acme"}], name="customers"))
+    pipe.run(DltResource(
+        [{"oid": 1, "cust": 10, "name": "o1"}, {"oid": 2, "cust": 99, "name": "o2"}],
+        name="orders",
+        references=[{
+            "referenced_table": "customers",
+            "columns": ["cust"],
+            "referenced_columns": ["id"],
+        }],
+    ))
+    assert pipe.schema.tables["orders"]["references"][0]["referenced_table"] == "customers"
+    ds = pipe.dataset()
+    # both tables share a 'name' column: without the declared reference
+    # the fallback would wrongly join on it
+    joined = ds["orders"].join(ds["customers"], kind="inner", alias="c")
+    rows = joined.spark_df().collect()
+    assert len(rows) == 1 and rows[0]["oid"] == 1
