@@ -3040,8 +3040,26 @@ def _q_rolling_active_users(spark, sf_dir):
     return rolling_distinct(ev, "ts", "user_id", window_days=7).orderBy("day")
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Corpus release diff between two simulated snapshots (v1 = docs
+    0..399; v2 = docs 100..499 with every 7th doc's text edited): one
+    full-outer fingerprint join + one conditional aggregation."""
+    from dlt_spark.dataops.profiling import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "corpus_diff": _q_corpus_diff,
         "rolling_active_users": _q_rolling_active_users,
         "decayed_engagement": _q_decayed_engagement,
         "skipgram_pairs": _q_skipgram_pairs,
@@ -6584,6 +6602,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT per_day.day, per_day.day_distinct, contrib.rolling_distinct
         FROM per_day JOIN contrib ON per_day.day = contrib.day
         ORDER BY per_day.day
+    """
+
+    sql["corpus_diff"] = """
+        WITH old AS (
+            SELECT doc_id, sha256(text) AS f FROM documents WHERE doc_id < 400
+        ), new AS (
+            SELECT doc_id,
+                   sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                               ELSE text END) AS f
+            FROM documents WHERE doc_id >= 100
+        )
+        SELECT CAST(SUM(CASE WHEN old.f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN new.f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN old.f IS NOT NULL AND new.f IS NOT NULL
+                              AND old.f <> new.f THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN old.f = new.f THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     """
 
     return sql

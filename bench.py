@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "skipgram_pairs",
     "decayed_engagement",
     "rolling_active_users",
+    "corpus_diff",
 ]
 
 

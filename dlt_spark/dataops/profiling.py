@@ -315,3 +315,43 @@ def ab_welch_test(
         F.round(t * F.lit(1000000000.0)).cast("bigint").alias("t_nano"),
         F.round(dof * F.lit(1000000000.0)).cast("bigint").alias("dof_nano"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus release diff: one row ``(n_added, n_removed, n_changed,
+    n_unchanged)`` comparing two snapshots by id + content fingerprint —
+    the "what changed between corpus v1 and v2" release-notes /
+    retraining-trigger summary.
+
+    One full-outer join on the id key with sha256 content fingerprints
+    compared join-local; a single conditional aggregation — no
+    row-level collect, counts exact."""
+    from .text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("_id"), fingerprint(F.col(text_col)).alias("_fo")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), fingerprint(F.col(text_col)).alias("_fn")
+    )
+    j = o.join(n, "_id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_fo").isNull(), 1).otherwise(0)).cast("bigint").alias("n_added"),
+        F.sum(F.when(F.col("_fn").isNull(), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("_fo").isNotNull()
+                & F.col("_fn").isNotNull()
+                & (F.col("_fo") != F.col("_fn")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changed"),
+        F.sum(
+            F.when(F.col("_fo") == F.col("_fn"), 1).otherwise(0)
+        ).cast("bigint").alias("n_unchanged"),
+    )

@@ -408,3 +408,16 @@ def test_dedup_against_rejects_mismatched_index_params(spark):
     idx = build_dedup_index(ref, "doc_id", "text", shingle_n=3)
     with pytest.raises(ValueError, match="hash"):
         dedup_against(new, ref, "doc_id", "text", shingle_n=5, ref_index=idx)
+
+
+def test_snapshot_diff_counts(spark):
+    from dlt_spark.dataops.profiling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-changed"), (4, "d")], "id long, text string"
+    )
+    r = snapshot_diff(old, new, "id", "text").collect()[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (1, 1, 1, 1)
