@@ -3057,8 +3057,22 @@ def _q_corpus_diff(spark, sf_dir):
     return snapshot_diff(old, new, "doc_id", "text")
 
 
+def _q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase splits exactly
+    1e6 micro-units of credit equally over the touches in its journey
+    (remainder to the first touch) — integer-exact, one per-user window
+    pass, no self-join."""
+    from dlt_spark.dataops.attribution import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "ts", "event_id", ["purchase"], ["click", "view"]
+    ).orderBy("touch_type")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "linear_attribution": _q_linear_attribution,
         "corpus_diff": _q_corpus_diff,
         "rolling_active_users": _q_rolling_active_users,
         "decayed_engagement": _q_decayed_engagement,
@@ -6619,6 +6633,43 @@ def oracle_sql() -> dict[str, str]:
                               AND old.f <> new.f THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
                CAST(SUM(CASE WHEN old.f = new.f THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """
+
+    sql["linear_attribution"] = """
+        WITH stream AS (
+            SELECT user_id AS u, ts, event_id AS id, event_type AS t,
+                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+            FROM events WHERE event_type IN ('purchase', 'click', 'view')
+        ), numbered AS (
+            SELECT *, CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY u ORDER BY ts ASC, kind ASC, id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS convs
+            FROM stream
+        ), jn AS (
+            SELECT *, CASE WHEN kind = 0 THEN convs - 1 ELSE convs END AS j
+            FROM numbered
+        ), credited AS (
+            SELECT tt.* FROM (SELECT * FROM jn WHERE kind = 1) tt
+            WHERE EXISTS (
+                SELECT 1 FROM jn c
+                WHERE c.kind = 0 AND c.u = tt.u AND c.j = tt.j
+            )
+        ), sized AS (
+            SELECT *, CAST(count(*) OVER (PARTITION BY u, j) AS BIGINT) AS n,
+                   row_number() OVER (
+                       PARTITION BY u, j ORDER BY ts ASC, kind ASC, id ASC
+                   ) AS rn
+            FROM credited
+        )
+        SELECT t AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT (u, j)) AS BIGINT) AS n_journeys,
+               CAST(SUM(CASE WHEN rn = 1
+                    THEN (1000000 // n) + (1000000 - n * (1000000 // n))
+                    ELSE 1000000 // n END) AS BIGINT) AS credit_micro
+        FROM sized GROUP BY t
+        ORDER BY touch_type
     """
 
     return sql

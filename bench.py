@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "rolling_active_users",
     "corpus_diff",
+    "linear_attribution",
 ]
 
 

@@ -421,3 +421,37 @@ def test_snapshot_diff_counts(spark):
     )
     r = snapshot_diff(old, new, "id", "text").collect()[0]
     assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (1, 1, 1, 1)
+
+
+def test_linear_attribution_credit_is_exact(spark):
+    import datetime as dt
+
+    from dlt_spark.dataops.attribution import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(minute, eid, typ, user=1):
+        return (user, t0 + dt.timedelta(minutes=minute), eid, typ)
+
+    rows = [
+        # journey 1: click, view, view -> purchase (3 touches)
+        e(0, 1, "click"), e(1, 2, "view"), e(2, 3, "view"), e(3, 4, "purchase"),
+        # journey 2: click -> purchase (1 touch)
+        e(4, 5, "click"), e(5, 6, "purchase"),
+        # trailing touch with no conversion: no credit
+        e(6, 7, "view"),
+        # conversion with no touches: contributes nothing to any type
+        e(0, 8, "purchase", user=2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["touch_type"]: r for r in linear_attribution(
+        df, "user_id", "ts", "event_id", ["purchase"], ["click", "view"]
+    ).collect()}
+    # journey 1 splits 1e6 over 3 (click first gets remainder 1):
+    # click: 333334 + journey2's full 1000000
+    assert out["click"]["credit_micro"] == 333_334 + 1_000_000
+    assert out["view"]["credit_micro"] == 2 * 333_333
+    assert out["click"]["n_touches"] == 2 and out["view"]["n_touches"] == 2
+    assert out["click"]["n_journeys"] == 2 and out["view"]["n_journeys"] == 1
+    total = sum(r["credit_micro"] for r in out.values())
+    assert total == 2_000_000  # exactly 1e6 per converted journey
