@@ -110,6 +110,38 @@ class Dataset:
         return Relation(out, "row_counts", dataset=self)
 
 
+    def optimize(
+        self,
+        table: str,
+        zorder_by: "Optional[List[str]]" = None,
+        num_files: int = 32,
+        vacuum: bool = True,
+    ) -> None:
+        """Table maintenance in one call — the Delta ``OPTIMIZE
+        [ZORDER BY]`` + ``VACUUM`` analog on the parquet store:
+
+        - with ``zorder_by``, rewrite the table clustered along the
+          Morton curve of those columns (manifest then prunes files on
+          ANY of them — multi-dimensional data skipping);
+        - otherwise fold the accumulated append generations into
+          ``num_files`` partitions (small-file compaction);
+        - ``vacuum`` drops unreferenced version directories afterwards.
+        """
+        if zorder_by:
+            from ..store.zorder import zorder as _zorder
+
+            df = self.store.read(table)
+            self.store.overwrite(
+                _zorder(df, zorder_by, num_files=num_files),
+                table,
+                sort_by=list(zorder_by),
+            )
+        else:
+            self.store.compact(table, target_partitions=num_files)
+        if vacuum and hasattr(self.store, "vacuum"):
+            self.store.vacuum(table)
+
+
 def dataset(
     destination: str,
     dataset_name: str = "default",

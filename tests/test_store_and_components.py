@@ -298,3 +298,31 @@ def test_zorder_all_null_column_is_constant_not_crash(spark):
     assert ranges["y"] == (None, None)
     out = df.withColumn("z", zorder_key(ranges)).collect()
     assert len(out) == 10 and all(r["z"] is not None for r in out)
+
+
+def test_dataset_optimize_compacts_and_zorders(spark, tmp_path):
+    """Dataset.optimize: append-generation folding, zorder rewrite with
+    manifest skipping on both clustered columns, vacuum of old dirs."""
+    import os
+
+    import dlt_spark
+    from pyspark.sql import functions as F
+
+    pipe = dlt_spark.pipeline("opt", str(tmp_path / "opt"), "ds", spark)
+    for batch in range(4):
+        rows = [{"a": batch * 25 + i, "b": (i * 7) % 100, "v": i} for i in range(25)]
+        pipe.run(rows, table_name="t")
+    ds = pipe.dataset()
+    assert ds["t"].row_count() == 100
+
+    # compaction folds the four append dirs
+    ds.optimize("t", num_files=2)
+    assert ds["t"].row_count() == 100
+
+    # zorder rewrite enables file skipping on BOTH columns
+    ds.optimize("t", zorder_by=["a", "b"], num_files=8)
+    assert ds["t"].row_count() == 100
+    total_a, after_a = pipe.store.skipped_files("t", [("a", 90, None)])
+    total_b, after_b = pipe.store.skipped_files("t", [("b", 90, None)])
+    assert total_a == total_b == 8
+    assert after_a < total_a and after_b < total_b  # both dims prune
