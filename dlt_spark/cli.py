@@ -109,6 +109,20 @@ def cmd_drop(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """`pipeline <name> optimize --table t [--zorder a,b]` — compaction
+    / Z-order rewrite + vacuum via Dataset.optimize."""
+    if not args.table:
+        print("optimize requires --table", file=sys.stderr)
+        return 1
+    pipe = _attach(args)
+    zcols = [c for c in (args.zorder or "").split(",") if c]
+    pipe.dataset().optimize(args.table, zorder_by=zcols or None)
+    mode = f"zorder by {zcols}" if zcols else "compacted"
+    print(f"optimized {args.table}: {mode}")
+    return 0
+
+
 COMMANDS = {
     "info": cmd_info,
     "loads": cmd_loads,
@@ -116,6 +130,7 @@ COMMANDS = {
     "schema": cmd_schema,
     "state": cmd_state,
     "drop": cmd_drop,
+    "optimize": cmd_optimize,
 }
 
 
@@ -128,6 +143,8 @@ def main(argv=None) -> int:
     pipe.add_argument("--destination", required=True)
     pipe.add_argument("--dataset", default="default")
     pipe.add_argument("--yes", action="store_true", help="confirm destructive ops")
+    pipe.add_argument("--table", default=None, help="table for optimize")
+    pipe.add_argument("--zorder", default=None, help="comma-separated zorder columns")
     args = ap.parse_args(argv)
     return COMMANDS[args.cmd](args)
 

@@ -44,3 +44,20 @@ def test_cli_drop_requires_yes(loaded, capsys):
         "pipeline", "clip", "drop", "--destination", loaded, "--dataset", "ds", "--yes"
     ]) == 0
     assert "dropped" in capsys.readouterr().out
+
+
+def test_cli_optimize(spark, tmp_path, capsys):
+    import dlt_spark
+    from dlt_spark.cli import main
+
+    pipe = dlt_spark.pipeline("cliopt", str(tmp_path / "c"), "ds", spark)
+    for _ in range(3):
+        pipe.run([{"a": i, "v": i * 2} for i in range(10)], table_name="t")
+    rc = main([
+        "pipeline", "cliopt", "optimize",
+        "--destination", str(tmp_path / "c"), "--dataset", "ds",
+        "--table", "t",
+    ])
+    assert rc == 0
+    assert "optimized t" in capsys.readouterr().out
+    assert pipe.dataset()["t"].row_count() == 30
