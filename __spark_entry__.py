@@ -3070,8 +3070,25 @@ def _q_linear_attribution(spark, sf_dir):
     ).orderBy("touch_type")
 
 
+def _q_length_batches(spark, sf_dir):
+    """Length-bucketed dynamic batching (padding-waste control): codegen
+    CASE bucket assignment + one per-bucket window over sha order —
+    deterministic under any partitioning, integer arithmetic only."""
+    from dlt_spark.dataops.packing import length_buckets
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_toks"),
+    )
+    return length_buckets(
+        toks, "doc_id", "n_toks", [16, 32, 64], batch_tokens=256
+    ).orderBy("id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "length_batches": _q_length_batches,
         "linear_attribution": _q_linear_attribution,
         "corpus_diff": _q_corpus_diff,
         "rolling_active_users": _q_rolling_active_users,
@@ -6670,6 +6687,35 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 1000000 // n END) AS BIGINT) AS credit_micro
         FROM sized GROUP BY t
         ORDER BY touch_type
+    """
+
+    sql["length_batches"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+        ), b AS (
+            SELECT id, n_tokens,
+                   CAST(CASE WHEN n_tokens <= 16 THEN 0
+                             WHEN n_tokens <= 32 THEN 1
+                             ELSE 2 END AS INTEGER) AS bucket,
+                   CAST(CASE WHEN n_tokens <= 16 THEN 16
+                             WHEN n_tokens <= 32 THEN 32
+                             ELSE 64 END AS BIGINT) AS cap,
+                   CAST(('0x' || substr(sha256('lenbatch:' || CAST(id AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS h
+            FROM base
+        ), r AS (
+            SELECT id, n_tokens, bucket, cap,
+                   CAST(row_number() OVER (
+                       PARTITION BY bucket ORDER BY h ASC, id ASC
+                   ) - 1 AS BIGINT) AS r0
+            FROM b
+        )
+        SELECT id, n_tokens, bucket, cap,
+               r0 // greatest(256 // cap, 1) AS batch_in_bucket
+        FROM r ORDER BY id
     """
 
     return sql

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "corpus_diff",
     "linear_attribution",
+    "length_batches",
 ]
 
 

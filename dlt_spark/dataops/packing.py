@@ -94,3 +94,61 @@ def sequences_needed(packed: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("tokens"),
         (F.max(F.col("end_seq") % _SEQ_SHIFT) + 1).alias("sequences"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    boundaries: "list[int]",
+    batch_tokens: int = 16384,
+    salt: str = "lenbatch",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the dynamic-batching step that
+    keeps padding waste bounded: documents are grouped into buckets by
+    token length (``boundaries`` = inclusive upper edges; longer docs
+    land in an overflow bucket capped at the max boundary by
+    truncation-at-train-time convention), and each bucket is cut into
+    batches of ``batch_tokens // bucket_cap`` documents.
+
+    Returns ``(id, n_tokens, bucket, cap, batch_in_bucket)``.  Document
+    order within a bucket is the sha-hash order of the id (partition-
+    layout / retry / engine independent — the same determinism recipe as
+    :func:`shard_of`); all arithmetic is integer.
+
+    Scale shape: bucket assignment is a codegen CASE chain; the batch
+    index is one row_number window PARTITIONED BY bucket — parallel
+    across buckets, no global sort."""
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be a non-empty ascending list")
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.col(token_count_col).cast("bigint"), F.lit(1))
+    bucket = None
+    for i, b in enumerate(boundaries):
+        cond = n <= b
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = bucket.otherwise(len(boundaries) - 1).cast("int")
+    caps = F.array(*[F.lit(b) for b in boundaries])
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")), 256), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        h.alias("_h"),
+    ).withColumn("cap", F.element_at(caps, F.col("bucket") + 1).cast("bigint"))
+    w = Window.partitionBy("bucket").orderBy("_h", "id")
+    return (
+        base.withColumn("_r", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn(
+            "batch_in_bucket",
+            F.expr(f"_r div greatest({batch_tokens}L div cap, 1L)"),
+        )
+        .drop("_h", "_r")
+    )

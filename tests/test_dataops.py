@@ -455,3 +455,27 @@ def test_linear_attribution_credit_is_exact(spark):
     assert out["click"]["n_journeys"] == 2 and out["view"]["n_journeys"] == 1
     total = sum(r["credit_micro"] for r in out.values())
     assert total == 2_000_000  # exactly 1e6 per converted journey
+
+
+def test_length_buckets_batching(spark):
+    from dlt_spark.dataops.packing import length_buckets
+
+    rows = [(i, 10) for i in range(10)] + [(100 + i, 60) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, nt long")
+    out = length_buckets(df, "id", "nt", [16, 64], batch_tokens=64).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # bucket 0 (cap 16): 64//16 = 4 docs per batch -> 10 docs = 3 batches
+    b0 = by_bucket[0]
+    assert len(b0) == 10 and all(r["cap"] == 16 for r in b0)
+    sizes = {}
+    for r in b0:
+        sizes[r["batch_in_bucket"]] = sizes.get(r["batch_in_bucket"], 0) + 1
+    assert sorted(sizes.values(), reverse=True) == [4, 4, 2]
+    # bucket 1 (cap 64): 1 doc per batch
+    b1 = by_bucket[1]
+    assert len(b1) == 4 and len({r["batch_in_bucket"] for r in b1}) == 4
+    # deterministic under repartition
+    out2 = length_buckets(df.repartition(7), "id", "nt", [16, 64], batch_tokens=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
