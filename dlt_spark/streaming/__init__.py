@@ -568,3 +568,70 @@ def dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sample_ingest(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str,
+    key_col: str,
+    k: int,
+    salt: str = "samplek",
+    trigger_available_now: bool = True,
+):
+    """Streaming deterministic reservoir: maintain EXACTLY the ``k``
+    rows with the smallest salted key hashes across the whole stream —
+    the distributed, replayable form of reservoir sampling (the
+    hash-min selection is a mergeable monotone: union then re-take-k
+    gives the same set as sampling the concatenated stream in one shot,
+    so per-batch maintenance is exact, order-independent, and restart-
+    safe).  Bounded turnover on growth, like consistent hashing.
+
+    Per batch: union the stored sample with the new batch, keep the k
+    smallest hashes (TakeOrdered, no global sort), overwrite the sample
+    table with a replay-idempotent load id.  The stored table never
+    exceeds ``k`` rows, so per-batch cost is the new batch scan plus an
+    O(k) merge."""
+    import hashlib
+
+    from ..dataops.sampling import hash_fraction
+
+    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        lid = f"sstream-{stream_id}-{batch_id:012d}"
+        try:
+            committed = set(pipe.dataset().load_ids())
+        except FileNotFoundError:
+            committed = set()
+        if lid in committed:
+            return
+        cand = batch_df
+        if table_name in pipe.store.list_tables():
+            prev = pipe.store.read(table_name).select(*batch_df.columns)
+            cand = cand.unionByName(prev)
+        sample = (
+            cand.withColumn("_hf", hash_fraction(F.col(key_col), salt))
+            .orderBy(F.col("_hf").asc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("_hf")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            pipe.run(
+                sample, table_name=table_name, write_disposition="replace",
+                load_id=lid,
+            )
+        finally:
+            sample.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -342,3 +342,45 @@ def test_stream_conversations_assembles_sessions(spark, tmp_path):
     assert s1["transcript"] == "user>assistant>assistant>user"
     s2 = rows[t0 + dt.timedelta(minutes=120)]
     assert s2["n_turns"] == 2 and s2["n_violations"] == 0
+
+
+def test_sample_ingest_matches_batch_exact_k(spark, tmp_path):
+    """The streaming reservoir must equal the one-shot batch exact-k
+    over the concatenated stream (hash-min selection is mergeable)."""
+    from dlt_spark.dataops.sampling import sample_exact_k
+    from dlt_spark.streaming import sample_ingest, stream_files
+
+    src = tmp_path / "smp_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    all_rows = [(i, f"doc {i}") for i in range(60)]
+    spark.createDataFrame(all_rows[:30], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    pipe = dlt_spark.pipeline("smp", str(tmp_path / "dest_smp"), "ds", spark)
+    q = sample_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_smp"),
+        "sample", "doc_id", k=10,
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(all_rows[30:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q2 = sample_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_smp"),
+        "sample", "doc_id", k=10,
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in pipe.dataset()["sample"].spark_df().collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(
+            spark.createDataFrame(all_rows, schema), "doc_id", 10
+        ).collect()
+    )
+    assert got == expect and len(got) == 10
