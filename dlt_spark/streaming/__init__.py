@@ -635,3 +635,99 @@ def sample_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def decayed_ingest(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_hours: float = 168.0,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained exponentially-decayed scores: the
+    freshness-weighted engagement table kept current as events land.
+
+    Exponential decay is not mergeable like a sum, but it IS decayable:
+    ``score(t2) = score(t1) * 0.5^((t2-t1)/hl) + batch_contrib(t2)``.
+    Each batch advances the stored table's reference instant to the
+    batch's max event time, decays every stored score by the elapsed
+    factor (one narrow projection), and adds the new batch's decayed
+    sums (:func:`dlt_spark.dataops.timeseries.decayed_sum` shape) —
+    per-batch cost is the batch scan plus O(|keys|), never a replay of
+    history.  Commits are replay-idempotent by load id.
+
+    The stored table is ``(key, score_nano, as_of)``; scores agree with
+    a from-scratch :func:`decayed_sum` over the full history at the
+    same reference instant up to integer-nano rounding per batch
+    (bounded drift: one rounding per key per batch)."""
+    import hashlib
+
+    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    hl_ms = float(half_life_hours) * 3600000.0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        lid = f"dcstream-{stream_id}-{batch_id:012d}"
+        try:
+            committed = set(pipe.dataset().load_ids())
+        except FileNotFoundError:
+            committed = set()
+        if lid in committed:
+            return
+        batch = batch_df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        ref_row = batch.agg(F.max(ts_col).alias("m")).collect()[0]
+        if ref_row["m"] is None:
+            return
+        ref = ref_row["m"]
+        ref_ms = F.unix_millis(F.lit(ref))
+        age_h = (ref_ms - F.unix_millis(F.col(ts_col))).cast("double") / F.lit(
+            3600000.0
+        )
+        term = F.round(
+            F.col(value_col).cast("double")
+            * F.pow(F.lit(0.5), age_h / F.lit(float(half_life_hours)))
+            * F.lit(1000000000.0)
+        ).cast("bigint")
+        contrib = batch.groupBy(F.col(key_col).alias("key")).agg(
+            F.sum(term).alias("score_nano")
+        )
+        if table_name in pipe.store.list_tables():
+            prev = pipe.store.read(table_name).select("key", "score_nano", "as_of")
+            decay = F.pow(
+                F.lit(0.5),
+                (ref_ms - F.unix_millis(F.col("as_of"))).cast("double")
+                / F.lit(hl_ms),
+            )
+            prev = prev.select(
+                "key",
+                F.round(F.col("score_nano").cast("double") * decay)
+                .cast("bigint")
+                .alias("score_nano"),
+            )
+            contrib = (
+                contrib.unionByName(prev)
+                .groupBy("key")
+                .agg(F.sum("score_nano").alias("score_nano"))
+            )
+        out = contrib.withColumn("as_of", F.lit(ref)).localCheckpoint(eager=True)
+        try:
+            pipe.run(
+                out, table_name=table_name, write_disposition="replace", load_id=lid
+            )
+        finally:
+            out.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -384,3 +384,47 @@ def test_sample_ingest_matches_batch_exact_k(spark, tmp_path):
         ).collect()
     )
     assert got == expect and len(got) == 10
+
+
+def test_decayed_ingest_tracks_batch_recompute(spark, tmp_path):
+    """Incrementally maintained decayed scores must match a from-scratch
+    decayed_sum over the full history at the same reference instant
+    (up to per-batch integer-nano rounding)."""
+    import datetime as dt
+
+    from dlt_spark.dataops.timeseries import decayed_sum
+    from dlt_spark.streaming import decayed_ingest, stream_files
+
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [(1, t0, 10.0), (1, t0 + dt.timedelta(hours=24), 10.0), (2, t0, 4.0)]
+    b2 = [(1, t0 + dt.timedelta(hours=48), 10.0), (3, t0 + dt.timedelta(hours=48), 2.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("dcy", str(tmp_path / "dest_dcy"), "ds", spark)
+    q = decayed_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_dcy"),
+        "scores", "user_id", "ts", "value", half_life_hours=24.0,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = decayed_ingest(
+        pipe, stream_files(spark, str(src)), str(tmp_path / "cp_dcy"),
+        "scores", "user_id", "ts", "value", half_life_hours=24.0,
+    )
+    q2.awaitTermination(120)
+
+    got = {r["key"]: r["score_nano"] for r in pipe.dataset()["scores"].spark_df().collect()}
+    full = spark.createDataFrame(b1 + b2, schema)
+    expect = {
+        r["user_id"]: r["score_nano"]
+        for r in decayed_sum(full, ["user_id"], "ts", "value",
+                             "2024-01-03 00:00:00", half_life_hours=24.0).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) <= 5, (k, got[k], expect[k])
+    # user 1: 10*(0.25 + 0.5 + 1) at t0+48h = 17.5
+    assert abs(got[1] - 17_500_000_000) <= 5
