@@ -43,30 +43,28 @@ def inverted_index(
     return postings, doc_lens
 
 
-def bm25_search(
-    df: DataFrame,
+def bm25_from_index(
+    postings: DataFrame,
+    doc_lens: DataFrame,
     terms: Sequence[str],
     id_col: str = "doc_id",
-    text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
 ) -> DataFrame:
-    """Top-``topk`` documents for a bag-of-words query under BM25.
-
-    Returns ``(id_col, n_terms, score)`` ordered by score desc (ties by
-    id).  ``n_terms`` is how many distinct query terms the doc matched.
-    """
-    terms = [t.lower() for t in terms]
-    postings, doc_lens = inverted_index(df, id_col, text_col)
+    """BM25 scoring from a PREBUILT ``(postings, doc_lens)`` index (see
+    :func:`inverted_index`): the query path never re-tokenizes the
+    corpus — the form an incrementally-maintained index serves
+    (:func:`dlt_spark.streaming.index_ingest` appends per-batch
+    generations; new batches have disjoint doc ids, so the union of
+    generations IS the full index with no re-aggregation)."""
     n_docs = doc_lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    hits = postings.filter(F.col("token").isin(list(terms)))
+    hits = postings.filter(F.col("token").isin(*terms))
     dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
-
     scored = (
-        hits.join(F.broadcast(dfreq), "token")
+        hits.join(dfreq, "token")
         .join(doc_lens, id_col)
         .join(F.broadcast(n_docs))
     )
@@ -93,6 +91,24 @@ def bm25_search(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Top-``topk`` documents for a bag-of-words query under BM25.
+
+    Returns ``(id_col, n_terms, score)`` ordered by score desc (ties by
+    id).  ``n_terms`` is how many distinct query terms the doc matched.
+    """
+    postings, doc_lens = inverted_index(df, id_col, text_col)
+    return bm25_from_index(postings, doc_lens, terms, id_col, k1, b, topk)
 
 
 def hybrid_search(

@@ -731,3 +731,56 @@ def decayed_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_ingest(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    index_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained BM25 inverted index: each micro-batch's
+    postings ``(token, id, tf)`` and doc-lengths ``(id, dl)`` append as
+    a new generation (batches carry DISJOINT doc ids, so the union of
+    generations IS the full-corpus index — counts never need
+    re-aggregation), tracked by a marker table appended LAST for
+    replay-idempotence (same protocol as the dedup index).
+
+    Query with
+    :func:`dlt_spark.dataops.search.bm25_from_index` over
+    ``store.read(f"_dlt_{index_name}_postings")`` /
+    ``..._doclens`` — the search path never re-tokenizes the corpus."""
+    import hashlib
+
+    from ..dataops.search import inverted_index
+
+    stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    p_table = f"_dlt_{index_name}_postings"
+    d_table = f"_dlt_{index_name}_doclens"
+    m_table = f"_dlt_{index_name}_loads"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        lid = f"istream-{stream_id}-{batch_id:012d}"
+        if m_table in pipe.store.list_tables():
+            done = {r["_load_id"] for r in pipe.store.read(m_table).collect()}
+            if lid in done:
+                return
+        postings, doc_lens = inverted_index(
+            batch_df.filter(F.col(text_col).isNotNull()), id_col, text_col
+        )
+        pipe.store.append(postings.withColumn("_load_id", F.lit(lid)), p_table)
+        pipe.store.append(doc_lens.withColumn("_load_id", F.lit(lid)), d_table)
+        pipe.store.append_rows([{"_load_id": lid}], m_table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -428,3 +428,32 @@ def test_decayed_ingest_tracks_batch_recompute(spark, tmp_path):
         assert abs(got[k] - expect[k]) <= 5, (k, got[k], expect[k])
     # user 1: 10*(0.25 + 0.5 + 1) at t0+48h = 17.5
     assert abs(got[1] - 17_500_000_000) <= 5
+
+
+def test_index_ingest_serves_bm25_equal_to_batch(spark, tmp_path):
+    """The incrementally appended inverted index must score identically
+    to a from-scratch index over the concatenated corpus."""
+    from dlt_spark.dataops.search import bm25_from_index, bm25_search
+    from dlt_spark.streaming import index_ingest, stream_files
+
+    src = tmp_path / "ix_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = [(1, "spark join vector search"), (2, "join the spark cluster")]
+    b2 = [(3, "vector search with spark spark"), (4, "unrelated words here")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    pipe = dlt_spark.pipeline("ix", str(tmp_path / "dest_ix"), "ds", spark)
+    q = index_ingest(pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ix"), "docs")
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = index_ingest(pipe, stream_files(spark, str(src)), str(tmp_path / "cp_ix"), "docs")
+    q2.awaitTermination(120)
+
+    postings = pipe.store.read("_dlt_docs_postings").select("token", "doc_id", "tf")
+    dlens = pipe.store.read("_dlt_docs_doclens").select("doc_id", "dl")
+    got = bm25_from_index(postings, dlens, ["spark", "vector"]).collect()
+    full = spark.createDataFrame(b1 + b2, schema)
+    expect = bm25_search(full, ["spark", "vector"]).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+    assert got[0]["doc_id"] == 3  # doubled 'spark' + 'vector' ranks first
