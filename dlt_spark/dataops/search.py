@@ -57,11 +57,23 @@ def bm25_from_index(
     corpus — the form an incrementally-maintained index serves
     (:func:`dlt_spark.streaming.index_ingest` appends per-batch
     generations; new batches have disjoint doc ids, so the union of
-    generations IS the full index with no re-aggregation)."""
+    generations IS the full index with no re-aggregation).
+
+    Query terms are lowercased to match :func:`inverted_index`'s token
+    normalization (the index stores lowercase tokens only)."""
+    terms = [t.lower() for t in terms]
+    if not terms:
+        return (
+            doc_lens.select(
+                F.col(id_col),
+                F.lit(0).cast("bigint").alias("n_terms"),
+                F.lit(0.0).alias("score"),
+            ).limit(0)
+        )
     n_docs = doc_lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    hits = postings.filter(F.col("token").isin(*terms))
+    hits = postings.filter(F.col("token").isin(list(terms)))
     dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         hits.join(dfreq, "token")

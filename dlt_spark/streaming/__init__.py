@@ -770,6 +770,19 @@ def index_ingest(
             done = {r["_load_id"] for r in pipe.store.read(m_table).collect()}
             if lid in done:
                 return
+        # a crash between the postings/doclens appends and the marker
+        # append leaves PARTIAL generations for this lid; the replayed
+        # batch must drop them first or (token, doc, tf) / (doc, dl)
+        # rows duplicate and inflate tf/df/n_docs for every later
+        # bm25_from_index score (same re-sign protocol as
+        # _sync_dedup_index above)
+        for t in (p_table, d_table):
+            if t in pipe.store.list_tables():
+                existing = pipe.store.read(t)
+                if existing.filter(F.col("_load_id") == lid).limit(1).count():
+                    pipe.store.overwrite(
+                        existing.filter(F.col("_load_id") != lid), t
+                    )
         postings, doc_lens = inverted_index(
             batch_df.filter(F.col(text_col).isNotNull()), id_col, text_col
         )

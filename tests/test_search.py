@@ -62,6 +62,26 @@ def test_bm25_matches_reference_math(spark):
     assert got == _bm25_ref(corpus, ["spark", "join", "vector"])
 
 
+def test_bm25_query_terms_case_insensitive(spark):
+    """The index stores lowercase tokens; mixed-case query terms must be
+    normalized the same way or they silently match zero postings."""
+    df = spark.createDataFrame(
+        [(1, "Spark Join scan"), (2, "join filter"), (3, "pad pad")],
+        ["doc_id", "text"],
+    )
+    lower = bm25_search(df, ["spark", "join"], topk=10).collect()
+    upper = bm25_search(df, ["SPARK", "Join"], topk=10).collect()
+    assert [tuple(r) for r in upper] == [tuple(r) for r in lower]
+    assert len(lower) == 2
+
+
+def test_bm25_empty_terms_returns_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], ["doc_id", "text"])
+    out = bm25_search(df, [], topk=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_terms", "score"]
+
+
 def test_bm25_ranks_term_frequency(spark):
     df = spark.createDataFrame(
         [(1, "spark spark spark pad pad"), (2, "spark pad pad pad pad"), (3, "pad pad")],

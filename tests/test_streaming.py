@@ -457,3 +457,59 @@ def test_index_ingest_serves_bm25_equal_to_batch(spark, tmp_path):
     expect = bm25_search(full, ["spark", "vector"]).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
     assert got[0]["doc_id"] == 3  # doubled 'spark' + 'vector' ranks first
+
+
+def test_index_ingest_replay_drops_partial_generation(spark, tmp_path):
+    """A crash between the postings/doclens appends and the marker append
+    leaves a partial generation; the replayed batch must drop it before
+    re-appending or tf/df/n_docs inflate and every BM25 score is wrong."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dlt_spark.dataops.search import bm25_from_index, bm25_search
+    from dlt_spark.streaming import index_ingest, stream_files
+
+    src = tmp_path / "ix2_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = [(1, "spark join vector search"), (2, "join the spark cluster")]
+    b2 = [(3, "vector search with spark spark"), (4, "unrelated words here")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    cp = str(tmp_path / "cp_ix2")
+    pipe = dlt_spark.pipeline("ix2", str(tmp_path / "dest_ix2"), "ds", spark)
+    q = index_ingest(pipe, stream_files(spark, str(src)), cp, "docs")
+    q.awaitTermination(120)
+
+    # simulate the crash: the NEXT batch (id 1) appended its postings and
+    # doclens but died before the marker append
+    sid = hashlib.sha256(cp.encode()).hexdigest()[:12]
+    crashed_lid = f"istream-{sid}-{1:012d}"
+    partial_p = spark.createDataFrame(
+        [("spark", 3, 2), ("vector", 3, 1)], "token string, doc_id long, tf long"
+    ).withColumn("_load_id", F.lit(crashed_lid))
+    partial_d = spark.createDataFrame(
+        [(3, 5)], "doc_id long, dl long"
+    ).withColumn("_load_id", F.lit(crashed_lid))
+    pipe.store.append(partial_p, "_dlt_docs_postings")
+    pipe.store.append(partial_d, "_dlt_docs_doclens")
+
+    # the replayed batch 1 must self-heal: drop the partials, re-sign
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = index_ingest(pipe, stream_files(spark, str(src)), cp, "docs")
+    q2.awaitTermination(120)
+
+    postings = pipe.store.read("_dlt_docs_postings")
+    dlens = pipe.store.read("_dlt_docs_doclens")
+    # no duplicated (token, doc) or doc rows
+    assert postings.groupBy("token", "doc_id").count().filter("count > 1").count() == 0
+    assert dlens.groupBy("doc_id").count().filter("count > 1").count() == 0
+    got = bm25_from_index(
+        postings.select("token", "doc_id", "tf"), dlens.select("doc_id", "dl"),
+        ["spark", "vector"],
+    ).collect()
+    expect = bm25_search(
+        spark.createDataFrame(b1 + b2, schema), ["spark", "vector"]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
