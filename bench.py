@@ -253,6 +253,17 @@ def main() -> None:
         result["prev_delta"] = prev_delta
     if errors:
         result["errors"] = errors
+    # the stdout line is the driver contract, but its tail capture can
+    # truncate one huge JSON line (BENCH_r04.json came back parsed:null)
+    # — persist the full object to a file too so the round's numbers
+    # always survive
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except Exception as ex:
+        print(f"# bench_out.json write failed: {ex}", file=sys.stderr)
     print(json.dumps(result))
     if errors:
         print(
@@ -275,29 +286,43 @@ def _diff_vs_previous(timings: dict, sf: float) -> dict:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
     )
-    if not benches:
-        return {}
-    prev_path = benches[-1]
-    try:
-        with open(prev_path) as f:
-            prev = json.load(f)
-        # driver wraps the line in metadata on some rounds
-        if "queries" not in prev and "tail" in prev:
-            m = _re.search(r'\{"metric".*\}', prev.get("tail", ""))
-            prev = json.loads(m.group(0)) if m else {}
-        prev_q = prev.get("queries") or {}
+    # candidates newest-driver-record first; bench_out.json (written by
+    # the previous run, not yet overwritten — this diff runs before
+    # main() writes) backstops a truncated driver capture (BENCH_r04.json
+    # recorded parsed:null)
+    candidates = list(reversed(benches))
+    fallback = os.path.join(here, "bench_out.json")
+    if os.path.exists(fallback):
+        candidates.append(fallback)
+    prev_q: dict = {}
+    tag = ""
+    for prev_path in candidates:
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            # driver wraps the line in metadata on some rounds
+            if "queries" not in prev and "tail" in prev:
+                m = _re.search(r'\{"metric".*\}', prev.get("tail", ""))
+                prev = json.loads(m.group(0)) if m else {}
+            if not isinstance(prev, dict):
+                prev = {}
+        except Exception as ex:  # diff is best-effort, never break the bench
+            print(f"# bench-diff: could not read {prev_path}: {ex}", file=sys.stderr)
+            continue
+        q = prev.get("queries") or {}
         prev_sf = prev.get("sf")
-    except Exception as ex:  # diff is best-effort, never break the bench
-        print(f"# bench-diff: could not read {prev_path}: {ex}", file=sys.stderr)
-        return {}
+        if q and prev_sf is not None and prev_sf != sf:
+            print(
+                f"# bench-diff: {os.path.basename(prev_path)} skipped"
+                f" (prev sf={prev_sf}, now sf={sf})",
+                file=sys.stderr,
+            )
+            continue
+        if q:
+            prev_q = q
+            tag = os.path.basename(prev_path)
+            break
     if not prev_q:
-        return {}
-    tag = os.path.basename(prev_path)
-    if prev_sf is not None and prev_sf != sf:
-        print(
-            f"# bench-diff vs {tag}: SKIPPED (prev sf={prev_sf}, now sf={sf})",
-            file=sys.stderr,
-        )
         return {}
     prev_total = sum(v for k, v in prev_q.items() if k in timings)
     now_total = sum(v for k, v in timings.items() if k in prev_q)
