@@ -873,6 +873,58 @@ def _q_pipeline_load_events(spark, sf_dir):
     )
 
 
+def _q_rest_incremental(spark, sf_dir):
+    """Declarative REST per-endpoint incremental, E2E (reference
+    ``rest_api/config_setup.py:214-255`` param binding +
+    ``typing.py:214-233``): two pipeline runs over the deterministic
+    in-process demo transport.  Run 1 loads the full change feed with
+    ``since=0``; run 2 rebuilds the source fresh, restores the cursor
+    from pipeline state, binds ``since=<stored last_value>`` into the
+    request params (the API re-serves only the boundary window), and
+    boundary pk-hash dedup drops the re-read rows — the table stays
+    exactly the feed.  The oracle reproduces the deterministic feed."""
+    import tempfile
+
+    import dlt_spark
+    from dlt_spark.sources.demo_transport import make_session
+    from dlt_spark.sources.rest_api import PageNumberPaginator, rest_api_source
+
+    dest = tempfile.mkdtemp(prefix="dlt_spark_restinc_")
+
+    def src():
+        return rest_api_source(
+            {
+                "client": {"base_url": "https://demo.local"},
+                "resources": [
+                    {
+                        "name": "changes",
+                        "primary_key": ["id"],
+                        "endpoint": {
+                            "path": "/changes",
+                            "data_selector": "changes",
+                            "paginator": PageNumberPaginator(),
+                            "params": {
+                                "since": {
+                                    "type": "incremental",
+                                    "cursor_path": "ts",
+                                    "initial_value": 0,
+                                }
+                            },
+                        },
+                    }
+                ],
+            },
+            session=make_session(),
+        )
+
+    pipe = dlt_spark.pipeline("restinc", dest, "ds", spark)
+    pipe.run(src())
+    # fresh source object: the cursor must round-trip through persisted
+    # pipeline state, not the in-memory Incremental
+    pipe.run(src())
+    return pipe.dataset()["changes"].spark_df().select("id", "ts", "val")
+
+
 def _q_time_bucket_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: 6-hour time buckets
     per event type (floor-epoch arithmetic, engine-portable)."""
@@ -3254,6 +3306,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "outer_join_counts": _q_outer_join_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        # round-5 additions: APPENDED (not prepended) so the 66 pre-r5
+        # never-driver-checked entries keep window priority this round
+        # (VERDICT r4 item #1)
+        "rest_incremental": _q_rest_incremental,
     }
 
 
@@ -6716,6 +6772,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, n_tokens, bucket, cap,
                r0 // greatest(256 // cap, 1) AS batch_in_bucket
         FROM r ORDER BY id
+    """
+
+    # the demo transport's /changes feed is deterministic: 230 rows,
+    # coarse cursor ts = id // 10, val = (id * 37) % 100 — the oracle
+    # regenerates it (the Spark side goes through TWO pipeline runs with
+    # cursor-bound requests and boundary dedup and must land on exactly
+    # this set)
+    sql["rest_incremental"] = """
+        SELECT CAST(i AS BIGINT) AS id,
+               CAST(i // 10 AS BIGINT) AS ts,
+               CAST((i * 37) % 100 AS BIGINT) AS val
+        FROM generate_series(0, 229) t(i)
     """
 
     return sql

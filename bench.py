@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "linear_attribution",
     "length_batches",
+    "rest_incremental",
 ]
 
 

@@ -58,6 +58,20 @@ def make_session():
             hi = min(lo + PAGE_SIZE, _feed_total())
             events = [{"id": i, "kind": f"k{i % 3}"} for i in range(lo, hi)]
             return 200, {}, json.dumps({"events": events}).encode()
+        if parsed.path.endswith("/changes"):
+            # incremental change feed: 230 rows, coarse cursor ts = id//10
+            # (0..22), val deterministic; `since` filters server-side the
+            # way a real API binds an incremental start param
+            since = int(qs.get("since", 0))
+            page = int(qs.get("page", 1))
+            rows = [
+                {"id": i, "ts": i // 10, "val": (i * 37) % 100}
+                for i in range(TOTAL)
+                if i // 10 >= since
+            ]
+            lo = (page - 1) * PAGE_SIZE
+            out = rows[lo : lo + PAGE_SIZE]
+            return 200, {}, json.dumps({"changes": out}).encode()
         if parsed.path.endswith("/items"):
             offset = int(qs.get("offset", 0))
             limit = int(qs.get("limit", 10))

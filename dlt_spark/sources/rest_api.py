@@ -22,6 +22,7 @@ import urllib.parse
 import urllib.request
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 
+from ..incremental import Incremental
 from ..pipeline.resources import DltResource, DltSource
 
 # ----------------------------------------------------------------- auth
@@ -386,6 +387,136 @@ def _auto_select(body: dict) -> List[dict]:
     return [body] if body else []
 
 
+# ------------------------------------- declarative endpoint incremental
+
+
+def _setup_incremental(endpoint: Dict[str, Any]) -> tuple:
+    """Declarative incremental config -> ``(Incremental | None,
+    start_param, end_param, convert)`` — reference
+    ``rest_api/config_setup.py:214-277`` (``setup_incremental_object``)
+    and ``typing.py:209-233``.
+
+    Two spellings, same as the reference:
+
+    - a request param valued ``{"type": "incremental", "cursor_path":
+      ..., "initial_value": ...}`` (or a ready ``Incremental`` instance)
+      — the param name becomes the start param; ``end_value``/
+      ``end_param`` are rejected there (use the endpoint form);
+    - an endpoint-level ``incremental`` dict with ``start_param`` /
+      optional ``end_param`` plus any ``Incremental`` kwargs.
+
+    ``convert`` (deprecated alias ``transform``) maps the cursor value
+    to the wire format before it is bound into the request.
+    """
+    params = endpoint.get("params") or {}
+    inc_params = [
+        k
+        for k, v in params.items()
+        if isinstance(v, Incremental)
+        or (isinstance(v, dict) and v.get("type") == "incremental")
+    ]
+    if len(inc_params) > 1:
+        raise ValueError(
+            "Only a single incremental parameter is allowed per endpoint."
+            f" Found parameters: {inc_params}"
+        )
+    for pname, pcfg in params.items():
+        if isinstance(pcfg, Incremental):
+            if pcfg.end_value is not None:
+                raise ValueError(
+                    f"Only `initial_value` is allowed in the configuration of"
+                    f" param: {pname!r}. To set `end_value` too use the"
+                    " incremental configuration at the endpoint level."
+                )
+            return pcfg, pname, None, None
+        if isinstance(pcfg, dict) and pcfg.get("type") == "incremental":
+            if pcfg.get("end_value") or pcfg.get("end_param"):
+                raise ValueError(
+                    f"Only `start_param` and `initial_value` are allowed in the"
+                    f" configuration of param: {pname!r}. To set `end_value`"
+                    " too use the incremental configuration at the endpoint"
+                    " level."
+                )
+            convert = pcfg.get("convert") or pcfg.get("transform")
+            cfg = {
+                k: v
+                for k, v in pcfg.items()
+                if k not in ("type", "convert", "transform")
+            }
+            return Incremental(**cfg), pname, None, convert
+    inc_cfg = endpoint.get("incremental")
+    if inc_cfg:
+        if isinstance(inc_cfg, Incremental):
+            raise TypeError(
+                "endpoint-level `incremental` must be a config dict with"
+                " `start_param` (an Incremental instance carries no request"
+                " param name); pass the instance as a param value instead"
+            )
+        convert = inc_cfg.get("convert") or inc_cfg.get("transform")
+        cfg = {
+            k: v
+            for k, v in inc_cfg.items()
+            if k not in ("start_param", "end_param", "convert", "transform")
+        }
+        return (
+            Incremental(**cfg),
+            inc_cfg.get("start_param"),
+            inc_cfg.get("end_param"),
+            convert,
+        )
+    return None, None, None, None
+
+
+def _wire_value(v: Any, convert: Optional[Callable[[Any], Any]]) -> Any:
+    """Cursor value -> request-param value: user ``convert`` wins;
+    datetimes/dates default to ISO-8601 text."""
+    import datetime as _dt
+
+    if convert is not None:
+        return convert(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _bind_incremental_params(
+    static: Dict[str, Any],
+    inc: Incremental,
+    start_param: Optional[str],
+    end_param: Optional[str],
+    convert: Optional[Callable[[Any], Any]],
+) -> Dict[str, Any]:
+    """Inject the CURRENT cursor window into the request params
+    (reference ``_set_incremental_params``, config_setup.py:1005-1021).
+    Called at fetch time, after the pipeline restored persisted state,
+    so the second run requests only data past the stored cursor."""
+    out = dict(static)
+    if start_param and inc.last_value is not None:
+        out[start_param] = _wire_value(inc.last_value, convert)
+    if end_param and inc.end_value is not None:
+        out[end_param] = _wire_value(inc.end_value, convert)
+    return out
+
+
+def _expand_incremental_placeholders(value: Any, inc: Optional[Incremental], convert=None) -> Any:
+    """``{incremental.start_value}`` / ``{incremental.last_value}`` /
+    ``{incremental.end_value}`` / ``{incremental.initial_value}``
+    placeholders in paths and string params (reference
+    ``paginate_resource`` format_kwargs, config_setup.py:1108-1126)."""
+    if inc is None or not isinstance(value, str) or "{incremental." not in value:
+        return value
+    subs = {
+        "{incremental.start_value}": inc.last_value,
+        "{incremental.last_value}": inc.last_value,
+        "{incremental.end_value}": inc.end_value,
+        "{incremental.initial_value}": inc.initial_value,
+    }
+    for ph, v in subs.items():
+        if ph in value:
+            value = value.replace(ph, str(_wire_value(v, convert)))
+    return value
+
+
 # ------------------------------------------------------------- source
 
 
@@ -459,8 +590,15 @@ def rest_api_source(
     resources: List[DltResource] = []
     by_name: Dict[str, Dict[str, Any]] = {r["name"]: r for r in config["resources"]}
 
-    def make_fetcher(rcfg: Dict[str, Any]) -> Callable[[], Iterable[dict]]:
+    def make_fetcher(
+        rcfg: Dict[str, Any]
+    ) -> tuple:
+        """Returns ``(fetch, incremental | None)``; the fetcher reads the
+        Incremental's CURRENT ``last_value`` on every call, so restored
+        pipeline state narrows the requests of the next run (reference
+        ``paginate_resource``, config_setup.py:1093-1139)."""
         endpoint = rcfg["endpoint"] if isinstance(rcfg.get("endpoint"), dict) else {"path": rcfg["endpoint"]}
+        inc, start_param, end_param, convert = _setup_incremental(endpoint)
 
         def fetch() -> Iterable[dict]:
             params = dict(endpoint.get("params") or {})
@@ -469,12 +607,27 @@ def rest_api_source(
                 for k, v in params.items()
                 if isinstance(v, dict) and v.get("type") == "resolve"
             }
-            static = {k: v for k, v in params.items() if k not in resolve}
+            static = {
+                k: v
+                for k, v in params.items()
+                if k not in resolve
+                and not isinstance(v, Incremental)
+                and not (isinstance(v, dict) and v.get("type") == "incremental")
+            }
+            if inc is not None:
+                static = {
+                    k: _expand_incremental_placeholders(v, inc, convert)
+                    for k, v in static.items()
+                }
+                static = _bind_incremental_params(
+                    static, inc, start_param, end_param, convert
+                )
             pag = endpoint.get("paginator") or client_cfg.get("paginator")
             actions = endpoint.get("response_actions")
+            base_path = _expand_incremental_placeholders(endpoint["path"], inc, convert)
             if not resolve:
                 for page in client.paginate(
-                    endpoint["path"], static, pag, endpoint.get("data_selector"),
+                    base_path, static, pag, endpoint.get("data_selector"),
                     response_actions=actions,
                 ):
                     yield from page
@@ -482,23 +635,25 @@ def rest_api_source(
             # parent-child: fetch parent items, substitute each into path
             ((pname, spec),) = resolve.items()
             parent_cfg = by_name[spec["resource"]]
-            for parent_item in make_fetcher(parent_cfg)():
-                path = endpoint["path"].format(**{pname: parent_item[spec["field"]]})
+            for parent_item in make_fetcher(parent_cfg)[0]():
+                path = base_path.format(**{pname: parent_item[spec["field"]]})
                 for page in client.paginate(
                     path, static, pag, endpoint.get("data_selector"),
                     response_actions=actions,
                 ):
                     yield from page
 
-        return fetch
+        return fetch, inc
 
     for rcfg in config["resources"]:
+        fetch, inc = make_fetcher(rcfg)
         res = DltResource(
-            make_fetcher(rcfg),
+            fetch,
             name=rcfg["name"],
             table_name=rcfg.get("table_name", rcfg["name"]),
             write_disposition=rcfg.get("write_disposition", "append"),
             primary_key=rcfg.get("primary_key"),
+            incremental=inc,
         )
         resources.append(res)
     return DltSource(name, resources)

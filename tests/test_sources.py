@@ -250,6 +250,178 @@ def test_response_actions_in_source_config(spark):
     assert items == []
 
 
+# ------------------------------------ declarative endpoint incremental
+
+
+class IncServer:
+    """Serves ``/events?since=N&page=P``: events with ``ts >= since``,
+    two per page.  Records every ``since`` it was asked for."""
+
+    def __init__(self):
+        self.events = [{"id": i, "ts": i * 10} for i in range(1, 5)]  # ts 10..40
+        self.since_seen = []
+
+    def __call__(self, method, url, headers, body):
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(url)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        since = int(q.get("since", 0))
+        until = int(q["until"]) if "until" in q else None
+        self.since_seen.append(since)
+        rows = [e for e in self.events if e["ts"] >= since]
+        if until is not None:
+            rows = [e for e in rows if e["ts"] < until]
+        page = int(q.get("page", 1))
+        out = rows[(page - 1) * 2 : page * 2]
+        return 200, {}, json.dumps({"events": out}).encode()
+
+
+def _inc_source(server, params=None, endpoint_extra=None):
+    endpoint = {
+        "path": "/events",
+        "data_selector": "events",
+        "paginator": ra.PageNumberPaginator(),
+        "params": params or {},
+    }
+    endpoint.update(endpoint_extra or {})
+    return ra.rest_api_source(
+        {
+            "client": {"base_url": "https://api.test"},
+            "resources": [
+                {"name": "events", "endpoint": endpoint, "primary_key": ["id"]}
+            ],
+        },
+        session=server,
+    )
+
+
+def test_rest_incremental_param_binds_cursor_and_roundtrips_state(spark, tmp_path):
+    """Reference config_setup.py:214-255: a param valued
+    {"type": "incremental"} binds last_value into that request param; the
+    second pipeline run must ask the API only for data past the stored
+    cursor and load only the new rows."""
+    import dlt_spark
+
+    server = IncServer()
+    params = {"since": {"type": "incremental", "cursor_path": "ts", "initial_value": 0}}
+    pipe = dlt_spark.pipeline("rest_inc", str(tmp_path / "d"), "ds", spark)
+    pipe.run(_inc_source(server, params))
+    assert pipe.dataset()["events"].row_count() == 4
+    assert server.since_seen and all(s == 0 for s in server.since_seen)
+
+    # new data lands server-side; a FRESH source (fresh Incremental) must
+    # restore the cursor from pipeline state and fetch only past it
+    server.events.append({"id": 5, "ts": 50})
+    server.since_seen.clear()
+    pipe.run(_inc_source(server, params))
+    assert server.since_seen and all(s == 40 for s in server.since_seen)
+    rows = sorted(r["id"] for r in pipe.dataset()["events"].spark_df().collect())
+    # boundary row (ts=40, already loaded) deduped; only id 5 is new
+    assert rows == [1, 2, 3, 4, 5]
+
+
+def test_rest_incremental_endpoint_level_start_end_params(spark, tmp_path):
+    """Endpoint-level incremental block with start_param/end_param
+    (reference config_setup.py:261-277): both bounds bind into the
+    request; end_value also caps the loaded window."""
+    import dlt_spark
+
+    server = IncServer()
+    src = _inc_source(
+        server,
+        endpoint_extra={
+            "incremental": {
+                "cursor_path": "ts",
+                "initial_value": 0,
+                "end_value": 40,
+                "start_param": "since",
+                "end_param": "until",
+            }
+        },
+    )
+    pipe = dlt_spark.pipeline("rest_inc2", str(tmp_path / "d2"), "ds", spark)
+    pipe.run(src)
+    rows = sorted(r["ts"] for r in pipe.dataset()["events"].spark_df().collect())
+    assert rows == [10, 20, 30]  # until=40 is exclusive (range_end open)
+    # the server only ever saw the bounded window
+    assert all(s == 0 for s in server.since_seen)
+
+
+def test_rest_incremental_convert_and_placeholder(spark, tmp_path):
+    """`convert` maps the cursor to the wire format; `{incremental.start_value}`
+    placeholders expand in params (reference paginate_resource
+    config_setup.py:1108-1126)."""
+    server = IncServer()
+    src = _inc_source(
+        server,
+        endpoint_extra={
+            "incremental": {
+                "cursor_path": "ts",
+                "initial_value": 15,
+                "start_param": "since",
+                "convert": lambda v: int(v),
+            }
+        },
+    )
+    items = list(src.resources["events"]._data())
+    assert {e["id"] for e in items} == {2, 3, 4}
+    assert server.since_seen and all(s == 15 for s in server.since_seen)
+
+    # placeholder form, no start_param at all
+    server2 = IncServer()
+    src2 = _inc_source(
+        server2,
+        params={"since": "{incremental.start_value}"},
+        endpoint_extra={
+            "incremental": {"cursor_path": "ts", "initial_value": 25}
+        },
+    )
+    items2 = list(src2.resources["events"]._data())
+    assert {e["id"] for e in items2} == {3, 4}
+    assert server2.since_seen[0] == 25
+
+
+def test_rest_incremental_config_validation():
+    server = IncServer()
+    with pytest.raises(ValueError, match="single incremental"):
+        _inc_source(
+            server,
+            params={
+                "a": {"type": "incremental", "cursor_path": "ts"},
+                "b": {"type": "incremental", "cursor_path": "ts"},
+            },
+        )
+    with pytest.raises(ValueError, match="end_value"):
+        _inc_source(
+            server,
+            params={
+                "since": {
+                    "type": "incremental",
+                    "cursor_path": "ts",
+                    "initial_value": 0,
+                    "end_value": 99,
+                }
+            },
+        )
+    from dlt_spark.incremental import Incremental as Inc
+
+    with pytest.raises(TypeError, match="start_param"):
+        _inc_source(server, endpoint_extra={"incremental": Inc("ts")})
+
+
+def test_rest_incremental_instance_as_param(spark, tmp_path):
+    """A ready Incremental instance as a param value (reference
+    config_setup.py:233-242)."""
+    from dlt_spark.incremental import Incremental as Inc
+
+    server = IncServer()
+    src = _inc_source(server, params={"since": Inc("ts", initial_value=35)})
+    items = list(src.resources["events"]._data())
+    assert {e["id"] for e in items} == {4}
+    assert server.since_seen[0] == 35
+
+
 # ------------------------------------------------- duckdb csv + s3 naming
 
 
