@@ -118,3 +118,107 @@ def test_incremental_bounds_min_max(spark, seeded):
     )
     got = df.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
     assert (got["lo"], got["hi"]) == (150, 199)
+
+
+# ------------------------------------------------- adapter callbacks
+# (reference sql_database/__init__.py:48-52)
+
+
+def test_table_adapter_callback_prunes_columns(spark, seeded):
+    """table_adapter_callback edits the reflected column list; the
+    generated SELECT fetches only the survivors (source-side pruning)."""
+    url, n = seeded
+    seen = {}
+
+    def keep_id_name(rt):
+        seen["columns"] = list(rt.columns)
+        rt.fields = [f for f in rt.fields if f.name.lower() in ("id", "name")]
+        return rt
+
+    df = sql_table(
+        spark, url, "events_jdbc", driver=DERBY_DRIVER,
+        identifier_quote='"',
+        table_adapter_callback=keep_id_name,
+    )
+    assert sorted(c.lower() for c in df.columns) == ["id", "name"]
+    assert df.count() == n
+    # the callback saw the full reflected schema
+    assert sorted(c.lower() for c in seen["columns"]) == ["id", "name", "ts", "val"]
+
+
+def test_type_adapter_callback_overrides_scan_type(spark, seeded):
+    """type_adapter_callback's override lands in the JDBC customSchema
+    option — the column arrives from the scan already in the new type."""
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    url, _ = seeded
+
+    def widen_val(field):
+        if isinstance(field.dataType, DoubleType) and field.name.lower() == "val":
+            return DecimalType(20, 4)
+        return None
+
+    df = sql_table(
+        spark, url, "events_jdbc", driver=DERBY_DRIVER,
+        type_adapter_callback=widen_val,
+    )
+    types = {c.lower(): t for c, t in df.dtypes}
+    assert types["val"] == "decimal(20,4)"
+    row = df.filter(F.col("id") == 7).select("val").collect()[0]
+    assert float(row["val"]) == pytest.approx(10.5)
+
+
+def test_query_adapter_callback_rewrites_pushdown_sql(spark, seeded):
+    """query_adapter_callback receives the generated inner SELECT (with
+    the incremental WHERE already rendered) and returns the SQL to run."""
+    url, _ = seeded
+    captured = {}
+
+    def sample_even(sql, table, inc):
+        captured["sql"] = sql
+        captured["table"] = table
+        captured["inc"] = inc
+        # Derby: MOD() is a function, not an operator
+        return sql + (" AND" if " WHERE " in sql else " WHERE") + ' MOD("id", 2) = 0'
+
+    inc = Incremental(cursor_path="id", initial_value=100, range_start="closed")
+    df = sql_table(
+        spark, url, "events_jdbc", incremental=inc,
+        driver=DERBY_DRIVER, identifier_quote='"',
+        query_adapter_callback=sample_even,
+    )
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(100, 200, 2))
+    assert captured["table"] == "events_jdbc"
+    assert captured["inc"] is inc
+    assert '"id" >= 100' in captured["sql"]
+
+
+def test_all_three_adapters_compose(spark, seeded):
+    """Pruned columns + type override + query rewrite in one scan."""
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    url, _ = seeded
+    df = sql_table(
+        spark, url, "events_jdbc", driver=DERBY_DRIVER,
+        identifier_quote='"',
+        table_adapter_callback=lambda rt: setattr(
+            rt, "fields", [f for f in rt.fields if f.name.lower() != "ts"]
+        ) or rt,
+        type_adapter_callback=lambda f: (
+            DecimalType(20, 4) if isinstance(f.dataType, DoubleType) else None
+        ),
+        query_adapter_callback=lambda sql, t, i: sql + ' WHERE "id" < 10',
+    )
+    assert sorted(c.lower() for c in df.columns) == ["id", "name", "val"]
+    assert df.count() == 10
+    assert dict((c.lower(), t) for c, t in df.dtypes)["val"] == "decimal(20,4)"
+
+
+def test_table_adapter_cannot_remove_all_columns(spark, seeded):
+    url, _ = seeded
+    with pytest.raises(ValueError, match="every column"):
+        sql_table(
+            spark, url, "events_jdbc", driver=DERBY_DRIVER,
+            table_adapter_callback=lambda rt: setattr(rt, "fields", []) or rt,
+        )
