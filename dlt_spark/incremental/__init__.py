@@ -93,6 +93,20 @@ class Incremental:
                 "last_value_func must be 'max', 'min', or a callable over a"
                 " value tuple"
             )
+        if callable(self.last_value_func):
+            # a custom ordering cannot be rendered as a scan predicate:
+            # the window filter runs as an Arrow-batched pandas UDF AFTER
+            # a full-column scan (no PushedFilters, no codegen).  'max' /
+            # 'min' keep the zero-shuffle pushed-scan fast path.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "incremental cursor %r uses a custom last_value_func: the"
+                " range filter runs as a pandas UDF and forfeits scan"
+                " pushdown/codegen; use 'max'/'min' for the pushed-filter"
+                " fast path",
+                self.cursor_path,
+            )
         if self.last_value is None:
             self.last_value = self.initial_value
 
