@@ -2956,6 +2956,31 @@ def _q_clustering_coeff(spark, sf_dir):
     )
 
 
+def _q_clustering_coeff_capped(spark, sf_dir):
+    """The super-node dial on the same parts graph: per-center wedge
+    budget 45 (k=10 sampled neighbors, sha256-ranked) with MICRO-unit
+    weight scaling and an ``approx`` flag (``graph.py _capped_wedges``).
+    Fully deterministic and engine-portable, so the oracle replays the
+    sampling, weights, HALF_UP rounding, and the 1.0 clamp exactly."""
+    from dlt_spark.dataops.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    out = clustering_coefficient(pairs, max_wedges_per_node=45)
+    return (
+        out.filter(F.col("degree") >= 3)
+        .orderBy(F.desc("coefficient_nano"), F.col("id"))
+        .limit(50)
+    )
+
+
 def _q_best_of_n(spark, sf_dir):
     """Best-of-n selection (RLHF reward argmax per prompt): per
     customer, the highest-price order with the top1-top2 margin.
@@ -3310,6 +3335,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked entries keep window priority this round
         # (VERDICT r4 item #1)
         "rest_incremental": _q_rest_incremental,
+        "clustering_coeff_capped": _q_clustering_coeff_capped,
     }
 
 
@@ -6772,6 +6798,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, n_tokens, bucket, cap,
                r0 // greatest(256 // cap, 1) AS batch_in_bucket
         FROM r ORDER BY id
+    """
+
+    # wedge-cap replay: sha256-ranked neighbor sampling (k=10, cap=45),
+    # MICRO-unit weight scaling, HALF_UP triangle rounding, 1.0 clamp —
+    # mirrors graph.py _capped_wedges / clustering_coefficient(cap)
+    sql["clustering_coeff_capped"] = """
+        WITH pairs AS (
+            SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                            greatest(x.l_partkey, y.l_partkey) AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+            ) GROUP BY id
+        ), e AS (
+            SELECT p.a, p.b, da.degree AS da, db.degree AS db
+            FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
+        ), oriented AS (
+            SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+            FROM e
+        ), dout AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS dout FROM oriented GROUP BY u
+        ), ranked AS (
+            SELECT o.u, o.v, o.dv, d.dout,
+                   row_number() OVER (
+                       PARTITION BY o.u
+                       ORDER BY sha256(CAST(o.u AS VARCHAR) || ':' || CAST(o.v AS VARCHAR)),
+                                o.v
+                   ) AS rn
+            FROM oriented o JOIN dout d ON o.u = d.u
+            WHERE d.dout > 10
+        ), kept AS (
+            SELECT o.u, o.v, o.dv, d.dout
+            FROM oriented o JOIN dout d ON o.u = d.u WHERE d.dout <= 10
+            UNION ALL
+            SELECT u, v, dv, dout FROM ranked WHERE rn <= 10
+        ), weighted AS (
+            SELECT u, v, dv,
+                   CAST(CASE WHEN dout <= 10 THEN 1000000
+                        ELSE ((dout * (dout - 1)) // 2 * 1000000) // 45
+                        END AS BIGINT) AS w6
+            FROM kept
+        ), wedges AS (
+            SELECT e1.u AS u, e1.v AS v, e2.v AS w, e1.w6
+            FROM weighted e1 JOIN weighted e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ), tri AS (
+            SELECT wd.u, wd.v, wd.w, wd.w6 FROM wedges wd
+            WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = wd.v AND o.v = wd.w)
+        ), per_node AS (
+            SELECT id, CAST(sum(w6) AS BIGINT) AS t6,
+                   CAST(max(w6) AS BIGINT) AS mx6 FROM (
+                SELECT u AS id, w6 FROM tri
+                UNION ALL SELECT v, w6 FROM tri
+                UNION ALL SELECT w, w6 FROM tri
+            ) GROUP BY id
+        )
+        SELECT deg.id, deg.degree,
+               CAST((2 * coalesce(per_node.t6, 0) + 1000000) // 2000000 AS BIGINT)
+                   AS triangles,
+               CAST(CASE WHEN deg.degree >= 2
+                    THEN least((2 * coalesce(per_node.t6, 0) * 1000)
+                               // (deg.degree * (deg.degree - 1)), 1000000000)
+                    ELSE 0 END AS BIGINT) AS coefficient_nano,
+               (coalesce(per_node.mx6, 0) > 1000000
+                OR EXISTS (SELECT 1 FROM dout d
+                           WHERE d.u = deg.id AND d.dout > 10)) AS approx
+        FROM deg LEFT JOIN per_node ON deg.id = per_node.id
+        WHERE deg.degree >= 3
+        ORDER BY coefficient_nano DESC, deg.id ASC
+        LIMIT 50
     """
 
     # the demo transport's /changes feed is deterministic: 230 rows,

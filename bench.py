@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "linear_attribution",
     "length_batches",
     "rest_incremental",
+    "clustering_coeff_capped",
 ]
 
 

@@ -141,7 +141,93 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
     return und, deg, oriented, wedges
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _wedge_cap_k(cap: int) -> int:
+    """Largest ``k >= 2`` with ``C(k, 2) <= cap`` — the per-center
+    neighbor budget implied by a wedge cap."""
+    import math
+
+    if cap < 1:
+        raise ValueError("max_wedges_per_node must be >= 1")
+    k = (1 + math.isqrt(1 + 8 * cap)) // 2
+    while k * (k - 1) // 2 > cap:
+        k -= 1
+    return max(k, 2)
+
+
+MICRO = 1_000_000
+
+
+def _capped_wedges(edges: DataFrame, src: str, dst: str, cap: int) -> tuple:
+    """Wedge enumeration with a per-center budget — the standard
+    super-node dial (VERDICT r4 #6) on top of :func:`_oriented_wedges`'s
+    degree-ordered orientation.
+
+    Centers whose oriented out-degree ``d`` would exceed ``cap`` wedges
+    (``C(d,2) > cap``) keep only ``k`` deterministically chosen
+    out-neighbors (ranked by a sha256 hash of the edge — engine-portable,
+    layout-independent), and each surviving wedge carries the integer
+    MICRO-unit weight ``(C(d,2) * 1e6) div C(k,2)`` so closed-wedge sums
+    estimate the uncapped counts without enumerating them.  Exact
+    centers carry weight ``1e6``.  MICRO (not NANO) units keep
+    ``C(d,2) * unit`` far from BIGINT overflow up to d ~ 4e6.
+
+    Returns ``(und, deg, oriented, wedges, capped_centers)`` where
+    ``wedges = (u, v, w, _w6)`` and ``capped_centers = (u)`` — the nodes
+    whose own wedge enumeration was sampled (their triangle counts are
+    estimates even when no sampled wedge closed)."""
+    from pyspark.sql import Window
+
+    und, deg, oriented, _ = _oriented_wedges(edges, src, dst)
+    k = _wedge_cap_k(cap)
+    ck2 = k * (k - 1) // 2
+    dout = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("_dout"))
+    o2 = oriented.join(dout, "u")
+    # rank ONLY the capped centers' edges: the window sort stays
+    # proportional to the super-node edges, not the whole graph
+    capped_centers = dout.filter(F.col("_dout") > k).select("u").localCheckpoint(
+        eager=False
+    )
+    hash_order = F.sha2(
+        F.concat_ws(":", F.col("u").cast("string"), F.col("v").cast("string")), 256
+    )
+    w = Window.partitionBy("u").orderBy(hash_order, F.col("v"))
+    kept_capped = (
+        o2.join(capped_centers, "u", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    kept = (
+        o2.join(capped_centers, "u", "left_anti")
+        .unionByName(kept_capped)
+        .withColumn(
+            "_w6",
+            F.when(F.col("_dout") <= F.lit(k), F.lit(MICRO).cast("bigint")).otherwise(
+                F.expr(f"((_dout * (_dout - 1)) div 2 * {MICRO}L) div {ck2}")
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e2 = kept.select(
+        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
+    )
+    wedges = (
+        kept.join(e2, F.col("u") == F.col("u2"))
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
+        )
+        .select("u", "v", F.col("w2").alias("w"), "_w6")
+    )
+    return und, deg, oriented, wedges, capped_centers
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_wedges_per_node: "int | None" = None,
+) -> DataFrame:
     """Global triangle census of an undirected graph: one row
     ``(n_nodes, n_edges, n_wedges, n_triangles)``.
 
@@ -157,18 +243,48 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Counts are plain BIGINTs — exact, order-independent, reproducible
     in ANSI SQL.
+
+    ``max_wedges_per_node`` (default off = exact): per-center wedge
+    budget (see :func:`_capped_wedges`).  ``n_wedges`` stays EXACT — it
+    is ``sum C(d_out, 2)``, computable from out-degrees without
+    enumeration — while ``n_triangles`` becomes the weighted estimate
+    (HALF_UP of the MICRO-unit closed-wedge sum).
     """
-    und, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
-    closing = oriented.select(
-        F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_closed")
-    )
-    marked = wedges.join(closing, ["v", "w"], "left")
-    wt = marked.agg(
-        F.count(F.lit(1)).alias("n_wedges"),
-        F.coalesce(
-            F.sum(F.coalesce(F.col("_closed"), F.lit(0))), F.lit(0)
-        ).cast("bigint").alias("n_triangles"),
-    )
+    if max_wedges_per_node is None:
+        und, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
+        closing = oriented.select(
+            F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_closed")
+        )
+        marked = wedges.join(closing, ["v", "w"], "left")
+        wt = marked.agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_closed"), F.lit(0))), F.lit(0)
+            ).cast("bigint").alias("n_triangles"),
+        )
+    else:
+        und, deg, oriented, wedges, _ = _capped_wedges(
+            edges, src, dst, max_wedges_per_node
+        )
+        closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        closed6 = wedges.join(closing, ["v", "w"], "left_semi").agg(
+            F.coalesce(F.sum("_w6"), F.lit(0)).alias("_t6")
+        )
+        true_wedges = (
+            oriented.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("(_d * (_d - 1)) div 2")), F.lit(0)
+                ).cast("bigint").alias("n_wedges")
+            )
+        )
+        wt = true_wedges.crossJoin(closed6).select(
+            "n_wedges",
+            F.expr(f"(2 * _t6 + {MICRO}) div {2 * MICRO}")
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
     stats = (
         und.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
@@ -256,7 +372,10 @@ def hits(
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_wedges_per_node: "int | None" = None,
 ) -> DataFrame:
     """Per-node local clustering coefficient: ``(id, degree, triangles,
     coefficient_nano)`` with ``coefficient = 2*T / (deg*(deg-1))`` —
@@ -268,27 +387,83 @@ def clustering_coefficient(
     triangle credits all three corners (one explode + one count).  The
     coefficient is integer-nano via exact BIGINT ratio — reproducible
     in SQL.  Isolated and degree-1 nodes report coefficient 0.
+
+    ``max_wedges_per_node`` (default off = exact, bit-identical output):
+    the super-node dial — the wedge table is the whole cost of this
+    operator, and on dense graphs one hub can own millions of wedges.
+    With the cap, centers over budget enumerate only ``C(k,2) <= cap``
+    hash-sampled wedges whose closed hits are weight-scaled back
+    (:func:`_capped_wedges`); ``triangles`` becomes the HALF_UP estimate,
+    the denominator (true degree) stays exact, and an extra ``approx``
+    boolean column flags every node whose count includes any sampled
+    contribution (weighted credit OR being a capped center itself) —
+    exact elsewhere.  Deterministic and engine-portable: the sample
+    ranking is a sha256 hash, all weights are integer MICRO units.
     """
-    _, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
+    if max_wedges_per_node is None:
+        _, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
+        closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        tri = wedges.join(closing, ["v", "w"], "left_semi")
+        per_node = (
+            tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        deg_named = deg.select("id", F.col("deg").alias("degree"))
+        coeff = F.when(
+            F.col("degree") >= 2,
+            F.expr("(2 * triangles * 1000000000L) div (degree * (degree - 1))"),
+        ).otherwise(F.lit(0)).cast("bigint")
+        # coalesce triangles to 0 BEFORE the coefficient expression — a
+        # degree>=2 node with no triangles would otherwise propagate the
+        # left-join NULL through the div and report NULL instead of 0
+        return (
+            deg_named.join(per_node, "id", "left")
+            .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+            .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
+        )
+    _, deg, oriented, wedges, capped_centers = _capped_wedges(
+        edges, src, dst, max_wedges_per_node
+    )
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["v", "w"], "left_semi")
     per_node = (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"), "_w6")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+        .agg(
+            F.sum("_w6").alias("_t6"),
+            F.max("_w6").alias("_mx6"),
+        )
     )
     deg_named = deg.select("id", F.col("deg").alias("degree"))
+    out = (
+        deg_named.join(per_node, "id", "left")
+        .join(
+            capped_centers.select(F.col("u").alias("id"), F.lit(True).alias("_cc")),
+            "id",
+            "left",
+        )
+        .withColumn("_t6", F.coalesce("_t6", F.lit(0)))
+        .withColumn("_mx6", F.coalesce("_mx6", F.lit(0)))
+    )
+    # per-corner credits have sampling variance (the global mass is
+    # conserved — mean coefficient stays exact — but one node's estimate
+    # can overshoot its C(degree, 2) ceiling), so clamp at 1.0
     coeff = F.when(
         F.col("degree") >= 2,
-        F.expr("(2 * triangles * 1000000000L) div (degree * (degree - 1))"),
+        F.least(
+            F.expr("(2 * _t6 * 1000) div (degree * (degree - 1))"),
+            F.lit(NANO),
+        ),
     ).otherwise(F.lit(0)).cast("bigint")
-    # coalesce triangles to 0 BEFORE the coefficient expression — a
-    # degree>=2 node with no triangles would otherwise propagate the
-    # left-join NULL through the div and report NULL instead of 0
-    return (
-        deg_named.join(per_node, "id", "left")
-        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
-        .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
+    return out.select(
+        "id",
+        "degree",
+        F.expr(f"(2 * _t6 + {MICRO}) div {2 * MICRO}").cast("bigint").alias("triangles"),
+        coeff.alias("coefficient_nano"),
+        (
+            (F.col("_mx6") > F.lit(MICRO)) | F.col("_cc").isNotNull()
+        ).alias("approx"),
     )
 
 

@@ -150,6 +150,107 @@ def test_clustering_coefficient_zero_triangle_node_is_zero_and_hits_iter0(spark)
     assert {r["authority_nano"] for r in rows} == {333333333}
 
 
+def test_wedge_cap_not_binding_matches_exact(spark):
+    """With a cap no center exceeds, the capped path must reproduce the
+    exact output (plus approx=False everywhere)."""
+    import random
+
+    from dlt_spark.dataops.graph import clustering_coefficient, triangle_count
+
+    rnd = random.Random(7)
+    edges = [(a, b) for a in range(14) for b in range(a + 1, 14) if rnd.random() < 0.4]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    capped = {
+        r["id"]: r
+        for r in clustering_coefficient(df, max_wedges_per_node=10_000).collect()
+    }
+    assert set(exact) == set(capped)
+    for i in exact:
+        assert not capped[i]["approx"]
+        for c in ("degree", "triangles", "coefficient_nano"):
+            assert exact[i][c] == capped[i][c], (i, c)
+
+    t_exact = triangle_count(df).collect()[0]
+    t_capped = triangle_count(df, max_wedges_per_node=10_000).collect()[0]
+    assert tuple(t_exact) == tuple(t_capped)
+
+
+def test_wedge_cap_complete_graph_estimates_exactly(spark):
+    """On K_n every sampled wedge closes, so the weight-scaled estimate
+    recovers the true counts up to integer rounding — and the affected
+    nodes are flagged."""
+    from dlt_spark.dataops.graph import (
+        _wedge_cap_k,
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    n = 12
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n) if True]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cap = 10  # k = 5, C(5,2) = 10
+    assert _wedge_cap_k(cap) == 5
+
+    t = triangle_count(df, max_wedges_per_node=cap).collect()[0]
+    true_tri = n * (n - 1) * (n - 2) // 6  # C(12,3) = 220
+    assert t["n_wedges"] == sum(
+        d * (d - 1) // 2 for d in range(n)
+    )  # oriented out-degrees 0..n-1, EXACT despite the cap
+    assert abs(t["n_triangles"] - true_tri) <= 1  # rounding only
+
+    out = {r["id"]: r for r in clustering_coefficient(df, max_wedges_per_node=cap).collect()}
+    for i in range(n):
+        assert out[i]["degree"] == n - 1
+        # per-node credits carry sampling variance (clamped at 1.0) but
+        # stay in the right ballpark
+        assert 400_000_000 <= out[i]["coefficient_nano"] <= 1_000_000_000
+        assert out[i]["triangles"] > 0
+        assert out[i]["approx"]  # K_n: every node touches sampled wedges
+    # the global triangle mass (3 corner credits per triangle) is
+    # conserved by the weight scaling, up to per-node rounding
+    assert abs(sum(r["triangles"] for r in out.values()) - 3 * true_tri) <= n
+
+
+def test_wedge_cap_flags_only_affected_nodes(spark):
+    """A dense hub community plus a disconnected exact triangle: the
+    triangle's nodes stay exact and unflagged under a binding cap."""
+    from dlt_spark.dataops.graph import clustering_coefficient
+
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    df = spark.createDataFrame(k8 + tri, "src long, dst long")
+    out = {
+        r["id"]: r
+        for r in clustering_coefficient(df, max_wedges_per_node=3).collect()
+    }
+    for i in (100, 101, 102):
+        assert not out[i]["approx"]
+        assert out[i]["triangles"] == 1
+        assert out[i]["coefficient_nano"] == 1_000_000_000
+    assert any(out[i]["approx"] for i in range(8))
+
+
+def test_wedge_cap_deterministic(spark):
+    """Hash-ranked sampling: two runs (different partitioning) give
+    bit-identical results."""
+    import random
+
+    from dlt_spark.dataops.graph import clustering_coefficient
+
+    rnd = random.Random(11)
+    edges = [(a, b) for a in range(30) for b in range(a + 1, 30) if rnd.random() < 0.5]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(tuple(r) for r in clustering_coefficient(df, max_wedges_per_node=6).collect())
+    b = sorted(
+        tuple(r)
+        for r in clustering_coefficient(
+            df.repartition(7, "src"), max_wedges_per_node=6
+        ).collect()
+    )
+    assert a == b
+
+
 def test_label_propagation_spreads_and_clamps(spark):
     from dlt_spark.dataops.graph import label_propagation
 
