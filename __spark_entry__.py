@@ -2702,11 +2702,27 @@ def _q_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss reduction 64 -> 16 dims over deterministic
     seeded hyperplanes (shared with the LSH index): one narrow codegen
     projection, no shuffle.  The oracle rebuilds the identical plane
-    literals from the same LCG."""
+    literals from the same LCG.
+
+    The projected vector is emitted as a comma-joined integer-micros
+    STRING (each component is exactly m/1e6, so ``round(v*1e6)``
+    recovers m on any engine) — the driver's canonicalizer compares
+    scalar cells only, so complex-typed outputs are contract-banned
+    (see tests/test_entry_registry.py)."""
     from dlt_spark.dataops.similarity import random_projection
 
     em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    return random_projection(em, dim=64, out_dim=16)
+    out = random_projection(em, dim=64, out_dim=16)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("rp_embedding"),
+                lambda v: F.round(v * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+        ).alias("rp_embedding"),
+    )
 
 
 def _q_binary_auc(spark, sf_dir):
@@ -2756,11 +2772,26 @@ def _q_pool_embeddings(spark, sf_dir):
     """Per-group mean-pooled embeddings (chunk->document aggregation):
     posexplode + one (group, position) aggregation with decimal-exact
     sums, array re-assembled by struct sort — engine-portable integer
-    HALF_UP quantization."""
+    HALF_UP quantization.
+
+    The pooled vector is emitted as a comma-joined integer-micros
+    STRING (components are exactly m/1e6) — complex-typed outputs are
+    contract-banned for driver canonicalization."""
     from dlt_spark.dataops.vector import pool_embeddings
 
     em = _t(spark, sf_dir, "embeddings")
-    return pool_embeddings(em, "label")
+    out = pool_embeddings(em, "label")
+    return out.select(
+        "label",
+        "n_vectors",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("pooled"),
+                lambda v: F.round(v * F.lit(1e6)).cast("bigint").cast("string"),
+            ),
+        ).alias("pooled"),
+    )
 
 
 def _q_bt_preference(spark, sf_dir):
@@ -5830,15 +5861,19 @@ def oracle_sql() -> dict[str, str]:
     from dlt_spark.dataops.similarity import _hyperplanes as _rp_planes
 
     _rp = _rp_planes(64, 16, 42)
+    # integer micros per component (floor(dot*scale*1e6 + 0.5) with
+    # scale*1e6 = 250000), comma-joined into a STRING — mirrors the
+    # Spark side's serialized output exactly.
     _rp_comps = ",\n               ".join(
-        "floor(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        "CAST(CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]), ["
         + ", ".join(repr(v) for v in p)
-        + "]) * 250000.0 + 0.5) / 1000000.0"
+        + "]) * 250000.0 + 0.5) AS BIGINT) AS VARCHAR)"
         for p in _rp
     )
     sql["random_projection"] = f"""
         SELECT vec_id,
-               [{_rp_comps}] AS rp_embedding
+               concat_ws(',',
+               {_rp_comps}) AS rp_embedding
         FROM embeddings
         WHERE vec_id < 2000
     """
@@ -6093,8 +6128,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY label, pos
         )
         SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-               list(floor(sv / n * 1000000.0 + 0.5) / 1000000.0
-                    ORDER BY pos) AS pooled
+               string_agg(CAST(CAST(floor(sv / n * 1000000.0 + 0.5)
+                                    AS BIGINT) AS VARCHAR),
+                          ',' ORDER BY pos) AS pooled
         FROM s GROUP BY label ORDER BY label
     """
 
@@ -6851,12 +6887,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT wd.u, wd.v, wd.w, wd.w6 FROM wedges wd
             WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = wd.v AND o.v = wd.w)
         ), per_node AS (
-            SELECT id, CAST(sum(w6) AS BIGINT) AS t6,
-                   CAST(max(w6) AS BIGINT) AS mx6 FROM (
+            SELECT id, CAST(sum(w6) AS BIGINT) AS t6 FROM (
                 SELECT u AS id, w6 FROM tri
                 UNION ALL SELECT v, w6 FROM tri
                 UNION ALL SELECT w, w6 FROM tri
             ) GROUP BY id
+        ), capped AS (
+            SELECT u FROM dout WHERE dout > 10
+        ), approx_ids AS (
+            SELECT u AS id FROM capped
+            UNION SELECT p.b FROM pairs p JOIN capped c ON p.a = c.u
+            UNION SELECT p.a FROM pairs p JOIN capped c ON p.b = c.u
         )
         SELECT deg.id, deg.degree,
                CAST((2 * coalesce(per_node.t6, 0) + 1000000) // 2000000 AS BIGINT)
@@ -6865,9 +6906,8 @@ def oracle_sql() -> dict[str, str]:
                     THEN least((2 * coalesce(per_node.t6, 0) * 1000)
                                // (deg.degree * (deg.degree - 1)), 1000000000)
                     ELSE 0 END AS BIGINT) AS coefficient_nano,
-               (coalesce(per_node.mx6, 0) > 1000000
-                OR EXISTS (SELECT 1 FROM dout d
-                           WHERE d.u = deg.id AND d.dout > 10)) AS approx
+               EXISTS (SELECT 1 FROM approx_ids ai
+                       WHERE ai.id = deg.id) AS approx
         FROM deg LEFT JOIN per_node ON deg.id = per_node.id
         WHERE deg.degree >= 3
         ORDER BY coefficient_nano DESC, deg.id ASC

@@ -395,10 +395,14 @@ def clustering_coefficient(
     hash-sampled wedges whose closed hits are weight-scaled back
     (:func:`_capped_wedges`); ``triangles`` becomes the HALF_UP estimate,
     the denominator (true degree) stays exact, and an extra ``approx``
-    boolean column flags every node whose count includes any sampled
-    contribution (weighted credit OR being a capped center itself) —
-    exact elsewhere.  Deterministic and engine-portable: the sample
-    ranking is a sha256 hash, all weights are integer MICRO units.
+    boolean column flags every node whose count CAN deviate from exact:
+    capped centers and every undirected neighbor of one (any triangle
+    crediting a node through a capped center u has that node adjacent
+    to u, so this is the complete deviation set — including nodes whose
+    only triangles were sampled OUT and received no credit at all).
+    ``approx = false`` therefore guarantees an exact row.  Deterministic
+    and engine-portable: the sample ranking is a sha256 hash, all
+    weights are integer MICRO units.
     """
     if max_wedges_per_node is None:
         _, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
@@ -422,7 +426,7 @@ def clustering_coefficient(
             .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
             .select("id", "degree", "triangles", coeff.alias("coefficient_nano"))
         )
-    _, deg, oriented, wedges, capped_centers = _capped_wedges(
+    und, deg, oriented, wedges, capped_centers = _capped_wedges(
         edges, src, dst, max_wedges_per_node
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
@@ -430,21 +434,30 @@ def clustering_coefficient(
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("id"), "_w6")
         .groupBy("id")
-        .agg(
-            F.sum("_w6").alias("_t6"),
-            F.max("_w6").alias("_mx6"),
-        )
+        .agg(F.sum("_w6").alias("_t6"))
     )
     deg_named = deg.select("id", F.col("deg").alias("degree"))
+    # the complete may-deviate set: capped centers plus their undirected
+    # neighbors (capped_centers is tiny — nodes with oriented out-degree
+    # > k, O(m / k) of them — so both semi-joins broadcast)
+    approx_ids = (
+        capped_centers.select(F.col("u").alias("id"))
+        .unionAll(
+            und.join(
+                capped_centers.select(F.col("u").alias("a")), "a", "left_semi"
+            ).select(F.col("b").alias("id"))
+        )
+        .unionAll(
+            und.join(
+                capped_centers.select(F.col("u").alias("b")), "b", "left_semi"
+            ).select(F.col("a").alias("id"))
+        )
+        .distinct()
+    )
     out = (
         deg_named.join(per_node, "id", "left")
-        .join(
-            capped_centers.select(F.col("u").alias("id"), F.lit(True).alias("_cc")),
-            "id",
-            "left",
-        )
+        .join(approx_ids.withColumn("_ap", F.lit(True)), "id", "left")
         .withColumn("_t6", F.coalesce("_t6", F.lit(0)))
-        .withColumn("_mx6", F.coalesce("_mx6", F.lit(0)))
     )
     # per-corner credits have sampling variance (the global mass is
     # conserved — mean coefficient stays exact — but one node's estimate
@@ -461,9 +474,7 @@ def clustering_coefficient(
         "degree",
         F.expr(f"(2 * _t6 + {MICRO}) div {2 * MICRO}").cast("bigint").alias("triangles"),
         coeff.alias("coefficient_nano"),
-        (
-            (F.col("_mx6") > F.lit(MICRO)) | F.col("_cc").isNotNull()
-        ).alias("approx"),
+        F.col("_ap").isNotNull().alias("approx"),
     )
 
 

@@ -513,6 +513,16 @@ def _expand_incremental_placeholders(value: Any, inc: Optional[Incremental], con
     }
     for ph, v in subs.items():
         if ph in value:
+            if v is None:
+                # never interpolate the literal text 'None' into a
+                # URL/param — the placeholder references a cursor value
+                # that is unset (e.g. {incremental.end_value} with no
+                # end_value configured)
+                raise ValueError(
+                    f"Incremental placeholder {ph!r} references an unset"
+                    " cursor value; configure the corresponding"
+                    " initial_value/end_value or drop the placeholder"
+                )
             value = value.replace(ph, str(_wire_value(v, convert)))
     return value
 
@@ -599,6 +609,15 @@ def rest_api_source(
         ``paginate_resource``, config_setup.py:1093-1139)."""
         endpoint = rcfg["endpoint"] if isinstance(rcfg.get("endpoint"), dict) else {"path": rcfg["endpoint"]}
         inc, start_param, end_param, convert = _setup_incremental(endpoint)
+        if inc is not None and inc.primary_key is None:
+            # boundary dedup must key on the RESOURCE primary key, not
+            # whole-row hashes: a boundary row re-served with the same
+            # pk but an updated payload would otherwise append a
+            # duplicate pk (reference extract/incremental/transform.py:
+            # 104-117 resolves primary_key from the resource hint)
+            pk = rcfg.get("primary_key")
+            if pk is not None:
+                inc.primary_key = [pk] if isinstance(pk, str) else list(pk)
 
         def fetch() -> Iterable[dict]:
             params = dict(endpoint.get("params") or {})

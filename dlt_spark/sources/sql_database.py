@@ -236,7 +236,11 @@ def sql_table(
             for f in reflected.fields:
                 new_type = type_adapter_callback(f)
                 if new_type is not None:
-                    overrides.append(f"{f.name} {new_type.simpleString()}")
+                    # backquote the name: a reflected column containing
+                    # spaces/reserved characters must stay parseable in
+                    # the customSchema DDL, matching the quoting already
+                    # applied to select_columns
+                    overrides.append(f"`{f.name}` {new_type.simpleString()}")
             if overrides:
                 custom_schema = ", ".join(overrides)
     reader = (

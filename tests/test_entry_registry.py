@@ -46,6 +46,37 @@ def test_window_prioritizes_unchecked_backlog():
     ]
 
 
+def test_no_complex_typed_outputs(spark):
+    """The driver's canonicalizer (pandas sort_values -> factorize)
+    crashes on list/dict cells, so EVERY registered query must emit
+    scalar-only output columns.  Lazy ``.schema`` inspection at
+    sf0.001 — no execution for plan-only queries (pipeline queries run
+    their small E2E load, which is what they do anyway).
+
+    This pins the round-5 regression class: pool_embeddings and
+    random_projection shipped ARRAY<double> outputs that were green in
+    tools/verify_local.py (its canon_cell stringified lists) but err'd
+    at the driver."""
+    from pyspark.sql import types as T
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip(f"no testdata at {sf_dir}")
+    bad = {}
+    for name, fn in entry._all_queries().items():
+        df = fn(spark, sf_dir)
+        complex_fields = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_fields:
+            bad[name] = complex_fields
+    assert not bad, f"complex-typed output columns (driver-incompatible): {bad}"
+
+
 def test_queries_and_bench_reference_registered_names():
     import re
 

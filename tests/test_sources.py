@@ -422,6 +422,45 @@ def test_rest_incremental_instance_as_param(spark, tmp_path):
     assert server.since_seen[0] == 35
 
 
+def test_rest_incremental_inherits_resource_primary_key(spark, tmp_path):
+    """The declarative incremental must dedup boundary rows on the
+    RESOURCE primary key, not whole-row hashes (reference
+    extract/incremental/transform.py:104-117 resolves primary_key from
+    the resource hint): a boundary row re-served with the same pk but an
+    UPDATED payload is still a duplicate pk and must be dropped."""
+    import dlt_spark
+
+    server = IncServer()
+    for e in server.events:
+        e["val"] = 0
+    params = {"since": {"type": "incremental", "cursor_path": "ts", "initial_value": 0}}
+    src = _inc_source(server, params)
+    assert src.resources["events"].incremental.primary_key == ["id"]
+
+    pipe = dlt_spark.pipeline("rest_pk", str(tmp_path / "d"), "ds", spark)
+    pipe.run(src)
+    # boundary row (id=4, ts=40) gets a changed payload server-side; the
+    # second run re-serves it (ts >= 40) alongside one genuinely new row
+    server.events[-1]["val"] = 99
+    server.events.append({"id": 5, "ts": 50, "val": 1})
+    pipe.run(_inc_source(server, params))
+    ids = sorted(r["id"] for r in pipe.dataset()["events"].spark_df().collect())
+    assert ids == [1, 2, 3, 4, 5]  # no duplicate pk 4
+
+
+def test_rest_incremental_unset_placeholder_raises():
+    """`{incremental.end_value}` with no configured end_value must raise,
+    not interpolate the literal text 'None' into the request."""
+    server = IncServer()
+    src = _inc_source(
+        server,
+        params={"until": "{incremental.end_value}"},
+        endpoint_extra={"incremental": {"cursor_path": "ts", "initial_value": 0}},
+    )
+    with pytest.raises(ValueError, match="end_value"):
+        list(src.resources["events"]._data())
+
+
 # ------------------------------------------------- duckdb csv + s3 naming
 
 

@@ -21,6 +21,13 @@ TABLES = [
 ]
 
 
+class ComplexCellError(TypeError):
+    """Raised on list/dict/Row cells: the driver's pandas canonicalizer
+    cannot hash complex-typed cells, so the local gate must reject them
+    too (a query emitting ARRAY/MAP/STRUCT output passes locally but
+    errs at the driver — serialize to a deterministic string instead)."""
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "<NULL>"
@@ -38,8 +45,11 @@ def canon_cell(v) -> str:
         return v.hex()
     if isinstance(v, bool):
         return str(v).lower()
-    if isinstance(v, list):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        raise ComplexCellError(
+            f"complex-typed cell {type(v).__name__} — the driver gate "
+            "rejects ARRAY/MAP/STRUCT outputs; serialize to a string"
+        )
     return str(v)
 
 
@@ -109,8 +119,13 @@ def main() -> int:
             continue
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
-        sh = frame_hash(scols, srows)
-        oh = frame_hash(ocols, orows)
+        try:
+            sh = frame_hash(scols, srows)
+            oh = frame_hash(ocols, orows)
+        except ComplexCellError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: {e}")
+            continue
         ok_hash = sh == oh
         status = "ok" if (ok_count and ok_cols and ok_hash) else "FAIL"
         dt_s = time.time() - t0
