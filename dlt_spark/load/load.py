@@ -139,8 +139,34 @@ class LoadStage:
             mk = _hint_cols(table, "merge_key")
             dedup_sort = _first_hint_col(table, "dedup_sort")
             hard_delete = _first_hint_col(table, "hard_delete")
-            if dest is not None and set(df.columns) - set(dest.columns):
+            evolved = dest is not None and bool(set(df.columns) - set(dest.columns))
+            if evolved:
                 dest = union_evolved(dest, df.limit(0))
+            # lakehouse fast path: a store exposing row-level `upsert`
+            # (Delta/Iceberg MERGE INTO) applies upsert/insert-only as
+            # ONE logged merge touching only matched files — at 100 TB
+            # the difference between a snapshot commit and rewriting the
+            # whole table through overwrite().  Guarded to the cases
+            # whose semantics the generic path and MERGE share exactly:
+            # no hard-delete flag (needs WHEN MATCHED ... THEN DELETE)
+            # and no in-flight schema evolution.
+            if (
+                strategy in ("upsert", "insert-only")
+                and pk
+                and dest is not None
+                and not evolved
+                and hard_delete is None
+                and set(df.columns) == set(dest.columns)
+                and hasattr(self.store, "upsert")
+            ):
+                staging = D.dedup_staging(
+                    df.select(*dest.columns), pk, dedup_sort
+                )
+                self.store.upsert(
+                    staging, name, join_cols=pk,
+                    when_matched_update_all=(strategy == "upsert"),
+                )
+                return
             if strategy == "delete-insert":
                 result = D.merge_delete_insert(
                     dest, df, primary_key=pk or None, merge_key=mk or None,

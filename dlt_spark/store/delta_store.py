@@ -104,6 +104,33 @@ class DeltaTableStore(TableStore):
             w = w.partitionBy(*partition_by)
         w.save(self._path(table))
 
+    def upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        join_cols: List[str],
+        when_matched_update_all: bool = True,
+    ) -> None:
+        """Row-level merge — ONE logged ``MERGE`` touching only the
+        files holding matched keys (the load stage delegates
+        upsert/insert-only here instead of rewriting the table; see
+        ``load.py``).  ``when_matched_update_all=False`` is the
+        insert-only strategy: matched rows stay untouched.  Reference
+        semantics: ``dlt/destinations/sql_jobs.py`` gen_upsert_sql
+        :742-903 / insert-only :762-773."""
+        if not self.exists(table):
+            self.append(df, table)
+            return
+        cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in join_cols)
+        m = (
+            DeltaTable.forPath(self.spark, self._path(table))
+            .alias("t")
+            .merge(df.alias("s"), cond)
+        )
+        if when_matched_update_all:
+            m = m.whenMatchedUpdateAll()
+        m.whenNotMatchedInsertAll().execute()
+
     def truncate(self, table: str) -> None:
         if self.exists(table):
             DeltaTable.forPath(self.spark, self._path(table)).delete()

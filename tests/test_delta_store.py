@@ -74,7 +74,13 @@ class _FakeWriter:
             "write", mode=self._mode, options=dict(self._options),
             partition_by=self._partition_by, path=path,
         )
-        w = self._df.write.mode(self._mode)
+        df = self._df
+        if self._mode == "overwrite":
+            # the real runtime gives snapshot isolation; the parquet
+            # emulation must materialize before clobbering its own input
+            rows = df.collect()
+            df = df.sparkSession.createDataFrame(rows, df.schema)
+        w = df.write.mode(self._mode)
         if self._partition_by:
             w = w.partitionBy(*self._partition_by)
         w.parquet(path)
@@ -113,6 +119,48 @@ def delta_env(spark, monkeypatch):
         def executeCompaction(self):
             self._log.add("executeCompaction", path=self._path)
 
+    class FakeMerge:
+        """Records the DeltaTable merge chain and emulates its row-level
+        semantics on the parquet files."""
+
+        def __init__(self, spark_, path, src, cond):
+            self._spark, self._path, self._src, self._cond = spark_, path, src, cond
+            self._update_all = False
+
+        def whenMatchedUpdateAll(self):
+            self._update_all = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            self._insert_all = True
+            return self
+
+        def execute(self):
+            import re
+
+            join_cols = re.findall(r"t\.`(\w+)` = s\.`\1`", self._cond)
+            assert join_cols, f"unparseable merge condition: {self._cond}"
+            log.add(
+                "merge", path=self._path, join_cols=join_cols,
+                update_all=self._update_all,
+            )
+            target = spark.read.parquet(self._path)
+            src = self._src
+            if self._update_all:
+                merged = target.join(
+                    src.select(*join_cols), join_cols, "left_anti"
+                ).unionByName(src.select(*target.columns))
+            else:
+                merged = target.unionByName(
+                    src.join(target.select(*join_cols), join_cols, "left_anti")
+                    .select(*target.columns)
+                )
+            rows = merged.collect()
+            spark.createDataFrame(rows, merged.schema).write.mode(
+                "overwrite"
+            ).parquet(self._path)
+            _mark_delta(self._path)
+
     class FakeDeltaTable:
         def __init__(self, spark_, path):
             self._spark, self._path = spark_, path
@@ -124,6 +172,12 @@ def delta_env(spark, monkeypatch):
         @classmethod
         def forPath(cls, spark_, path):
             return cls(spark_, path)
+
+        def alias(self, a):
+            return self
+
+        def merge(self, src_df, cond):
+            return FakeMerge(spark, self._path, src_df, cond)
 
         def delete(self):
             log.add("delete", path=self._path)
@@ -259,3 +313,63 @@ def test_pipeline_runs_on_delta_store(spark, tmp_path, delta_env):
         return
     # every data write went through the delta writer path
     assert log.of("write"), "pipeline wrote without format('delta')"
+    # the second run's upsert delegated to the store's row-level MERGE
+    # (load.py lakehouse fast path) instead of a full-table overwrite
+    merges = log.of("merge")
+    assert merges and merges[0]["join_cols"] == ["id"] and merges[0]["update_all"]
+
+
+def test_delta_upsert_is_a_single_merge(spark, tmp_path, delta_env):
+    """store.upsert -> DeltaTable.merge(cond).whenMatchedUpdateAll()
+    .whenNotMatchedInsertAll().execute() — one logged row-level commit;
+    insert-only drops the UPDATE clause."""
+    ds, log = delta_env
+    store = ds.DeltaTableStore(spark, str(tmp_path), "ds")
+    store.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    store.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        "t", join_cols=["id"],
+    )
+    assert {r["id"]: r["v"] for r in store.read("t").collect()} == {
+        1: "a", 2: "B", 3: "c"
+    }
+    store.upsert(
+        spark.createDataFrame([(3, "X"), (4, "d")], "id long, v string"),
+        "t", join_cols=["id"], when_matched_update_all=False,
+    )
+    assert {r["id"]: r["v"] for r in store.read("t").collect()} == {
+        1: "a", 2: "B", 3: "c", 4: "d"
+    }
+    if log.calls:
+        merges = log.of("merge")
+        assert [m["update_all"] for m in merges] == [True, False]
+
+
+@pytest.mark.parametrize(
+    "strategy", ["delete-insert", "upsert", "insert-only", "scd2"]
+)
+def test_merge_dispositions_on_delta_store(spark, tmp_path, delta_env, strategy):
+    """VERDICT r5 #8: the merge/scd2 disposition paths pinned against the
+    delta binding (the same flows test_pipeline.py proves on the parquet
+    store) — semantics must not depend on which TableStore commits."""
+    import dlt_spark
+
+    ds, _ = delta_env
+    pipe = dlt_spark.pipeline("pdisp", str(tmp_path / "dest"), "ds", spark)
+    pipe.store = ds.DeltaTableStore(spark, str(tmp_path / "dest"), "ds")
+    kw = dict(write_disposition="merge", merge_strategy=strategy)
+    if strategy != "scd2":
+        kw["primary_key"] = "id"
+    pipe.run([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], table_name="t", **kw)
+    pipe.run([{"id": 2, "v": "B"}, {"id": 3, "v": "c"}], table_name="t", **kw)
+    rows = pipe.dataset()["t"].spark_df().collect()
+    if strategy in ("delete-insert", "upsert"):
+        assert {r["id"]: r["v"] for r in rows} == {1: "a", 2: "B", 3: "c"}
+    elif strategy == "insert-only":
+        assert {r["id"]: r["v"] for r in rows} == {1: "a", 2: "b", 3: "c"}
+    else:  # scd2: full-snapshot semantics — absent/changed rows retired
+        current = {r["id"]: r["v"] for r in rows if r["_dlt_valid_to"] is None}
+        assert current == {2: "B", 3: "c"}
+        assert len(rows) == 4  # (1,a) and (2,b) retired, not deleted

