@@ -19,18 +19,109 @@ from __future__ import annotations
 
 import os
 from typing import Optional
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def apply_storage_options(
+    spark: SparkSession, bucket_url: str, credentials: Optional[dict]
+) -> None:
+    """Map a dlt-style credentials dict onto the Hadoop configuration the
+    Spark readers consult for that bucket's scheme — the cloud-auth
+    surface of the reference filesystem source
+    (``dlt/sources/filesystem/__init__.py:96`` bucket credentials;
+    ``common/configuration/specs/aws_credentials.py:24-28`` /
+    ``azure_credentials.py:21,49-50`` / ``gcp_credentials.py`` field
+    names are accepted verbatim).
+
+    S3 keys are scoped PER BUCKET (``fs.s3a.bucket.<name>.*``) so two
+    buckets with different credentials coexist in one session — the
+    per-bucket configs the reference keeps in its fsspec layer.  Keys
+    not recognized as dlt credential fields pass through untouched when
+    they already look like Hadoop keys (``fs.`` / ``google.`` prefix),
+    so raw ``storage_options`` escape-hatch configs keep working.
+
+    The actual cloud connectors (hadoop-aws, gcs-connector, hadoop-azure)
+    ship as jars with a real cluster distribution — this container has
+    none, so tests assert the conf lands on the session, not a live
+    read.  README documents the jar requirements.
+    """
+    if not credentials:
+        return
+    u = urlparse(bucket_url)
+    scheme, bucket = u.scheme.lower(), u.netloc
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _set(key: str, value) -> None:
+        if value is not None:
+            conf.set(key, str(value))
+
+    if scheme in ("s3", "s3a", "s3n"):
+        base = f"fs.s3a.bucket.{bucket}" if bucket else "fs.s3a"
+        _set(f"{base}.access.key", credentials.get("aws_access_key_id"))
+        _set(f"{base}.secret.key", credentials.get("aws_secret_access_key"))
+        _set(f"{base}.session.token", credentials.get("aws_session_token"))
+        _set(f"{base}.endpoint", credentials.get("endpoint_url"))
+        _set(f"{base}.endpoint.region", credentials.get("region_name"))
+        if credentials.get("aws_session_token"):
+            _set(
+                f"{base}.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
+            )
+    elif scheme in ("gs", "gcs"):
+        _set("fs.gs.project.id", credentials.get("project_id"))
+        if credentials.get("private_key"):
+            _set("fs.gs.auth.type", "SERVICE_ACCOUNT_JSON_KEYFILE")
+            _set(
+                "fs.gs.auth.service.account.private.key",
+                credentials.get("private_key"),
+            )
+            _set(
+                "fs.gs.auth.service.account.email",
+                credentials.get("client_email"),
+            )
+        elif credentials.get("keyfile"):
+            _set("fs.gs.auth.type", "SERVICE_ACCOUNT_JSON_KEYFILE")
+            _set(
+                "google.cloud.auth.service.account.json.keyfile",
+                credentials.get("keyfile"),
+            )
+    elif scheme in ("abfs", "abfss", "az", "azure"):
+        account = credentials.get("azure_storage_account_name")
+        host = f"{account}.dfs.core.windows.net"
+        if credentials.get("azure_storage_account_key"):
+            _set(f"fs.azure.account.auth.type.{host}", "SharedKey")
+            _set(
+                f"fs.azure.account.key.{host}",
+                credentials.get("azure_storage_account_key"),
+            )
+        elif credentials.get("azure_storage_sas_token"):
+            _set(f"fs.azure.account.auth.type.{host}", "SAS")
+            _set(
+                f"fs.azure.sas.fixed.token.{host}",
+                credentials.get("azure_storage_sas_token"),
+            )
+    # raw Hadoop keys pass through for any scheme (escape hatch)
+    for k, v in credentials.items():
+        if k.startswith(("fs.", "google.")):
+            _set(k, v)
+
+
 def filesystem(
-    spark: SparkSession, bucket_url: str, file_glob: str = "**"
+    spark: SparkSession,
+    bucket_url: str,
+    file_glob: str = "**",
+    credentials: Optional[dict] = None,
 ) -> DataFrame:
     """List files matching the glob as FileItem rows:
     (file_url, file_name, mime_type, size_in_bytes, modification_date).
     Mirrors the reference FileItem schema (``filesystem/__init__.py:96``).
-    Uses Spark's binaryFile source for distributed listing + metadata."""
+    Uses Spark's binaryFile source for distributed listing + metadata.
+    ``credentials`` (optional) is applied to the session's Hadoop conf
+    via :func:`apply_storage_options` before listing."""
+    apply_storage_options(spark, bucket_url, credentials)
     path = os.path.join(bucket_url, file_glob)
     listed = (
         spark.read.format("binaryFile")

@@ -422,6 +422,70 @@ def test_rest_incremental_instance_as_param(spark, tmp_path):
     assert server.since_seen[0] == 35
 
 
+def test_filesystem_storage_options_land_on_hadoop_conf(spark):
+    """Cloud credentials map onto the Hadoop conf the Spark readers
+    consult (reference bucket credentials, filesystem/__init__.py:96 +
+    configuration/specs field names).  S3 keys are scoped per bucket so
+    two buckets with different credentials coexist in one session.  The
+    cloud connector jars aren't in this container, so the assertion is
+    on the conf, not a live read."""
+    from dlt_spark.sources.filesystem import apply_storage_options
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    apply_storage_options(
+        spark,
+        "s3a://bucket-a/prefix",
+        {
+            "aws_access_key_id": "AKIA_A",
+            "aws_secret_access_key": "SECRET_A",
+            "aws_session_token": "TOK_A",
+            "endpoint_url": "https://minio.local:9000",
+        },
+    )
+    apply_storage_options(
+        spark, "s3a://bucket-b", {"aws_access_key_id": "AKIA_B",
+                                  "aws_secret_access_key": "SECRET_B"}
+    )
+    assert conf.get("fs.s3a.bucket.bucket-a.access.key") == "AKIA_A"
+    assert conf.get("fs.s3a.bucket.bucket-a.session.token") == "TOK_A"
+    assert conf.get("fs.s3a.bucket.bucket-a.endpoint") == "https://minio.local:9000"
+    assert (
+        conf.get("fs.s3a.bucket.bucket-a.aws.credentials.provider")
+        == "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    )
+    # per-bucket isolation: bucket-b keeps its own keys
+    assert conf.get("fs.s3a.bucket.bucket-b.access.key") == "AKIA_B"
+    assert conf.get("fs.s3a.bucket.bucket-b.session.token") is None
+
+    apply_storage_options(
+        spark, "abfss://cont@acct.dfs.core.windows.net/x",
+        {"azure_storage_account_name": "acct",
+         "azure_storage_account_key": "AZKEY"},
+    )
+    assert conf.get("fs.azure.account.key.acct.dfs.core.windows.net") == "AZKEY"
+    assert (
+        conf.get("fs.azure.account.auth.type.acct.dfs.core.windows.net")
+        == "SharedKey"
+    )
+
+    apply_storage_options(
+        spark, "gs://data-bucket",
+        {"project_id": "proj-1", "private_key": "PKEY",
+         "client_email": "sa@proj-1.iam.gserviceaccount.com"},
+    )
+    assert conf.get("fs.gs.project.id") == "proj-1"
+    assert conf.get("fs.gs.auth.service.account.private.key") == "PKEY"
+
+    # raw Hadoop keys pass through as an escape hatch
+    apply_storage_options(
+        spark, "s3a://bucket-c", {"fs.s3a.path.style.access": "true"}
+    )
+    assert conf.get("fs.s3a.path.style.access") == "true"
+
+    # no credentials: a no-op, never raises
+    apply_storage_options(spark, "s3a://bucket-d", None)
+
+
 def test_rest_incremental_inherits_resource_primary_key(spark, tmp_path):
     """The declarative incremental must dedup boundary rows on the
     RESOURCE primary key, not whole-row hashes (reference
