@@ -30,6 +30,36 @@ from pyspark.sql import functions as F
 
 NANO = 1_000_000_000
 
+# closing-edge probes in the triangle family broadcast the oriented edge
+# set when it is small enough (narrow (v, w) longs; ~16 B/row plus hash
+# table overhead keeps 8M rows well under typical executor memory) —
+# the probe side is the WEDGE table (C(d,2)-shaped, routinely 30-50x the
+# edge count), so broadcasting the edges avoids shuffling the wedges at
+# all.  Past the limit the join falls back to shuffle-hash/sort-merge,
+# which is the right plan at 100 TB edge scale.
+EDGE_BROADCAST_LIMIT = 8_000_000
+
+
+def _closing_probe(
+    wedges: DataFrame, oriented: DataFrame, how: str, with_flag: bool = False
+) -> DataFrame:
+    """Join the wedge table against the closing-edge set ``(v, w)``,
+    broadcasting the edge side when it is measurably small.  ``oriented``
+    must already be materialized (localCheckpoint) so the count is a
+    cheap cached-scan job, paid once per query and saving a full shuffle
+    of the much larger wedge table.  ``with_flag`` attaches a
+    ``_closed = 1`` marker for LEFT-join counting."""
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    if with_flag:
+        closing = closing.withColumn("_closed", F.lit(1))
+    try:
+        n_edges = oriented.count()
+    except Exception:
+        n_edges = None
+    if n_edges is not None and n_edges <= EDGE_BROADCAST_LIMIT:
+        closing = F.broadcast(closing)
+    return wedges.join(closing, ["v", "w"], how)
+
 
 def pagerank(
     edges: DataFrame,
@@ -131,10 +161,19 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).localCheckpoint(eager=False)
-    e2 = oriented.select(
+    # the wedge self-join EXPLODES row counts (C(d,2) per center, 30-50x
+    # the edge count is routine) and AQE coalesces partitions by INPUT
+    # bytes, blind to the explosion — left alone the heaviest stage of
+    # the whole triangle family runs on a handful of tasks.  Explicit
+    # co-partitioning on the center key at cluster parallelism keeps the
+    # merge + downstream probe/explode saturated (defaultParallelism =
+    # total executor cores on a real cluster).
+    par = oriented.sparkSession.sparkContext.defaultParallelism
+    o_rep = oriented.repartition(par, "u")
+    e2 = o_rep.select(
         F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
     )
-    wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(
+    wedges = o_rep.join(e2, F.col("u") == F.col("u2")).filter(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
     ).select("u", "v", F.col("w2").alias("w"))
@@ -208,11 +247,16 @@ def _capped_wedges(edges: DataFrame, src: str, dst: str, cap: int) -> tuple:
         )
         .localCheckpoint(eager=False)
     )
-    e2 = kept.select(
+    # same join-explosion dial as _oriented_wedges: co-partition on the
+    # center key at cluster parallelism so AQE's byte-based coalescing
+    # cannot starve the wedge merge of tasks
+    par = kept.sparkSession.sparkContext.defaultParallelism
+    kept_rep = kept.repartition(par, "u")
+    e2 = kept_rep.select(
         F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
     )
     wedges = (
-        kept.join(e2, F.col("u") == F.col("u2"))
+        kept_rep.join(e2, F.col("u") == F.col("u2"))
         .filter(
             (F.col("dv") < F.col("dw"))
             | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
@@ -252,10 +296,7 @@ def triangle_count(
     """
     if max_wedges_per_node is None:
         und, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
-        closing = oriented.select(
-            F.col("u").alias("v"), F.col("v").alias("w"), F.lit(1).alias("_closed")
-        )
-        marked = wedges.join(closing, ["v", "w"], "left")
+        marked = _closing_probe(wedges, oriented, "left", with_flag=True)
         wt = marked.agg(
             F.count(F.lit(1)).alias("n_wedges"),
             F.coalesce(
@@ -266,8 +307,7 @@ def triangle_count(
         und, deg, oriented, wedges, _ = _capped_wedges(
             edges, src, dst, max_wedges_per_node
         )
-        closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-        closed6 = wedges.join(closing, ["v", "w"], "left_semi").agg(
+        closed6 = _closing_probe(wedges, oriented, "left_semi").agg(
             F.coalesce(F.sum("_w6"), F.lit(0)).alias("_t6")
         )
         true_wedges = (
@@ -406,8 +446,7 @@ def clustering_coefficient(
     """
     if max_wedges_per_node is None:
         _, deg, oriented, wedges = _oriented_wedges(edges, src, dst)
-        closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-        tri = wedges.join(closing, ["v", "w"], "left_semi")
+        tri = _closing_probe(wedges, oriented, "left_semi")
         per_node = (
             tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
             .groupBy("id")
@@ -429,8 +468,7 @@ def clustering_coefficient(
     und, deg, oriented, wedges, capped_centers = _capped_wedges(
         edges, src, dst, max_wedges_per_node
     )
-    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    tri = _closing_probe(wedges, oriented, "left_semi")
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("id"), "_w6")
         .groupBy("id")
