@@ -39,6 +39,13 @@ NANO = 1_000_000_000
 # which is the right plan at 100 TB edge scale.
 EDGE_BROADCAST_LIMIT = 8_000_000
 
+# iterative scorers (pagerank / HITS / label propagation) broadcast the
+# per-node score table into the edge join when the node count — known
+# exactly, it is computed anyway — fits comfortably in a broadcast
+# (narrow (id, int64) rows).  The edge table then never shuffles; only
+# the per-iteration contribution aggregation does.
+NODE_BROADCAST_LIMIT = 4_000_000
+
 
 def _closing_probe(
     wedges: DataFrame, oriented: DataFrame, how: str, with_flag: bool = False
@@ -102,10 +109,17 @@ def pagerank(
         .join(out_deg.select(F.col(src).alias("_src"), "_deg"), "_src")
         .localCheckpoint(eager=False)
     )
+    # the per-node score table is exactly n rows (n is already counted):
+    # when it fits a broadcast, every iteration's edge join runs without
+    # shuffling the edge table at all — the only shuffle left is the
+    # contribution aggregation.  Past the gate (1e9-node graphs) the
+    # joins fall back to shuffle, the right plan at that scale.
+    bcast = n <= NODE_BROADCAST_LIMIT
     rank = nodes.select("id", F.lit(init).cast("bigint").alias("_r"))
     for i in range(iters):
+        rank_side = F.broadcast(rank) if bcast else rank
         contrib = (
-            e.join(rank, e["_src"] == rank["id"])
+            e.join(rank_side, e["_src"] == rank_side["id"])
             .select(
                 F.col("_dst").alias("id"),
                 F.expr("_r div _deg").alias("_c"),
@@ -113,7 +127,8 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("_c").alias("_s"))
         )
-        rank = nodes.join(contrib, "id", "left").select(
+        contrib_side = F.broadcast(contrib) if bcast else contrib
+        rank = nodes.join(contrib_side, "id", "left").select(
             "id",
             (
                 F.lit(base)
@@ -378,25 +393,31 @@ def hits(
             "id", F.expr(f"({col} * {NANO}L) div _tot").alias(col)
         )
 
+    # same dial as pagerank: score tables are exactly n narrow rows —
+    # under the gate they broadcast into every edge join, so the edge
+    # table never shuffles
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n <= NODE_BROADCAST_LIMIT else df
+
     for i in range(iters):
         raw_auth = (
-            e.join(hub.withColumnRenamed("id", "_src"), "_src")
+            e.join(_b(hub.withColumnRenamed("id", "_src")), "_src")
             .groupBy(F.col("_dst").alias("id"))
             .agg(F.sum("_h").alias("_a"))
         )
         auth = _l1_normalize(
-            nodes.join(raw_auth, "id", "left").select(
+            nodes.join(_b(raw_auth), "id", "left").select(
                 "id", F.coalesce("_a", F.lit(0)).alias("_a")
             ),
             "_a",
         )
         raw_hub = (
-            e.join(auth.withColumnRenamed("id", "_dst"), "_dst")
+            e.join(_b(auth.withColumnRenamed("id", "_dst")), "_dst")
             .groupBy(F.col("_src").alias("id"))
             .agg(F.sum("_a").alias("_h"))
         )
         hub = _l1_normalize(
-            nodes.join(raw_hub, "id", "left").select(
+            nodes.join(_b(raw_hub), "id", "left").select(
                 "id", F.coalesce("_h", F.lit(0)).alias("_h")
             ),
             "_h",
