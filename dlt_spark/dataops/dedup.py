@@ -867,15 +867,29 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # the label table is one row per CANDIDATE-PAIR node — near-dup
+    # members, usually a small fraction of the corpus.  Under the gate,
+    # broadcast it into every propagation join so the edge table never
+    # shuffles (same dial as graph.NODE_BROADCAST_LIMIT); past the gate
+    # the joins shuffle, the right plan for duplicate-dense corpora.
+    from .graph import NODE_BROADCAST_LIMIT
+
+    n_nodes = labels.count()
+    _b = (
+        (lambda df: F.broadcast(df))
+        if n_nodes <= NODE_BROADCAST_LIMIT
+        else (lambda df: df)
+    )
     for it in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(_b(labels), edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -883,7 +897,7 @@ def connected_components(
         # checked on the CHECKPOINTED result — checking before
         # materializing would execute the whole join lineage twice per
         # iteration (once for the check, again for the checkpoint)
-        upd = labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left").select(
+        upd = labels.join(_b(neighbor_min), labels["id"] == neighbor_min["src"], "left").select(
             "id",
             F.col("component").alias("old_c"),
             F.least(
@@ -897,7 +911,7 @@ def connected_components(
         # where it turns O(diameter) into O(log diameter).
         if it > 0:
             jump = upd.select(F.col("id").alias("jid"), F.col("new_c").alias("jcomp"))
-            upd = upd.join(jump, upd["new_c"] == jump["jid"], "left").select(
+            upd = upd.join(_b(jump), upd["new_c"] == jump["jid"], "left").select(
                 "id",
                 "old_c",
                 F.least(F.col("new_c"), F.coalesce(F.col("jcomp"), F.col("new_c"))).alias(
