@@ -3194,8 +3194,32 @@ def _q_length_batches(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """Privacy audit before a data release: every (user_id, event_type)
+    quasi-identifier combination occurring fewer than k=10 times — the
+    groups a release would expose (Sweeney 2002 k-anonymity).  One
+    grouped count on the QI key; shuffle cardinality is the distinct-QI
+    count, not the row count."""
+    from dlt_spark.dataops.privacy import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events")
+    return k_anonymity_report(ev, ["user_id", "event_type"], k=10)
+
+
+def _q_k_anonymity_stats(spark, sf_dir):
+    """The release-dashboard summary of the same audit: group counts,
+    violating groups, and how many rows suppression would drop —
+    mergeable integer aggregates over the per-group sizes."""
+    from dlt_spark.dataops.privacy import k_anonymity_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return k_anonymity_stats(ev, ["user_id", "event_type"], k=10)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "k_anonymity": _q_k_anonymity,
+        "k_anonymity_stats": _q_k_anonymity_stats,
         "length_batches": _q_length_batches,
         "linear_attribution": _q_linear_attribution,
         "corpus_diff": _q_corpus_diff,
@@ -6924,6 +6948,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(i // 10 AS BIGINT) AS ts,
                CAST((i * 37) % 100 AS BIGINT) AS val
         FROM generate_series(0, 229) t(i)
+    """
+
+    sql["k_anonymity"] = """
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS group_size
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING count(*) < 10
+        ORDER BY group_size, user_id, event_type
+    """
+
+    sql["k_anonymity_stats"] = """
+        WITH sizes AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_groups,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_suppressed_rows,
+               CAST(min(c) AS BIGINT) AS min_group_size
+        FROM sizes
     """
 
     return sql

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "length_batches",
     "rest_incremental",
     "clustering_coeff_capped",
+    "k_anonymity",
 ]
 
 
