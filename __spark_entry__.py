@@ -3216,8 +3216,28 @@ def _q_k_anonymity_stats(spark, sf_dir):
     return k_anonymity_stats(ev, ["user_id", "event_type"], k=10)
 
 
+def _q_l_diversity(spark, sf_dir):
+    """Homogeneity-attack audit (Machanavajjhala 2007): quasi-identifier
+    groups (user, value-decile) whose sensitive attribute (event_type)
+    carries fewer than l=3 distinct values — k-anonymity's necessary
+    companion before release.  One grouped count-distinct; shuffle is
+    (QI, sensitive)-pair-shaped.  floor(value/10) bucketing (not an int
+    cast) because Spark truncates double->int while DuckDB rounds."""
+    from dlt_spark.dataops.privacy import l_diversity_report
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value_bucket", F.floor(F.col("value") / 10).cast("bigint"))
+    )
+    return l_diversity_report(
+        ev, ["user_id", "value_bucket"], "event_type", l=3
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "l_diversity": _q_l_diversity,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_stats": _q_k_anonymity_stats,
         "length_batches": _q_length_batches,
@@ -6956,6 +6976,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, event_type
         HAVING count(*) < 10
         ORDER BY group_size, user_id, event_type
+    """
+
+    sql["l_diversity"] = """
+        SELECT user_id,
+               CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT event_type) AS BIGINT)
+                   AS distinct_sensitive
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        HAVING count(DISTINCT event_type) < 3
+        ORDER BY distinct_sensitive, group_size, user_id, value_bucket
     """
 
     sql["k_anonymity_stats"] = """

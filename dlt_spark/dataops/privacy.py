@@ -73,6 +73,37 @@ def k_anonymity_stats(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Audit the companion property: a k-anonymous group whose members
+    all share one sensitive value still leaks it (homogeneity attack —
+    Machanavajjhala 2007 l-diversity).  Reports every QI combination
+    whose ``sensitive_col`` carries fewer than ``l`` DISTINCT values,
+    with the group size alongside.
+
+    One grouped count-distinct on the QI key; distinct-aggregation
+    shuffle is (QI, sensitive) pairs — still group-cardinality-shaped,
+    not row-shaped."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    qi = list(quasi_identifiers)
+    if not qi:
+        raise ValueError("quasi_identifiers must be non-empty")
+    return (
+        df.groupBy(*qi)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(F.col(sensitive_col)).alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+        .orderBy("distinct_sensitive", "group_size", *qi)
+    )
+
+
 def suppress_small_groups(
     df: DataFrame, quasi_identifiers: Sequence[str], k: int = 5
 ) -> DataFrame:

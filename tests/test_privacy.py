@@ -58,6 +58,23 @@ def test_suppression_leaves_k_anonymous_table(people):
     assert k_anonymity_report(out, ["zip", "age"], k=3).count() == 0
 
 
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from dlt_spark.dataops.privacy import l_diversity_report
+
+    df = spark.createDataFrame(
+        [
+            ("94110", "flu"), ("94110", "flu"), ("94110", "flu"),  # homogeneous
+            ("10001", "flu"), ("10001", "cold"),                   # diverse
+        ],
+        "zip string, diagnosis string",
+    )
+    out = l_diversity_report(df, ["zip"], "diagnosis", l=2).collect()
+    assert [(r["zip"], r["group_size"], r["distinct_sensitive"]) for r in out] == [
+        ("94110", 3, 1)
+    ]
+    assert l_diversity_report(df, ["zip"], "diagnosis", l=1).count() == 0
+
+
 def test_validation_errors(people):
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_report(people, ["zip"], k=0)
