@@ -3235,8 +3235,46 @@ def _q_l_diversity(spark, sf_dir):
     )
 
 
+def _q_image_resize(spark, sf_dir):
+    """Resize plumbing through mapInPandas: binary -> binary with the
+    stub codec's deterministic fake (sha256(payload || ':WxH')), so the
+    oracle reproduces the resized payload as a SQL sha256.  Payload
+    compared via lowercase hex."""
+    from dlt_spark.dataops.multimodal import resize_image
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = docs.select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = resize_image(assets, width=64, height=64, deterministic_fake=True)
+    return out.select(
+        "id", "width", "height", F.lower(F.hex("payload")).alias("payload_hex")
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    """Audio featurization plumbing (stub codec): 16-bit mono PCM
+    duration accounting (size_bytes / 32000) + the seeded sha256 fake
+    feature — both pure arithmetic the oracle replays."""
+    from dlt_spark.dataops.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = docs.select(
+        F.col("doc_id").alias("id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = extract_audio_features(assets, deterministic_fake=True)
+    return out.select(
+        "id",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "image_resize": _q_image_resize,
+        "audio_features": _q_audio_features,
         "l_diversity": _q_l_diversity,
         "k_anonymity": _q_k_anonymity,
         "k_anonymity_stats": _q_k_anonymity_stats,
@@ -6976,6 +7014,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, event_type
         HAVING count(*) < 10
         ORDER BY group_size, user_id, event_type
+    """
+
+    sql["image_resize"] = """
+        SELECT doc_id AS id,
+               CAST(64 AS INT) AS width,
+               CAST(64 AS INT) AS height,
+               sha256(text || ':64x64') AS payload_hex
+        FROM documents WHERE doc_id < 100
+    """
+
+    sql["audio_features"] = """
+        SELECT doc_id AS id,
+               CAST(16000 AS INT) AS sample_rate,
+               round(octet_length(encode(text)) / 32000.0, 6) AS duration_s,
+               round(CAST(('0x' || substr(sha256(text), 3, 2)) AS INT)
+                     / 255.0, 6) AS f1
+        FROM documents WHERE doc_id < 100
     """
 
     sql["l_diversity"] = """

@@ -100,6 +100,100 @@ def extract_image_features(
     return narrow.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out with updated dimension
+    metadata, Arrow-batched (``mapInPandas``).  The codec is stubbed
+    like the decoder; the fake 'resized' payload is the sha256 digest of
+    ``payload || ':WxH'`` — deterministic, size-independent, and
+    reproducible as plain SQL (``sha256(text || ':WxH')``) for the
+    cross-engine oracle.  Schema: (id, payload binary, width, height)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        suffix = f":{width}x{height}".encode()
+        out_payloads = []
+        ids = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image resizing requires an imaging library not "
+                        "present in this environment; pass "
+                        "deterministic_fake=True for plumbing tests"
+                    )
+                ids.append(int(row[id_col]))
+                out_payloads.append(
+                    hashlib.sha256((row[payload_col] or b"") + suffix).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "payload": out_payloads,
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+            ids, out_payloads = [], []
+
+    return df.select(F.col(id_col).alias(id_col), F.col(payload_col)).mapInPandas(
+        run, schema="id long, payload binary, width int, height int"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    sample_rate: int = 16_000,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Audio featurization plumbing: (id, payload) -> (id, sample_rate,
+    duration_s, feature).  Real pipelines decode PCM and run an MFCC/
+    embedding model here; the codec is stubbed.  The fake derives
+    ``duration_s = size_bytes / (2 * sample_rate)`` (16-bit mono PCM
+    accounting — pure arithmetic, oracle-expressible) and the same
+    seeded sha256 feature vector as the image stub."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library not present "
+                    "in this environment; pass deterministic_fake=True for "
+                    "plumbing tests"
+                )
+            payloads = [p or b"" for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [sample_rate] * len(payloads), dtype="int32"
+                    ),
+                    "duration_s": [
+                        len(p) / (2.0 * sample_rate) for p in payloads
+                    ],
+                    "feature": [
+                        _decode_image_stub(p, True) for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema="id long, sample_rate int, duration_s double, feature array<double>",
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "id",

@@ -130,6 +130,42 @@ def test_multimodal_plumbing(spark):
     assert {r["frame_idx"] for r in frames} == {0, 10, 20}
 
 
+def test_multimodal_resize_and_audio(spark):
+    import hashlib
+
+    from dlt_spark.dataops.multimodal import extract_audio_features, resize_image
+
+    data = [(1, b"fake-image-bytes-aaaa"), (2, b"fake-image-bytes-bbbb")]
+    df = spark.createDataFrame(data, "id long, payload binary")
+
+    resized = {r["id"]: r for r in resize_image(
+        df, width=32, height=16, deterministic_fake=True
+    ).collect()}
+    assert resized[1]["width"] == 32 and resized[1]["height"] == 16
+    # fake codec contract: payload == sha256(orig || ':WxH') digest
+    assert bytes(resized[1]["payload"]) == hashlib.sha256(
+        b"fake-image-bytes-aaaa:32x16"
+    ).digest()
+    assert resized[1]["payload"] != resized[2]["payload"]
+    with pytest.raises(Exception) as ei:
+        resize_image(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+    audio = {r["id"]: r for r in extract_audio_features(
+        df, deterministic_fake=True
+    ).collect()}
+    assert audio[1]["sample_rate"] == 16000
+    assert audio[1]["duration_s"] == pytest.approx(21 / 32000.0)
+    assert len(audio[1]["feature"]) == 8
+    with pytest.raises(Exception) as ei:
+        extract_audio_features(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
 def test_arrow_column_path_parity(docs):
     """The Arrow-batched shingle/MinHash kernel must produce bit-identical
     results to the pure-column reference path (same tokenizer regex, same
