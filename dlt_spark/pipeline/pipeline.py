@@ -88,6 +88,7 @@ class Pipeline:
         import_schema_path: Optional[str] = None,
         export_schema_path: Optional[str] = None,
             progress: "Optional[str]" = None,
+        max_rows_per_file: int = 0,
     ) -> None:
         from ..schema.naming import naming_from_name
 
@@ -95,7 +96,12 @@ class Pipeline:
         self.progress = progress
         self.dataset_name = dataset_name
         self.spark = spark or SparkSession.builder.getOrCreate()
-        self.store: TableStore = ParquetTableStore(self.spark, destination, dataset_name)
+        # max_rows_per_file: the reference buffered writer's rotation dial
+        # (file_max_items), applied via Spark's maxRecordsPerFile
+        self.store: TableStore = ParquetTableStore(
+            self.spark, destination, dataset_name,
+            max_rows_per_file=max_rows_per_file,
+        )
         self.import_schema_path = import_schema_path
         self.export_schema_path = export_schema_path
         # import/export schema workflow (reference pipeline

@@ -112,10 +112,17 @@ def _ranges_overlap(stats: dict, where: List[tuple]) -> bool:
 
 
 class ParquetTableStore(TableStore):
-    def __init__(self, spark: SparkSession, root: str, dataset: str = "default") -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dataset: str = "default",
+        max_rows_per_file: int = 0,
+    ) -> None:
         self.spark = spark
         self.root = os.path.join(root, dataset)
         self.dataset = dataset
+        self.max_rows_per_file = max_rows_per_file
         os.makedirs(self.root, exist_ok=True)
 
     # -- layout helpers --
@@ -415,12 +422,20 @@ class ParquetTableStore(TableStore):
                     out.append(os.path.join(d, entry["file"]))
         return out if any_manifest else None
 
-    @staticmethod
-    def _write(df: DataFrame, path: str, partition_by: Optional[List[str]]) -> None:
+    def _write(self, df: DataFrame, path: str, partition_by: Optional[List[str]]) -> None:
         """Hive-partitioned layout when partition hints are set — readers
         get partition pruning on those columns for free (the parquet
-        analog of Delta partitioning / Iceberg partition specs)."""
+        analog of Delta partitioning / Iceberg partition specs).
+
+        ``max_rows_per_file`` (constructor arg) maps onto Spark's
+        ``maxRecordsPerFile`` — the file-rotation dial of the reference's
+        buffered writer (``dlt/common/storages/configuration.py``
+        file_max_items / data_writer rotation), applied at the task level
+        by the JVM writer instead of a Python buffering loop.  0 = off
+        (Spark's task sizing decides)."""
         w = df.write.mode("overwrite")
+        if self.max_rows_per_file:
+            w = w.option("maxRecordsPerFile", int(self.max_rows_per_file))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

@@ -326,3 +326,32 @@ def test_dataset_optimize_compacts_and_zorders(spark, tmp_path):
     total_b, after_b = pipe.store.skipped_files("t", [("b", 90, None)])
     assert total_a == total_b == 8
     assert after_a < total_a and after_b < total_b  # both dims prune
+
+
+def test_max_rows_per_file_rotation(spark, tmp_path):
+    """The reference buffered writer's file-rotation dial
+    (file_max_items) maps onto Spark's maxRecordsPerFile: a bounded
+    store splits a single-partition write into ceil(rows/limit) files."""
+    import glob
+    import os
+
+    from dlt_spark.store.table_store import ParquetTableStore
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+
+    plain = ParquetTableStore(spark, str(tmp_path / "a"), "ds")
+    plain.append(df, "t")
+    rotated = ParquetTableStore(
+        spark, str(tmp_path / "b"), "ds", max_rows_per_file=30
+    )
+    rotated.append(df, "t")
+
+    def files(root):
+        return [
+            f for f in glob.glob(os.path.join(root, "ds/t/v_*/*.parquet"))
+            if not os.path.basename(f).startswith("_")
+        ]
+
+    assert len(files(str(tmp_path / "a"))) == 1
+    assert len(files(str(tmp_path / "b"))) == 4  # ceil(100 / 30)
+    assert rotated.read("t").count() == 100
