@@ -105,14 +105,23 @@ class LoadStage:
             df = align_with_variants(df, dest)
             df = self._apply_data_type_contract(df, dest, name)
 
-        # `sort` hint → cluster rows inside each written file so parquet
-        # row-group min/max statistics prune scans on the sorted column
-        # (the reference's per-destination ORDER BY/cluster hint analog).
-        # sortWithinPartitions is a narrow, per-task sort — no shuffle.
+        # `cluster` hint (reference typing.py:76,188 — the BigQuery/
+        # Snowflake clustering column) → GLOBAL range clustering at write
+        # time: repartitionByRange gives files DISJOINT value ranges, so
+        # the store's per-file min/max manifest prunes a point/range scan
+        # to ~one file instead of "every file overlaps".  Costs one
+        # range-exchange shuffle per load — the same trade BigQuery makes
+        # on clustered ingest.  `sort` alone stays shuffle-free
+        # (sortWithinPartitions): rows cluster inside each task's files.
+        cluster_by = [c for c in _hint_cols(table, "cluster") if c in df.columns]
+        if cluster_by:
+            df = df.repartitionByRange(*cluster_by)
         sort_by = _hint_cols(table, "sort")
         present_sort = None
-        if sort_by:
-            present_sort = [c for c in sort_by if c in df.columns] or None
+        if sort_by or cluster_by:
+            present_sort = [
+                c for c in (sort_by or cluster_by) if c in df.columns
+            ] or None
             if present_sort:
                 df = df.sortWithinPartitions(*present_sort)
 

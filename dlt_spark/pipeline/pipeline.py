@@ -685,6 +685,7 @@ def pipeline(
     import_schema_path: Optional[str] = None,
     export_schema_path: Optional[str] = None,
     progress: Optional[str] = None,
+    max_rows_per_file: int = 0,
 ) -> Pipeline:
     """Pipeline factory.  ``destination`` / ``dataset_name`` omitted fall
     back to config (``pipelines.<name>.destination`` then bare keys —
@@ -706,4 +707,5 @@ def pipeline(
         import_schema_path=import_schema_path,
         export_schema_path=export_schema_path,
         progress=progress,
+        max_rows_per_file=max_rows_per_file,
     )

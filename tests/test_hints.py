@@ -52,6 +52,42 @@ def test_sort_hint_clusters_written_files(spark, tmp_path):
         assert ts == sorted(ts)  # rows clustered within every file
 
 
+def test_cluster_hint_gives_files_disjoint_ranges(spark, tmp_path):
+    """The `cluster` column hint (reference typing.py cluster — the
+    BigQuery/Snowflake clustering column) range-partitions the write so
+    files carry DISJOINT value ranges: a point/range scan prunes to ~one
+    file via the store manifest instead of overlapping every file."""
+    import pyarrow.parquet as pq
+
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    rows = [{"id": i, "ts": (i * 7919) % 1000} for i in range(2000)]
+    res = DltResource(rows, name="clustered_t")
+    res.apply_hints(columns={"ts": {"name": "ts", "cluster": True}})
+    # AQE correctly coalesces 2000 rows into one range partition; the
+    # rotation dial splits that sorted task output into sequential —
+    # hence still range-disjoint — files, which is exactly how the two
+    # dials compose at real scale too
+    pipe = dlt_spark.pipeline(
+        "clusterhint", str(tmp_path / "d"), "ds", spark, max_rows_per_file=500
+    )
+    pipe.run(res)
+    files = [
+        f for f in pipe.dataset()["clustered_t"].source_files()
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1  # range exchange produced multiple files
+    ranges = []
+    for f in files:
+        ts = pq.read_table(f.replace("file:", ""), columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts)  # also sorted within each file
+        ranges.append((min(ts), max(ts)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: pruning can hit exactly one file
+
+
 def test_nested_hints_mark_child_table_keys(spark, tmp_path):
     """nested_hints (reference make_hints nested_hints): child tables
     get primary_key / column hints by nested path."""
