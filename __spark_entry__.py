@@ -3271,8 +3271,156 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+
+def _q_kcore_decomposition(spark, sf_dir):
+    """Bounded k-core peeling (k=45, 4 synchronous rounds) of the
+    bipartite part<->supplier supply graph: shell sizes per peel round
+    (0 = survived into the core).  Per round the edge table is
+    semi-joined against the shrinking alive set (broadcast under the
+    node gate) + one degree count -- the edge table never shuffles.
+    Purely integer; the oracle unrolls the identical four rounds."""
+    from dlt_spark.dataops.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+    ).distinct()
+    kc = k_core(edges, k=45, rounds=4)
+    return (
+        kc.groupBy("removed_round")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("removed_round")
+    )
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Newman degree-assortativity coefficient of the supply graph:
+    Pearson r of (deg(u), deg(v)) over the symmetrized edge list.  All
+    five moment sums are DECIMAL(38,0) integer aggregation; only the
+    final divisions/sqrt touch floats (IEEE-deterministic on exact
+    integers, mirrored bit-for-bit by HUGEINT math in the oracle)."""
+    from dlt_spark.dataops.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+    ).distinct()
+    return degree_assortativity(edges)
+
+
+def _q_bpe_train_merges(spark, sf_dir):
+    """Four rounds of actual BPE merge TRAINING (Sennrich 2016) over
+    the document corpus: per round count adjacent symbol pairs weighted
+    by word frequency, pick the argmax (ties lexicographic), merge it
+    corpus-wide via two-pass left-to-right replace, repeat.  Cost after
+    the single corpus pass is vocabulary-sized; the oracle unrolls the
+    identical four rounds as CTEs."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dlt_spark.dataops.tokenizer import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    rows = bpe_train(docs, "text", merges=4)
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("pair_left", StringType()),
+            StructField("pair_right", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    data = [
+        (r["rank"], r["pair_left"], r["pair_right"], int(r["n"])) for r in rows
+    ]
+    return spark.createDataFrame(data, schema).orderBy("rank")
+
+
+def _q_window_funcs(spark, sf_dir):
+    """Analytic window-function parity suite over orders-per-customer:
+    row_number / lag / lead / ntile on a total (tie-free) ordering plus
+    rank / dense_rank on a tie-heavy ordering, and percent_rank /
+    cume_dist quantized to 6 places.  Pure window-exchange plan: one
+    hash partition on o_custkey serves every function."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 19 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.row_number().over(w1).alias("rn"),
+            F.lag(cents, 1).over(w1).alias("prev_cents"),
+            F.lead(cents, 1).over(w1).alias("next_cents"),
+            F.ntile(4).over(w1).alias("quartile"),
+            F.round(F.percent_rank().over(w1), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w1), 6).alias("cdist"),
+            F.rank().over(w2).alias("prio_rank"),
+            F.dense_rank().over(w2).alias("prio_dense_rank"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def _q_table_changes(spark, sf_dir):
+    """Change-data-feed read over the versioned TableStore (Delta CDF
+    analog, reference parity: dlt destinations expose table versioning
+    via delta/iceberg): commit a baseline snapshot, overwrite with a
+    mutated snapshot (deletes + in-place updates), then read
+    ``changes(v0, v1)`` and aggregate the feed per change type.  An
+    updated row surfaces as one delete + one insert; the oracle
+    recomputes the multiset diff with EXCEPT ALL."""
+    import tempfile
+
+    from dlt_spark.store.table_store import ParquetTableStore
+
+    dest = tempfile.mkdtemp(prefix="dlt_spark_cdc_")
+    store = ParquetTableStore(spark, dest)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    store.append(base, "orders_cdc")
+    upd = base.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    store.overwrite(upd, "orders_cdc")
+    ch = store.changes("orders_cdc", 0, 1)
+    return (
+        ch.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("_change_type")
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "table_changes": _q_table_changes,
+        "window_funcs": _q_window_funcs,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "degree_assortativity": _q_degree_assortativity,
+        "kcore_decomposition": _q_kcore_decomposition,
         "image_resize": _q_image_resize,
         "audio_features": _q_audio_features,
         "l_diversity": _q_l_diversity,
@@ -3522,6 +3670,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["kcore_decomposition"] = """
+        WITH fwd AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst
+            FROM lineitem
+        ), e AS (
+            SELECT src AS s, dst AS d FROM fwd
+            UNION ALL SELECT dst AS s, src AS d FROM fwd
+        ), a0 AS (SELECT DISTINCT s AS id FROM e),
+        d1 AS (
+            SELECT e.s AS id, count(*) AS dg FROM e
+            JOIN a0 x ON e.s = x.id JOIN a0 y ON e.d = y.id GROUP BY e.s
+        ), a1 AS (SELECT id FROM d1 WHERE dg >= 45),
+        d2 AS (
+            SELECT e.s AS id, count(*) AS dg FROM e
+            JOIN a1 x ON e.s = x.id JOIN a1 y ON e.d = y.id GROUP BY e.s
+        ), a2 AS (SELECT id FROM d2 WHERE dg >= 45),
+        d3 AS (
+            SELECT e.s AS id, count(*) AS dg FROM e
+            JOIN a2 x ON e.s = x.id JOIN a2 y ON e.d = y.id GROUP BY e.s
+        ), a3 AS (SELECT id FROM d3 WHERE dg >= 45),
+        d4 AS (
+            SELECT e.s AS id, count(*) AS dg FROM e
+            JOIN a3 x ON e.s = x.id JOIN a3 y ON e.d = y.id GROUP BY e.s
+        ), a4 AS (SELECT id FROM d4 WHERE dg >= 45),
+        rm AS (
+            SELECT id, 1 AS removed_round FROM a0
+            WHERE id NOT IN (SELECT id FROM a1)
+            UNION ALL
+            SELECT id, 2 FROM a1 WHERE id NOT IN (SELECT id FROM a2)
+            UNION ALL
+            SELECT id, 3 FROM a2 WHERE id NOT IN (SELECT id FROM a3)
+            UNION ALL
+            SELECT id, 4 FROM a3 WHERE id NOT IN (SELECT id FROM a4)
+            UNION ALL
+            SELECT id, 0 FROM a4
+        )
+        SELECT removed_round, count(*) AS n_nodes
+        FROM rm GROUP BY removed_round ORDER BY removed_round
+    """
+
+    sql["degree_assortativity"] = """
+        WITH fwd AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst
+            FROM lineitem
+        ), e AS (
+            SELECT src AS s, dst AS d FROM fwd
+            UNION ALL SELECT dst AS s, src AS d FROM fwd
+        ), deg AS (
+            SELECT s AS id, count(*) AS dg FROM e GROUP BY s
+        ), p AS (
+            SELECT CAST(dx.dg AS HUGEINT) AS x, CAST(dy.dg AS HUGEINT) AS y
+            FROM e JOIN deg dx ON e.s = dx.id JOIN deg dy ON e.d = dy.id
+        ), s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS m,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sx2, sum(y * y) AS sy2
+            FROM p
+        )
+        SELECT CAST(m AS BIGINT) AS m_edges,
+               CASE WHEN (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                          * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))) = 0.0
+                    THEN NULL
+                    ELSE round(CAST(m * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))), 6)
+               END AS r_assort
+        FROM s
+    """
+
+    sql["bpe_train_merges"] = """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE word <> '' AND regexp_full_match(word, '[a-z0-9]+')
+            GROUP BY word
+        ), w0 AS (
+            SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq
+            FROM words
+        ), p1 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w0) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w1 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w0, t1
+        ), p2 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w1) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w2 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w1, t2
+        ), p3 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w2) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w3 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w2, t3
+        ), p4 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w3) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a ASC, b ASC LIMIT 1)
+        SELECT CAST(1 AS INTEGER) AS rank, a AS pair_left, b AS pair_right, n FROM t1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), a, b, n FROM t2
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), a, b, n FROM t3
+        UNION ALL
+        SELECT CAST(4 AS INTEGER), a, b, n FROM t4
+        ORDER BY rank
+    """
+
+    sql["window_funcs"] = """
+        WITH o AS (
+            SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 19 = 0
+        )
+        SELECT o_custkey, o_orderkey, o_orderpriority, cents,
+               CAST(row_number() OVER w1 AS INTEGER) AS rn,
+               lag(cents, 1) OVER w1 AS prev_cents,
+               lead(cents, 1) OVER w1 AS next_cents,
+               CAST(ntile(4) OVER w1 AS INTEGER) AS quartile,
+               round(percent_rank() OVER w1, 6) AS prnk,
+               round(cume_dist() OVER w1, 6) AS cdist,
+               CAST(rank() OVER w2 AS INTEGER) AS prio_rank,
+               CAST(dense_rank() OVER w2 AS INTEGER) AS prio_dense_rank
+        FROM o
+        WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+        ORDER BY o_custkey, rn
+    """
+
+    sql["table_changes"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), upd AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM base WHERE o_orderkey % 3 <> 0
+        ), ins AS (
+            SELECT *, 'insert' AS _change_type FROM (
+                SELECT * FROM upd EXCEPT ALL SELECT * FROM base
+            )
+        ), del AS (
+            SELECT *, 'delete' AS _change_type FROM (
+                SELECT * FROM base EXCEPT ALL SELECT * FROM upd
+            )
+        ), ch AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+        SELECT _change_type, count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM ch GROUP BY _change_type ORDER BY _change_type
+    """
 
     sql["relation_ops"] = """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment

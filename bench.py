@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "rest_incremental",
     "clustering_coeff_capped",
     "k_anonymity",
+    "kcore_decomposition",
+    "degree_assortativity",
+    "bpe_train_merges",
+    "window_funcs",
+    "table_changes",
 ]
 
 

@@ -614,3 +614,128 @@ def label_propagation(
             F.col("_seed").isNotNull().alias("is_seed"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "remove every node whose degree in the surviving subgraph is
+    < ``k``".  Returns ``(id, removed_round)`` with ``removed_round``
+    in ``1..rounds`` for peeled nodes and ``0`` for survivors — the
+    standard coreness lower bound (a node surviving all rounds is in
+    the k-core unless peeling had not yet converged; fixed ``rounds``
+    keeps the plan static and the result engine-exact, same contract
+    as ``pagerank(iters=...)``).
+
+    Curation use: the k-core of a similarity / citation / co-purchase
+    graph isolates the densely connected "core" documents; shells
+    (low ``removed_round``) are near-isolated rows.
+
+    Scale shape: per round two semi-joins of the edge table against
+    the shrinking alive-node set (broadcast when under
+    ``NODE_BROADCAST_LIMIT`` — the edge table then never shuffles)
+    plus one grouped degree count; alive sets are checkpointed so each
+    round's lineage is one join deep.  Purely integer — no floats.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k_core requires k >= 1 and rounds >= 1")
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        e.select(F.col("_s").alias("id")).distinct().localCheckpoint(eager=False)
+    )
+    removed = None
+    for r in range(1, rounds + 1):
+        n_alive = alive.count()
+        a = F.broadcast(alive) if n_alive <= NODE_BROADCAST_LIMIT else alive
+        deg = (
+            e.join(a.select(F.col("id").alias("_s")), "_s", "left_semi")
+            .join(a.select(F.col("id").alias("_d")), "_d", "left_semi")
+            .groupBy(F.col("_s").alias("id"))
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        survivors = deg.filter(F.col("_deg") >= k).select("id")
+        peeled = alive.join(survivors, "id", "left_anti").select(
+            "id", F.lit(r).alias("removed_round")
+        )
+        removed = peeled if removed is None else removed.unionAll(peeled)
+        alive = survivors.localCheckpoint(eager=False)
+    out = removed.unionAll(alive.select("id", F.lit(0).alias("removed_round")))
+    return out
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    (degree(u), degree(v)) over the directed edge list of the
+    symmetrized graph (Newman 2002, "Assortative mixing in networks"
+    — public formula).  Positive = hubs link to hubs (social nets);
+    negative = hub-and-spoke (supply/web graphs).  A one-number graph
+    health check before investing in heavier graph curation.
+
+    Engine-exact: all five moment sums run as DECIMAL(38,0) integer
+    aggregation (order-independent, overflow-safe); the only float ops
+    are the final three IEEE-deterministic divisions/sqrt on exact
+    integers, rounded to 6 places.  One degree aggregation + one
+    (gated-broadcast) join + one global aggregate — no per-node state.
+
+    Returns one row ``(m_edges, r_assort)``.
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("_s").alias("id")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).localCheckpoint(eager=False)
+    n_nodes = deg.count()
+    d = F.broadcast(deg) if n_nodes <= NODE_BROADCAST_LIMIT else deg
+    dec = "decimal(38,0)"
+    paired = (
+        e.join(d.select(F.col("id").alias("_s"), F.col("_deg").alias("_dx")), "_s")
+        .join(d.select(F.col("id").alias("_d"), F.col("_deg").alias("_dy")), "_d")
+        .select(
+            F.col("_dx").cast(dec).alias("x"), F.col("_dy").cast(dec).alias("y")
+        )
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    # regular graph -> zero degree variance -> r undefined: NULL, not
+    # a divide-by-zero (ANSI mode errors on 0/0)
+    r = F.when(den != F.lit(0.0), F.round(num / den, 6))
+    return s.select(
+        F.col("m").cast("bigint").alias("m_edges"),
+        r.alias("r_assort"),
+    )

@@ -69,3 +69,79 @@ def top_bpe_pairs(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFra
     topk = pairs.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def _pair_counts_sym(words: DataFrame) -> DataFrame:
+    """Adjacent SYMBOL-pair counts over a ``(sym, freq)`` table where
+    ``sym`` is a space-separated symbol string ("h e l l o"). Returns
+    ``(a, b, n)`` with ``n`` = freq-weighted occurrence count."""
+    syms = F.split(F.col("sym"), " ")
+    return (
+        words.withColumn("_sz", F.size(syms))
+        .filter(F.col("_sz") >= 2)
+        .select(
+            "freq",
+            F.split(F.col("sym"), " ").alias("_a"),
+            F.explode(F.sequence(F.lit(1), F.col("_sz") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("_a", F.col("i")).alias("a"),
+            F.element_at("_a", F.col("i") + 1).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", merges: int = 3) -> list:
+    """Train ``merges`` rounds of byte-pair-encoding merges over a
+    corpus (Sennrich et al. 2016, public algorithm): words collapse to
+    a ``(word, freq)`` vocabulary once, each word becomes a
+    space-separated symbol string, and each round (1) counts adjacent
+    symbol pairs weighted by word frequency, (2) picks the most
+    frequent pair (ties -> lexicographically smallest), (3) merges it
+    everywhere via two passes of non-overlapping left-to-right string
+    replacement.  Two-pass replace is deterministic and engine-exact
+    (both Spark and ANSI `replace` scan left-to-right consuming the
+    match); for runs of >=5 repeats of the same pair inside one word
+    the segmentation can differ from strict greedy BPE — irrelevant
+    for the merge-table statistic and identical in the SQL oracle.
+
+    Only lowercase alnum words participate (sidesteps engine-specific
+    unicode segmentation).  Returns a list of ``merges`` dicts
+    ``{rank, pair_left, pair_right, n}``.
+
+    Scale shape: everything after the one corpus pass is
+    vocabulary-sized (the classic BPE-trainer collapse) — per round
+    one codegen pair-explode + one (a, b) aggregation + a 1-row
+    TakeOrdered collect; the vocab frame is checkpointed per round.
+    """
+    words = (
+        word_freq(df, text_col)
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"), "freq"
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for r in range(1, merges + 1):
+        top = (
+            _pair_counts_sym(words)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        out.append({"rank": r, "pair_left": a, "pair_right": b, "n": n})
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        merged = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for _ in range(2):
+            merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        words = words.select(F.trim(merged).alias("sym"), "freq").localCheckpoint(
+            eager=False
+        )
+    return out

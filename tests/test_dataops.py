@@ -515,3 +515,37 @@ def test_length_buckets_batching(spark):
     # deterministic under repartition
     out2 = length_buckets(df.repartition(7), "id", "nt", [16, 64], batch_tokens=64).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_bpe_train_merges_tiny_corpus(spark):
+    """'aaab aaab ab' -> round 1 merges (a,a) [count 4 beats (a,b)'s 3
+    via... actually (a,a) appears twice per 'aaab' = 4; (a,b) 3 ->
+    (a,a) wins]; verify the merge table is deterministic and the
+    merged symbols feed round 2."""
+    from dlt_spark.dataops.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaab aaab",), ("ab",)], ["text"]
+    )
+    out = bpe_train(docs, "text", merges=2)
+    assert out[0] == {"rank": 1, "pair_left": "a", "pair_right": "a", "n": 4}
+    # after merging (a,a): words are 'aa a b' x2 and 'a b' -> pairs:
+    # (aa,a) 2, (a,b) 3 -> round 2 picks (a,b)
+    assert out[1] == {"rank": 2, "pair_left": "a", "pair_right": "b", "n": 3}
+
+
+def test_bpe_train_ignores_non_alnum_words(spark):
+    from dlt_spark.dataops.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([("co-op co-op cc",)], ["text"])
+    out = bpe_train(docs, "text", merges=1)
+    # 'co-op' is filtered (hyphen); only 'cc' trains
+    assert out == [{"rank": 1, "pair_left": "c", "pair_right": "c", "n": 1}]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    from dlt_spark.dataops.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([("a b c",)], ["text"])
+    out = bpe_train(docs, "text", merges=3)
+    assert out == []

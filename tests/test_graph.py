@@ -279,3 +279,62 @@ def test_label_propagation_spreads_and_clamps(spark):
     out2 = {r["id"]: r for r in label_propagation(labels2, edges2, iters=1).collect()}
     assert out2[9]["label"] == "x"
     assert out2[10]["label"] == "x"  # tie x/y -> smallest label
+
+
+def test_k_core_known_graph(spark):
+    """Path a-b-c-d plus triangle e-f-g sharing node d (d-e edge):
+    with k=2 the path endpoints peel round 1, the next layer round 2,
+    the triangle survives."""
+    from dlt_spark.dataops.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r["removed_round"] for r in k_core(edges, k=2, rounds=4).collect()}
+    # 1 has deg 1 -> round 1; then 2 -> round 2; then 3 -> round 3;
+    # then 4 -> round 4; triangle 5-6-7 survives (deg 2 each)
+    assert out == {1: 1, 2: 2, 3: 3, 4: 4, 5: 0, 6: 0, 7: 0}
+
+
+def test_k_core_whole_graph_survives(spark):
+    from dlt_spark.dataops.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    out = {r["id"]: r["removed_round"] for r in k_core(edges, k=2, rounds=3).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_k_core_rejects_bad_params(spark):
+    import pytest
+
+    from dlt_spark.dataops.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+    with pytest.raises(ValueError):
+        k_core(edges, rounds=0)
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """A star is maximally disassortative: r = -1."""
+    from dlt_spark.dataops.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["m_edges"] == 10  # 5 undirected edges, both directions
+    assert abs(row["r_assort"] + 1.0) < 1e-9
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    """In a regular graph every degree is equal -> zero variance ->
+    NULL (0/0), not a crash."""
+    from dlt_spark.dataops.graph import degree_assortativity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    row = degree_assortativity(edges).collect()[0]
+    assert row["m_edges"] == 6
+    assert row["r_assort"] is None
