@@ -3272,6 +3272,102 @@ def _q_audio_features(spark, sf_dir):
 
 
 
+def _events_stream_dir(sf_dir):
+    """File-stream sources require a DIRECTORY; stage one holding a
+    symlink to the events parquet (zero-copy)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dlt_spark_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+
+def _q_stream_windowed_counts(spark, sf_dir):
+    """REAL Structured Streaming run, not a batch stand-in: readStream
+    over the events parquet, 1-day tumbling windows per event_type with
+    a late-data watermark, availableNow trigger into an in-memory sink,
+    final table read back.  Complete output mode makes the terminal
+    state equal to the batch aggregation, so the oracle mirrors it with
+    date_trunc -- while the Spark side still exercises the streaming
+    planner, state store, and file-source checkpointing end to end."""
+    import tempfile
+    import uuid
+
+    from dlt_spark.streaming import windowed_counts
+
+    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        _events_stream_dir(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = windowed_counts(
+        stream, "ts", "1 day", delay="1 hour", group_cols=["event_type"]
+    )
+    qn = "swc_" + uuid.uuid4().hex[:10]
+    cp = tempfile.mkdtemp(prefix="dlt_spark_swc_cp_")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qn).orderBy("window_start", "event_type")
+
+
+def _q_stream_sessions(spark, sf_dir):
+    """Native ``session_window`` sessionization as a REAL streaming
+    query (the streaming twin of the batch gaps-and-islands
+    ``sessionization`` entry): 6-hour inactivity gap per user,
+    availableNow into a memory sink.  Session end = last event + gap
+    (Spark's [start, end) contract); the oracle replays the same
+    island assignment at microsecond precision."""
+    import tempfile
+    import uuid
+
+    from dlt_spark.streaming import sessionize_stream
+
+    _t(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        _events_stream_dir(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = sessionize_stream(
+        stream, "ts", gap="6 hours", delay="1 hour", group_cols=["user_id"]
+    )
+    qn = "sss_" + uuid.uuid4().hex[:10]
+    cp = tempfile.mkdtemp(prefix="dlt_spark_sss_cp_")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qn).orderBy("user_id", "session_start")
+
+
+
 def _q_kcore_decomposition(spark, sf_dir):
     """Bounded k-core peeling (k=45, 4 synchronous rounds) of the
     bipartite part<->supplier supply graph: shell sizes per peel round
@@ -3416,6 +3512,8 @@ def _q_table_changes(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_sessions": _q_stream_sessions,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "table_changes": _q_table_changes,
         "window_funcs": _q_window_funcs,
         "bpe_train_merges": _q_bpe_train_merges,
@@ -3670,6 +3768,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["stream_windowed_counts"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+                   AS window_end,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """
+
+    sql["stream_sessions"] = """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 21600000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS seq
+            FROM marked
+        )
+        SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 6 HOUR AS TIMESTAMP) AS session_end,
+               user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, seq
+        ORDER BY user_id, session_start
+    """
 
     sql["kcore_decomposition"] = """
         WITH fwd AS (

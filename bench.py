@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "window_funcs",
     "table_changes",
+    "stream_windowed_counts",
+    "stream_sessions",
 ]
 
 
