@@ -3278,10 +3278,13 @@ def _events_stream_dir(sf_dir):
     import os
     import tempfile
 
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # already a parquet directory (e.g. scale-probe replicas) —
+        # stream it as-is
+        return src
     d = tempfile.mkdtemp(prefix="dlt_spark_stream_src_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    os.symlink(src, os.path.join(d, "events.parquet"))
     return d
 
 
