@@ -3272,6 +3272,35 @@ def _q_audio_features(spark, sf_dir):
 
 
 
+def _q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: shared distinct word trigrams
+    and Jaccard for every source pair.  Gram-keyed self-join fan-out is
+    bounded by |sources|^2 per gram -- grows with distinct grams, not
+    docs^2."""
+    from dlt_spark.dataops.contamination import source_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return (
+        source_overlap_matrix(docs, "text", "source", n=3)
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _q_source_centroid_sim(spark, sf_dir):
+    """Semantic redundancy between sources: cosine similarity of
+    per-source mean embeddings.  Counts cancel in cosine, so sums never
+    divide; all dot products are DECIMAL(38,0) integer math over
+    micro-quantized component sums -- engine-exact, one posexplode +
+    one (group, pos) agg + a pos-keyed |groups|^2 join."""
+    from dlt_spark.dataops.vector import group_centroid_sim
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = docs.join(em, docs.doc_id == em.vec_id).select("source", "embedding")
+    return group_centroid_sim(j, "source").orderBy("source_a", "source_b")
+
+
+
 def _events_stream_dir(sf_dir):
     """File-stream sources require a DIRECTORY; stage one holding a
     symlink to the events parquet (zero-copy)."""
@@ -3515,6 +3544,8 @@ def _q_table_changes(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "source_centroid_sim": _q_source_centroid_sim,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "stream_sessions": _q_stream_sessions,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "table_changes": _q_table_changes,
@@ -3771,6 +3802,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["source_overlap_matrix"] = """
+        WITH toks AS (
+            SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT DISTINCT source,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   ))) AS g
+            FROM toks
+        ), sizes AS (
+            SELECT source, count(*) AS sz FROM grams GROUP BY source
+        ), pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS shared
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared,
+               round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+    """
+
+    sql["source_centroid_sim"] = """
+        WITH j AS (
+            SELECT d.source AS grp, e.embedding AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ), ex AS (
+            SELECT grp, generate_subscripts(v, 1) - 1 AS pos,
+                   CAST(unnest(v) AS DOUBLE) AS c
+            FROM j
+        ), s AS (
+            SELECT grp, pos, sum(CAST(c AS DECIMAL(38,8))) AS sv
+            FROM ex GROUP BY grp, pos
+        ), q AS (
+            SELECT grp, pos,
+                   CAST(floor(CAST(sv AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+                       AS qv
+            FROM s
+        ), norms AS (
+            SELECT grp, sum(qv * qv) AS nq FROM q GROUP BY grp
+        ), dots AS (
+            SELECT a.grp AS source_a, b.grp AS source_b,
+                   sum(a.qv * b.qv) AS dp
+            FROM q a JOIN q b ON a.pos = b.pos AND a.grp < b.grp
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               round(CAST(dp AS DOUBLE)
+                     / (sqrt(CAST(na.nq AS DOUBLE))
+                        * sqrt(CAST(nb.nq AS DOUBLE))), 6) AS cos_sim
+        FROM dots
+        JOIN norms na ON na.grp = source_a
+        JOIN norms nb ON nb.grp = source_b
+        ORDER BY source_a, source_b
+    """
 
     sql["stream_windowed_counts"] = """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

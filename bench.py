@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "table_changes",
     "stream_windowed_counts",
     "stream_sessions",
+    "source_overlap_matrix",
+    "source_centroid_sim",
 ]
 
 

@@ -124,3 +124,65 @@ def decontaminate(
     return corpus.join(
         flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap matrix between corpus partitions
+    (sources/domains/splits): shared distinct word n-grams and Jaccard
+    per source pair.  The corpus-health twin of
+    :func:`decontaminate` — instead of checking docs against one
+    benchmark, it quantifies cross-partition leakage/duplication for
+    EVERY pair (train-vs-eval splits, mirrored crawls, vendor feeds).
+
+    Scale shape: one explode to distinct ``(source, gram)`` rows, then
+    a gram-keyed self-join whose fan-out per gram is bounded by
+    ``|sources|²`` (sources are few) — candidate volume grows with the
+    distinct-gram count, never with ``docs²``.  Counts are integers;
+    the only float is the final Jaccard division, rounded to 6.
+
+    Returns ``(source_a, source_b, shared, jaccard)``.
+    """
+    from .text import word_ngrams
+
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_grp"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("_g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = grams.groupBy("_grp").agg(F.count(F.lit(1)).alias("_sz"))
+    pairs = (
+        grams.select(F.col("_grp").alias("_ga"), "_g")
+        .join(
+            grams.select(F.col("_grp").alias("_gb"), "_g"),
+            "_g",
+        )
+        .filter(F.col("_ga") < F.col("_gb"))
+        .groupBy(F.col("_ga").alias("source_a"), F.col("_gb").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz = F.broadcast(sizes)
+    return (
+        pairs.join(sz.select(F.col("_grp").alias("source_a"), F.col("_sz").alias("_sa")), "source_a")
+        .join(sz.select(F.col("_grp").alias("source_b"), F.col("_sz").alias("_sb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

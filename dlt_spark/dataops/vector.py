@@ -155,3 +155,71 @@ def pool_embeddings(
         )
         .orderBy(group_col)
     )
+
+
+def group_centroid_sim(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group MEAN embeddings
+    (source/domain centroids) — the corpus-mixing diagnostic: which
+    domains are semantically redundant, which eval split drifts from
+    its train split.  Counts cancel in cosine (``cos(S/n, T/m) ==
+    cos(S, T)``), so the centroids never divide: per (group, position)
+    the component SUM aggregates decimal-exact, is quantized to integer
+    micro-units, and all dot products / norms run as DECIMAL(38,0)
+    integer sums — order-independent and engine-exact; only the final
+    cosine divides (IEEE on exact integers, rounded).
+
+    Shape: one posexplode + one (group, pos) aggregation (rows x dim
+    scalars, the data the scan read anyway), then a pos-keyed join
+    whose fan-out per position is |groups|² — groups are few.
+
+    Returns ``(source_a, source_b, cos_sim)``.
+    """
+    ex = df.select(
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+    )
+    s = ex.groupBy("_grp", "_pos").agg(
+        F.sum(F.col("_v").cast("double").cast("decimal(38,8)")).alias("_s")
+    )
+    q = s.select(
+        "_grp",
+        "_pos",
+        F.floor(F.col("_s").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("_q"),
+    ).localCheckpoint(eager=False)
+    norms = q.groupBy("_grp").agg(
+        F.sum(F.col("_q") * F.col("_q")).alias("_nq")
+    )
+    dots = (
+        q.select(F.col("_grp").alias("_ga"), "_pos", F.col("_q").alias("_qa"))
+        .join(
+            q.select(F.col("_grp").alias("_gb"), "_pos", F.col("_q").alias("_qb")),
+            "_pos",
+        )
+        .filter(F.col("_ga") < F.col("_gb"))
+        .groupBy(F.col("_ga").alias("source_a"), F.col("_gb").alias("source_b"))
+        .agg(F.sum(F.col("_qa") * F.col("_qb")).alias("_dp"))
+    )
+    nb = F.broadcast(norms)
+    return (
+        dots.join(nb.select(F.col("_grp").alias("source_a"), F.col("_nq").alias("_na")), "source_a")
+        .join(nb.select(F.col("_grp").alias("source_b"), F.col("_nq").alias("_nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("_dp").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                decimals,
+            ).alias("cos_sim"),
+        )
+    )

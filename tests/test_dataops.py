@@ -549,3 +549,46 @@ def test_bpe_train_stops_when_no_pairs(spark):
     docs = spark.createDataFrame([("a b c",)], ["text"])
     out = bpe_train(docs, "text", merges=3)
     assert out == []
+
+
+def test_source_overlap_matrix_known_overlap(spark):
+    from dlt_spark.dataops.contamination import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps"),
+            ("b", "the quick brown cat sits"),
+            ("c", "totally different words here now"),
+        ],
+        ["source", "text"],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): (r["shared"], r["jaccard"])
+        for r in source_overlap_matrix(docs, "text", "source", n=3).collect()
+    }
+    # a: {the quick brown, quick brown fox, brown fox jumps}
+    # b: {the quick brown, quick brown cat, brown cat sits} -> 1 shared of 5
+    assert rows[("a", "b")] == (1, 0.2)
+    assert ("a", "c") not in rows  # zero overlap pairs are absent
+    assert ("b", "c") not in rows
+
+
+def test_group_centroid_sim_identical_and_orthogonal(spark):
+    from dlt_spark.dataops.vector import group_centroid_sim
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("a", [3.0, 0.0]),
+            ("b", [2.0, 0.0]),   # parallel to a's centroid
+            ("c", [0.0, 5.0]),   # orthogonal
+        ],
+        ["source", "embedding"],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r["cos_sim"]
+        for r in group_centroid_sim(df, "source").collect()
+    }
+    assert rows[("a", "b")] == 1.0
+    assert rows[("a", "c")] == 0.0
+    assert rows[("b", "c")] == 0.0
