@@ -424,3 +424,36 @@ def test_pipeline_runs_on_iceberg_store(spark, tmp_path, iceberg_env):
     if not log.calls:
         return
     assert log.of("writeTo"), "pipeline wrote without the V2 writer"
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "strategy", ["delete-insert", "upsert", "insert-only", "scd2"]
+)
+def test_merge_dispositions_on_iceberg_store(
+    spark, tmp_path, iceberg_env, strategy
+):
+    """The four merge/scd2 disposition flows pinned against the Iceberg
+    binding (the Delta twin lives in test_delta_store.py) — disposition
+    semantics must not depend on which TableStore commits."""
+    import dlt_spark
+
+    ibs, _log = iceberg_env
+    pipe = dlt_spark.pipeline("pidisp", str(tmp_path / "dest"), "ds3", spark)
+    pipe.store = ibs.IcebergTableStore(spark, CAT, "ds3")
+    kw = dict(write_disposition="merge", merge_strategy=strategy)
+    if strategy != "scd2":
+        kw["primary_key"] = "id"
+    pipe.run([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], table_name="t", **kw)
+    pipe.run([{"id": 2, "v": "B"}, {"id": 3, "v": "c"}], table_name="t", **kw)
+    rows = pipe.dataset()["t"].spark_df().collect()
+    if strategy in ("delete-insert", "upsert"):
+        assert {r["id"]: r["v"] for r in rows} == {1: "a", 2: "B", 3: "c"}
+    elif strategy == "insert-only":
+        assert {r["id"]: r["v"] for r in rows} == {1: "a", 2: "b", 3: "c"}
+    else:  # scd2 full-snapshot: absent/changed rows retired, not deleted
+        current = {r["id"]: r["v"] for r in rows if r["_dlt_valid_to"] is None}
+        assert current == {2: "B", 3: "c"}
+        assert len(rows) == 4
