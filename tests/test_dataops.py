@@ -592,3 +592,58 @@ def test_group_centroid_sim_identical_and_orthogonal(spark):
     assert rows[("a", "b")] == 1.0
     assert rows[("a", "c")] == 0.0
     assert rows[("b", "c")] == 0.0
+
+
+def test_bpe_train_matches_bruteforce_random_corpora(spark):
+    """Pure-Python replay of the exact training semantics (freq-weighted
+    pair counts, (n desc, pair asc) argmax, two-pass non-overlapping
+    replace) vs the DataFrame implementation on seeded random corpora."""
+    import random
+    import re
+    from collections import Counter
+
+    from dlt_spark.dataops.tokenizer import bpe_train
+
+    def brute(texts, merges):
+        words = Counter(
+            w
+            for t in texts
+            for w in t.lower().split()
+            if re.fullmatch("[a-z0-9]+", w)
+        )
+        syms = [(" ".join(w), f) for w, f in words.items()]
+        out = []
+        for r in range(1, merges + 1):
+            pairs = Counter()
+            for sym, f in syms:
+                toks = sym.split(" ")
+                for a, b in zip(toks, toks[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (a, b), n = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append(
+                {"rank": r, "pair_left": a, "pair_right": b, "n": n}
+            )
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            nxt = []
+            for sym, f in syms:
+                s = f" {sym} "
+                s = s.replace(pat, rep).replace(pat, rep)
+                nxt.append((s.strip(), f))
+            syms = nxt
+        return out
+
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(20)
+        ]
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        assert bpe_train(docs, "text", merges=3) == brute(texts, 3), seed

@@ -338,3 +338,37 @@ def test_degree_assortativity_regular_graph_degenerate(spark):
     row = degree_assortativity(edges).collect()[0]
     assert row["m_edges"] == 6
     assert row["r_assort"] is None
+
+
+def test_k_core_matches_bruteforce_random_graphs(spark):
+    """Synchronous-peel brute force in plain Python vs the DataFrame
+    implementation on seeded random graphs."""
+    import random
+    from collections import defaultdict
+
+    from dlt_spark.dataops.graph import k_core
+
+    for seed, k in [(7, 2), (21, 3), (99, 2)]:
+        rng = random.Random(seed)
+        n = 30
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+        edges = [(a, b) for a, b in edges if a != b]
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        expect = {}
+        for r in range(1, 5):
+            out = {u for u in alive if len(adj[u] & alive) < k}
+            for u in out:
+                expect[u] = r
+            alive -= out
+        for u in alive:
+            expect[u] = 0
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["id"]: r["removed_round"]
+            for r in k_core(df, k=k, rounds=4).collect()
+        }
+        assert got == expect, f"seed={seed} k={k}"
