@@ -3286,6 +3286,35 @@ def _q_source_overlap_matrix(spark, sf_dir):
     )
 
 
+def _q_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 fixed iterations) over the
+    embeddings table — the IVF-cell / semantic-shard training loop as a
+    native Spark job: quantized (id, pos, qv) frame checkpointed once,
+    k*dim centroids broadcast each iteration, so every pass is one
+    fan-out join + two grouped aggregations and the data-sized frame
+    never self-joins.  Integer micro-unit math end-to-end (exact
+    distances, HALF_UP integer centroid means, ties to the lowest
+    centroid id) makes the unrolled SQL oracle replay bit-identical.
+    Output is one scalar row per cluster: size, exact integer inertia,
+    and a position-weighted centroid fingerprint."""
+    from dlt_spark.dataops.vector import kmeans_lloyd
+
+    em = _t(spark, sf_dir, "embeddings")
+    assign, cent = kmeans_lloyd(em, k=8, iters=2)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist_q").alias("inertia_q"),
+    )
+    fp = cent.groupBy("cluster_id").agg(
+        F.sum(F.col("qc") * (F.col("pos") + F.lit(1))).alias("centroid_fp")
+    )
+    return (
+        sizes.join(fp, "cluster_id")
+        .select("cluster_id", "n_members", "inertia_q", "centroid_fp")
+        .orderBy("cluster_id")
+    )
+
+
 def _q_source_centroid_sim(spark, sf_dir):
     """Semantic redundancy between sources: cosine similarity of
     per-source mean embeddings.  Counts cancel in cosine, so sums never
@@ -3544,6 +3573,7 @@ def _q_table_changes(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kmeans_lloyd": _q_kmeans_lloyd,
         "source_centroid_sim": _q_source_centroid_sim,
         "source_overlap_matrix": _q_source_overlap_matrix,
         "stream_sessions": _q_stream_sessions,
@@ -3802,6 +3832,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["kmeans_lloyd"] = """
+        WITH qv AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS qv
+            FROM embeddings
+        ), init AS (
+            SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+            FROM (SELECT DISTINCT vec_id AS id FROM embeddings
+                  ORDER BY id LIMIT 8)
+        ), c0 AS (
+            SELECT i.cid, q.pos, q.qv AS qc
+            FROM qv q JOIN init i ON i.id = q.id
+        ), d1 AS (
+            SELECT q.id, c.cid,
+                   sum((q.qv - c.qc) * (q.qv - c.qc)) AS d
+            FROM qv q JOIN c0 c ON c.pos = q.pos
+            GROUP BY q.id, c.cid
+        ), a1 AS (
+            SELECT id, cid, d FROM (
+                SELECT id, cid, d, row_number() OVER (
+                    PARTITION BY id ORDER BY d, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ), c1 AS (
+            SELECT a.cid, q.pos,
+                   CAST(floor(CAST(2 * sum(q.qv) + count(*) AS DOUBLE)
+                              / CAST(2 * count(*) AS DOUBLE)) AS BIGINT)
+                       AS qc
+            FROM qv q JOIN a1 a ON a.id = q.id
+            GROUP BY a.cid, q.pos
+        ), d2 AS (
+            SELECT q.id, c.cid,
+                   sum((q.qv - c.qc) * (q.qv - c.qc)) AS d
+            FROM qv q JOIN c1 c ON c.pos = q.pos
+            GROUP BY q.id, c.cid
+        ), a2 AS (
+            SELECT id, cid, d FROM (
+                SELECT id, cid, d, row_number() OVER (
+                    PARTITION BY id ORDER BY d, cid) AS rn
+                FROM d2) WHERE rn = 1
+        ), c2 AS (
+            SELECT a.cid, q.pos,
+                   CAST(floor(CAST(2 * sum(q.qv) + count(*) AS DOUBLE)
+                              / CAST(2 * count(*) AS DOUBLE)) AS BIGINT)
+                       AS qc
+            FROM qv q JOIN a2 a ON a.id = q.id
+            GROUP BY a.cid, q.pos
+        ), sizes AS (
+            SELECT cid AS cluster_id, count(*) AS n_members,
+                   sum(d) AS inertia_q
+            FROM a2 GROUP BY cid
+        ), fp AS (
+            SELECT cid AS cluster_id,
+                   sum(qc * (pos + 1)) AS centroid_fp
+            FROM c2 GROUP BY cid
+        )
+        SELECT s.cluster_id, s.n_members, s.inertia_q, f.centroid_fp
+        FROM sizes s JOIN fp f ON f.cluster_id = s.cluster_id
+        ORDER BY s.cluster_id
+    """
 
     sql["source_overlap_matrix"] = """
         WITH toks AS (

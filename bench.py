@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "stream_windowed_counts",
     "stream_sessions",
     "source_overlap_matrix",
+    "kmeans_lloyd",
     "source_centroid_sim",
 ]
 

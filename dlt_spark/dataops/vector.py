@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Optional, Sequence, Union
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 EMBED_HINT = "x_embed"
@@ -223,3 +223,129 @@ def group_centroid_sim(
             ).alias("cos_sim"),
         )
     )
+
+
+def kmeans_lloyd(
+    df: "DataFrame",
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+):
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    clustering step behind IVF cell training, semantic sharding, and
+    topic-balanced corpus mixes (the reference ships embeddings to a
+    vector destination and clusters there; on Spark the training loop
+    is native).
+
+    Engine-exact by construction, same discipline as :func:`pagerank`:
+
+    * every component is quantized to integer micro-units
+      (``round(v * 10^decimals)`` as BIGINT) BEFORE any arithmetic, so
+      distances are exact integer sums (order-independent partials);
+    * init is deterministic — the ``k`` lowest ``id_col`` vectors are
+      centroids 0..k-1;
+    * assignment breaks distance ties toward the lowest centroid id
+      (``min(struct(dist, cid))``);
+    * the centroid update is integer HALF_UP of the component mean:
+      ``floor((2*S + n) / (2*n))`` on exact-in-double integers, so a
+      SQL oracle replays the loop bit-identically as unrolled CTEs.
+
+    Scale shape: the quantized ``(id, pos, qv)`` frame is checkpointed
+    once and reused every iteration; centroids (``k * dim`` rows) are
+    broadcast, so each iteration is one shuffle-free pos-join fan-out
+    (rows x dim x k) followed by two grouped aggregations — the textbook
+    distributed Lloyd layout.  ``k`` and ``dim`` are small constants;
+    the data-sized frames never self-join.
+
+    Returns ``(assign, centroids)``: ``assign = (id_col, cluster_id,
+    dist_q)`` with ``dist_q`` the exact integer squared distance in
+    micro-units^2; ``centroids = (cluster_id, pos, qc)`` integer
+    micro-unit components after the final update.  The frames persisted
+    internally are listed on ``assign._dlt_persisted``.
+    """
+    q = float(10**decimals)
+    qv = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+        )
+        .select(
+            "_id",
+            "_pos",
+            F.floor(F.col("_v").cast("double") * F.lit(q) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_qv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    init_ids = (
+        df.select(F.col(id_col).alias("_id"))
+        .orderBy("_id")
+        .limit(k)
+        .withColumn(
+            "_cid",
+            F.row_number().over(Window.orderBy("_id")) - F.lit(1),
+        )
+    )
+    cent = (
+        qv.join(F.broadcast(init_ids), "_id")
+        .select("_cid", "_pos", F.col("_qv").alias("_qc"))
+        .localCheckpoint(eager=False)
+    )
+
+    persisted = [qv, cent]
+    assign = None
+    for _ in range(iters):
+        d = (
+            qv.join(F.broadcast(cent), "_pos")
+            .groupBy("_id", "_cid")
+            .agg(
+                F.sum(
+                    (F.col("_qv") - F.col("_qc"))
+                    * (F.col("_qv") - F.col("_qc"))
+                ).alias("_d")
+            )
+        )
+        assign = (
+            d.groupBy("_id")
+            .agg(F.min(F.struct("_d", "_cid")).alias("_m"))
+            .select(
+                "_id",
+                F.col("_m._cid").alias("_cid"),
+                F.col("_m._d").alias("_dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cent = (
+            qv.join(assign.select("_id", "_cid"), "_id")
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_qv").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "_cid",
+                "_pos",
+                F.floor(
+                    (F.lit(2) * F.col("_s") + F.col("_n")).cast("double")
+                    / (F.lit(2) * F.col("_n")).cast("double")
+                )
+                .cast("bigint")
+                .alias("_qc"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        persisted.extend([assign, cent])
+
+    out_assign = assign.select(
+        F.col("_id").alias(id_col),
+        F.col("_cid").alias("cluster_id"),
+        F.col("_dist").alias("dist_q"),
+    )
+    out_cent = cent.select(
+        F.col("_cid").alias("cluster_id"),
+        F.col("_pos").alias("pos"),
+        F.col("_qc").alias("qc"),
+    )
+    out_assign._dlt_persisted = persisted
+    return out_assign, out_cent

@@ -647,3 +647,51 @@ def test_bpe_train_matches_bruteforce_random_corpora(spark):
         ]
         docs = spark.createDataFrame([(t,) for t in texts], ["text"])
         assert bpe_train(docs, "text", merges=3) == brute(texts, 3), seed
+
+
+def test_kmeans_lloyd_matches_bruteforce(spark):
+    """Lloyd loop vs a pure-Python replay: same init, same integer
+    quantization, same tie rule -> identical assignments, centroids,
+    and inertia."""
+    import random
+
+    from dlt_spark.dataops.vector import kmeans_lloyd
+
+    rng = random.Random(11)
+    dim, n, k, iters = 6, 40, 3, 3
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, cent = kmeans_lloyd(df, k=k, iters=iters)
+    got_assign = {r["vec_id"]: (r["cluster_id"], r["dist_q"])
+                  for r in assign.collect()}
+    got_cent = {(r["cluster_id"], r["pos"]): r["qc"] for r in cent.collect()}
+
+    # brute-force replay with the documented integer arithmetic
+    import math
+
+    qvec = {i: [int(math.floor(v * 1e6 + 0.5)) for v in vec]
+            for i, vec in rows}
+    cents = {c: list(qvec[c]) for c in range(k)}  # ids 0..k-1 are lowest
+    for _ in range(iters):
+        a = {}
+        for i, v in qvec.items():
+            best = min(
+                (sum((x - y) ** 2 for x, y in zip(v, cents[c])), c)
+                for c in range(k)
+            )
+            a[i] = best
+        cents = {}
+        for c in range(k):
+            members = [qvec[i] for i, (_, ci) in a.items() if ci == c]
+            cents[c] = [
+                int(math.floor((2 * sum(col) + len(members))
+                               / (2 * len(members))))
+                for col in zip(*members)
+            ]
+    want_assign = {i: (c, d) for i, (d, c) in a.items()}
+    want_cent = {(c, p): q for c, v in cents.items() for p, q in enumerate(v)}
+    assert got_assign == want_assign
+    assert got_cent == want_cent
