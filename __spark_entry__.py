@@ -3286,6 +3286,31 @@ def _q_source_overlap_matrix(spark, sf_dir):
     )
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Resource-Allocation link prediction over the parts-bought-together
+    graph.  Every wedge carries score mass, so the fan-out per center is
+    C(deg,2) — the ``max_wedges_per_node`` budget is what makes the op
+    scale-safe: capped centers keep 45 sha256-ranked neighbors and their
+    wedges carry the exact integer up-weight, the same estimator the
+    capped clustering coefficient uses (and the oracle replays the
+    identical sampling).  Each kept wedge contributes
+    ``w6 div deg(center)`` micro-units; existing edges leave by one
+    broadcast anti-join.  Top-50 non-adjacent pairs, deterministic
+    tie-break."""
+    from dlt_spark.dataops.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return link_prediction(pairs, topk=50, max_wedges_per_node=1000)
+
+
 def _q_kmeans_lloyd(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 fixed iterations) over the
     embeddings table — the IVF-cell / semantic-shard training loop as a
@@ -3573,6 +3598,7 @@ def _q_table_changes(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "link_prediction": _q_link_prediction,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "source_centroid_sim": _q_source_centroid_sim,
         "source_overlap_matrix": _q_source_overlap_matrix,
@@ -3832,6 +3858,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["link_prediction"] = """
+        WITH pairs AS (
+            SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                            greatest(x.l_partkey, y.l_partkey) AS b
+            FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+            WHERE x.l_partkey < y.l_partkey
+        ), adj AS (
+            SELECT a AS z, b AS n FROM pairs
+            UNION ALL
+            SELECT b AS z, a AS n FROM pairs
+        ), deg AS (
+            SELECT z AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY z
+        ), az AS (
+            SELECT adj.z, adj.n, g.deg
+            FROM adj JOIN deg g ON g.id = adj.z
+        ), ranked AS (
+            SELECT z, n, deg,
+                   row_number() OVER (
+                       PARTITION BY z
+                       ORDER BY sha256(CAST(z AS VARCHAR) || ':'
+                                       || CAST(n AS VARCHAR)), n
+                   ) AS rn
+            FROM az WHERE deg > 45
+        ), kept AS (
+            SELECT z, n, deg FROM az WHERE deg <= 45
+            UNION ALL
+            SELECT z, n, deg FROM ranked WHERE rn <= 45
+        ), weighted AS (
+            SELECT z, n, deg,
+                   CAST(CASE WHEN deg <= 45 THEN 1000000
+                        ELSE ((deg * (deg - 1)) // 2 * 1000000) // 990
+                        END AS BIGINT) AS w6
+            FROM kept
+        ), contrib AS (
+            SELECT a1.n AS x, a2.n AS y, a1.w6 // a1.deg AS c6
+            FROM weighted a1
+            JOIN weighted a2 ON a1.z = a2.z AND a1.n < a2.n
+        ), scores AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(c6) AS BIGINT) AS ra_score_q6
+            FROM contrib GROUP BY x, y
+        ), cand AS (
+            SELECT s.* FROM scores s
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.a = s.x AND p.b = s.y)
+        )
+        SELECT x, y, n_common, ra_score_q6 FROM cand
+        ORDER BY ra_score_q6 DESC, x, y LIMIT 50
+    """
 
     sql["kmeans_lloyd"] = """
         WITH qv AS (

@@ -24,6 +24,7 @@ Engineered for engine-exactness and scale:
 from __future__ import annotations
 
 from fractions import Fraction
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -739,3 +740,115 @@ def degree_assortativity(
         F.col("m").cast("bigint").alias("m_edges"),
         r.alias("r_assort"),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    topk: int = 50,
+    max_wedges_per_node: Optional[int] = None,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou/Lu/Zhang 2009): score
+    each NON-adjacent node pair by ``sum over common neighbors z of
+    1/deg(z)`` — the integer-exact cousin of Adamic-Adar (``1/log deg``
+    needs libm, ``1/deg`` quantizes to micro-units exactly, and the two
+    rank near-identically in the published benchmarks).
+
+    Unlike the triangle family, EVERY wedge carries score mass — the
+    degree-ordered orientation (which enumerates each wedge only at its
+    degree-lowest endpoint) cannot be reused, so wedges enumerate over
+    the full adjacency: per center ``z`` the fan-out is ``C(deg(z), 2)``
+    and ``max_wedges_per_node`` is the scale dial that matters — capped
+    centers keep ``k`` sha256-ranked neighbors (deterministic,
+    layout-independent) and each surviving wedge carries the integer
+    up-weight ``(C(d,2) * 1e6) div C(k,2)``, the same estimator as
+    :func:`_capped_wedges`.  Each wedge ``(z; x, y)`` contributes
+    ``w6 div deg(z)`` micro-units, summed per pair; existing edges leave
+    via one anti-join (broadcast under ``EDGE_BROADCAST_LIMIT``); the
+    adjacency is co-partitioned on the center key at cluster parallelism
+    before the self-join (AQE coalesces by input bytes and is blind to
+    the explosion).  Top-k with full deterministic tie-break.
+
+    Returns ``(x, y, n_common, ra_score_q6)`` — ``ra_score_q6`` is the
+    RA score in integer micro-units (estimates under a wedge cap, exact
+    otherwise).
+
+    Behavioral reference: the reference engine exposes graph-adjacent
+    scoring only through generic SQL; this is a Spark-native extension
+    of the dataops graph family (SURVEY §2.L).
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    n_nodes = deg.count()
+    d = F.broadcast(deg) if n_nodes <= NODE_BROADCAST_LIMIT else deg
+    az = adj.join(d, "z")
+    if max_wedges_per_node is not None:
+        k = _wedge_cap_k(max_wedges_per_node)
+        ck2 = k * (k - 1) // 2
+        hash_order = F.sha2(
+            F.concat_ws(
+                ":", F.col("z").cast("string"), F.col("n").cast("string")
+            ),
+            256,
+        )
+        w = Window.partitionBy("z").orderBy(hash_order, F.col("n"))
+        capped = az.filter(F.col("deg") > k)
+        kept = (
+            az.filter(F.col("deg") <= k)
+            .unionByName(
+                capped.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
+            )
+            .withColumn(
+                "_w6",
+                F.when(
+                    F.col("deg") <= F.lit(k), F.lit(MICRO).cast("bigint")
+                ).otherwise(
+                    F.expr(f"((deg * (deg - 1)) div 2 * {MICRO}L) div {ck2}")
+                ),
+            )
+        )
+    else:
+        kept = az.withColumn("_w6", F.lit(MICRO).cast("bigint"))
+    par = kept.sparkSession.sparkContext.defaultParallelism
+    kept_rep = kept.repartition(par, "z").localCheckpoint(eager=False)
+    other = kept_rep.select(F.col("z").alias("z2"), F.col("n").alias("n2"))
+    contrib = (
+        kept_rep.join(other, F.col("z") == F.col("z2"))
+        .filter(F.col("n") < F.col("n2"))
+        .select(
+            F.col("n").alias("x"),
+            F.col("n2").alias("y"),
+            F.expr("_w6 div deg").alias("_c6"),
+        )
+    )
+    scores = contrib.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("_c6").alias("ra_score_q6"),
+    )
+    existing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    try:
+        n_edges = und.count()
+    except Exception:
+        n_edges = None
+    if n_edges is not None and n_edges <= EDGE_BROADCAST_LIMIT:
+        existing = F.broadcast(existing)
+    cand = scores.join(existing, ["x", "y"], "left_anti")
+    return cand.orderBy(
+        F.desc("ra_score_q6"), F.col("x"), F.col("y")
+    ).limit(topk)

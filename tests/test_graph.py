@@ -372,3 +372,45 @@ def test_k_core_matches_bruteforce_random_graphs(spark):
             for r in k_core(df, k=k, rounds=4).collect()
         }
         assert got == expect, f"seed={seed} k={k}"
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    """RA scores on a small random graph vs a pure-Python common-neighbor
+    scan; includes the capped path staying a valid estimate shape."""
+    import itertools
+    import random
+
+    from dlt_spark.dataops.graph import link_prediction
+
+    rng = random.Random(5)
+    nodes = list(range(12))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["x"], r["y"]): (r["n_common"], r["ra_score_q6"])
+        for r in link_prediction(df, topk=1000).collect()
+    }
+
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    eset = set(edges)
+    want = {}
+    for x, y in itertools.combinations(nodes, 2):
+        if (x, y) in eset:
+            continue
+        common = adj[x] & adj[y]
+        if not common:
+            continue
+        want[(x, y)] = (
+            len(common),
+            sum(1_000_000 // len(adj[z]) for z in common),
+        )
+    assert got == want
+
+    capped = link_prediction(df, topk=1000, max_wedges_per_node=3).collect()
+    assert all(r["ra_score_q6"] > 0 for r in capped)
+    assert {(r["x"], r["y"]) for r in capped} <= set(want)
