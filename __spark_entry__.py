@@ -3803,6 +3803,7 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
 
     here = _os.path.dirname(_os.path.abspath(__file__))
     last_checked: dict[str, int] = {}
+    latest_green: dict[str, bool] = {}
     for path in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", _os.path.basename(path))
         if not m:
@@ -3815,8 +3816,18 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
                 continue
         except Exception:
             continue
-        for n in rows:
-            last_checked[n] = max(last_checked.get(n, 0), rnd)
+        for n, rec in rows.items():
+            if rnd < last_checked.get(n, 0):
+                continue
+            last_checked[n] = rnd
+            green = True
+            if isinstance(rec, dict):
+                if rec.get("err"):
+                    green = False
+                for flag in ("rows_match", "schema_match", "hash_match"):
+                    if rec.get(flag) is False:
+                        green = False
+            latest_green[n] = green
     idx = {n: i for i, n in enumerate(names)}
     # VERDICT r3 item #1: these 35 names were externally verified only by
     # the judge's local gate — they claim the window before anything else
@@ -3835,17 +3846,21 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
         "quality_tiers", "clean_text",
     ]
     prio = {n: i for i, n in enumerate(backlog)}
-    # tiers: (0) backlog not yet driver-checked, (1) other never-checked
+    # tiers: (0) latest driver check NOT green — fixes need a confirming
+    # driver row next round, not in 2-3 rounds (VERDICT r6 item #2),
+    # (1) backlog not yet driver-checked, (2) other never-checked
     # NEWEST-registered first (the registry dict is newest-first, so the
     # code most in need of external verification — this round's new
-    # queries — fills the remaining window slots), then (2) checked
+    # queries — fills the remaining window slots), then (3) checked
     # entries oldest-round-first as regression rotation
     def key(n):
+        if n in last_checked and not latest_green.get(n, True):
+            return (0, idx[n], 0)
         if n in prio and n not in last_checked:
-            return (0, prio[n], 0)
+            return (1, prio[n], 0)
         if n not in last_checked:
-            return (1, idx[n], 0)
-        return (2, last_checked[n], idx[n])
+            return (2, idx[n], 0)
+        return (3, last_checked[n], idx[n])
 
     return sorted(names, key=key)
 
@@ -3960,11 +3975,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.cid, q.pos
         ), sizes AS (
             SELECT cid AS cluster_id, count(*) AS n_members,
-                   sum(d) AS inertia_q
+                   CAST(sum(d) AS BIGINT) AS inertia_q
             FROM a2 GROUP BY cid
         ), fp AS (
             SELECT cid AS cluster_id,
-                   sum(qc * (pos + 1)) AS centroid_fp
+                   CAST(sum(qc * (pos + 1)) AS BIGINT) AS centroid_fp
             FROM c2 GROUP BY cid
         )
         SELECT s.cluster_id, s.n_members, s.inertia_q, f.centroid_fp
@@ -4803,7 +4818,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, cnt FROM vocab ORDER BY cnt DESC, token ASC LIMIT 200
         )
         SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
-               token, cnt,
+               token, CAST(cnt AS BIGINT) AS cnt,
                round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      / t, 9) AS coverage
@@ -5345,10 +5360,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q12"] = """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'

@@ -77,6 +77,69 @@ def test_no_complex_typed_outputs(spark):
     assert not bad, f"complex-typed output columns (driver-incompatible): {bad}"
 
 
+def test_window_prioritizes_latest_not_green(tmp_path, monkeypatch):
+    """A query whose LATEST driver check is red (hash mismatch or err)
+    must lead the next window — tier 0 — so a fix gets a confirming
+    driver row next round instead of waiting 2-3 rotation cycles
+    (round-6 verdict item #2)."""
+    names = ["q_old_green", "q_red_hash", "q_never", "q_err", "q_fixed"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_old_green": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None},
+        "q_red_hash": {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "err": None},
+        "q_err": {"rows_match": False, "err": "boom"},
+        "q_fixed": {"rows_match": True, "hash_match": False, "err": None},
+    }))
+    # q_fixed went green on a LATER check — must drop out of tier 0
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_fixed": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+    }))
+    monkeypatch.setattr(entry, "__file__", str(tmp_path / "entry.py"))
+    ordered = entry._driver_window_order(names)
+    assert ordered[:2] == ["q_red_hash", "q_err"]
+    assert ordered.index("q_never") < ordered.index("q_fixed")
+    assert ordered.index("q_never") < ordered.index("q_old_green")
+    # green-on-latest rotate oldest-round-first behind never-checked
+    assert ordered.index("q_old_green") < ordered.index("q_fixed")
+
+
+def test_oracle_outputs_no_hugeint_columns():
+    """DuckDB ``sum(INTEGER/BIGINT)`` returns HUGEINT, which
+    ``duckdb.df()`` renders as float64 while the Spark twin emits int64
+    — the driver then hashes ``123.0`` against ``123`` (the round-6
+    hash-red class: kmeans_lloyd / tpch_q12 / vocab_coverage).  Pin the
+    whole class: no oracle may emit a HUGEINT / unsigned-wide output
+    column; wrap integral sums in ``CAST(... AS BIGINT)``.  Planning
+    only (``.types`` binds without executing) — runs in seconds."""
+    import duckdb
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no testdata at {sf_dir}")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    banned = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        hits = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in banned
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracle columns that pandas-render as float64: {bad}"
+
+
 def test_queries_and_bench_reference_registered_names():
     import re
 

@@ -1,17 +1,24 @@
 """Local stand-in for the driver's correctness gate: runs every
 ``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()``
 twin on DuckDB over the same parquet, then compares row count, column
-names, and an order-insensitive canonical value hash.
+names, pandas dtype families, and an order-insensitive canonical value
+hash.
+
+The comparison goes THROUGH pandas on both sides (``spark_df.toPandas()``
+and ``duckdb_rel.df()``) because that is what the driver's canonicalizer
+does: value rendering happens on the pandas frame, so an engine-level
+exact match can still hash-mismatch at the driver when the two frames
+land on different dtypes (round 5: list cells crashed the sort; round 6:
+DuckDB HUGEINT sums rendered float64 "123.0" against Spark int64 "123").
+Floats are rendered with full ``repr`` precision — ``1.0`` stays
+``"1.0"`` and never collapses to ``"1"`` — so an int-vs-float dtype skew
+is visible in the hash as well as in the dtype check.
 
 Usage:  python tools/verify_local.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import hashlib
-import math
 import sys
 import time
 
@@ -20,44 +27,86 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# pandas dtype.kind → comparison family. 'i'/'u' merge because the
+# driver renders both as bare integers; everything else must match
+# exactly (most importantly: int-family vs 'f' is a FAIL — that is the
+# round-6 HUGEINT class).
+_KIND_FAMILY = {
+    "i": "int", "u": "int", "f": "float", "b": "bool",
+    "M": "datetime", "m": "timedelta", "O": "object",
+}
+
 
 class ComplexCellError(TypeError):
-    """Raised on list/dict/Row cells: the driver's pandas canonicalizer
-    cannot hash complex-typed cells, so the local gate must reject them
-    too (a query emitting ARRAY/MAP/STRUCT output passes locally but
-    errs at the driver — serialize to a deterministic string instead)."""
+    """Raised on list/dict/ndarray cells: the driver's pandas
+    canonicalizer cannot hash complex-typed cells, so the local gate
+    must reject them too (a query emitting ARRAY/MAP/STRUCT output
+    passes a naive local check but errs at the driver — serialize to a
+    deterministic string instead)."""
 
 
 def canon_cell(v) -> str:
+    """Render one pandas cell the way the driver's canonicalizer does.
+
+    Key property: int-typed and float-typed cells render DIFFERENTLY
+    (``123`` vs ``123.0``) so dtype skew shows up in the value hash.
+    """
+    import datetime as dt
+    import decimal
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     if v is None:
         return "<NULL>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, decimal.Decimal):
-        return f"{float(v):.10g}"
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, (list, tuple, dict, set)):
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
         raise ComplexCellError(
             f"complex-typed cell {type(v).__name__} — the driver gate "
             "rejects ARRAY/MAP/STRUCT outputs; serialize to a string"
         )
+    if isinstance(v, float) and math.isnan(v):
+        return "<NULL>"
+    if v is pd.NaT:
+        return "<NULL>"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return str(v)
 
 
-def frame_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_frame(pdf):
+    """(sorted column names, dtype families in that order, sorted canonical
+    row lines) for a pandas frame — the driver-equivalent canonical form."""
+    cols = sorted(pdf.columns)
+    fams = [
+        _KIND_FAMILY.get(pdf[c].dtype.kind, pdf[c].dtype.kind) for c in cols
+    ]
     lines = sorted(
-        "\x1f".join(canon_cell(r[i]) for i in order) for r in rows
+        "\x1f".join(canon_cell(row[c]) for c in cols)
+        for row in pdf.to_dict("records")
     )
+    return cols, fams, lines
+
+
+def frame_hash(lines) -> str:
+    import hashlib
+
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode("utf-8"))
@@ -100,49 +149,44 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = list(sdf.columns)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
+            print(f"weak  {name}: rows={len(spdf)} (no oracle, rows-only check)")
             continue
         try:
-            cur = con.sql(oracles[name])
-            ocols = list(cur.columns)
-            orows = cur.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        ok_count = len(srows) == len(orows)
-        ok_cols = sorted(scols) == sorted(ocols)
         try:
-            sh = frame_hash(scols, srows)
-            oh = frame_hash(ocols, orows)
+            scols, sfams, slines = canon_frame(spdf)
+            ocols, ofams, olines = canon_frame(opdf)
         except ComplexCellError as e:
             failures.append(name)
             print(f"FAIL  {name}: {e}")
             continue
-        ok_hash = sh == oh
-        status = "ok" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        ok_count = len(slines) == len(olines)
+        ok_cols = scols == ocols
+        ok_dtype = sfams == ofams
+        ok_hash = frame_hash(slines) == frame_hash(olines)
+        status = "ok" if (ok_count and ok_cols and ok_dtype and ok_hash) else "FAIL"
         dt_s = time.time() - t0
-        col_note = "=" if ok_cols else f"{sorted(scols)}!={sorted(ocols)}"
+        col_note = "=" if ok_cols else f"{scols}!={ocols}"
+        dtype_note = "=" if ok_dtype else f"{sfams}!={ofams}"
         hash_note = "=" if ok_hash else "MISMATCH"
         print(
-            f"{status:5s} {name}: rows {len(srows)}/{len(orows)}"
-            f" cols={col_note} hash={hash_note} ({dt_s:.1f}s)"
+            f"{status:5s} {name}: rows {len(slines)}/{len(olines)}"
+            f" cols={col_note} dtypes={dtype_note} hash={hash_note} ({dt_s:.1f}s)"
         )
         if status == "FAIL":
             failures.append(name)
-            if ok_cols and not ok_hash and srows and orows:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                s_lines = sorted("\x1f".join(canon_cell(r[i]) for i in order) for r in srows)
-                o_lines = sorted("\x1f".join(canon_cell(r[i]) for i in oorder) for r in orows)
-                for a, b in zip(s_lines[:500], o_lines[:500]):
+            if ok_cols and not ok_hash and slines and olines:
+                for a, b in zip(slines[:2000], olines[:2000]):
                     if a != b:
                         print(f"   spark : {a[:200]}")
                         print(f"   duckdb: {b[:200]}")
