@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "kmeans_lloyd",
     "source_centroid_sim",
+    "link_prediction",
 ]
 
 

@@ -112,25 +112,36 @@ class TraceStep:
             span_id=uuid.uuid4().hex[:16], step=step, started_at=_now()
         )
         self.spark = spark
-        self._jobs0 = 0
-
-    def _job_count(self) -> int:
-        try:
-            ids = self.spark.sparkContext.statusTracker().getJobIdsForGroup(None)
-            return max(ids) + 1 if ids else 0
-        except Exception:
-            return 0
+        self._prev_group: Any = None
 
     def __enter__(self) -> PipelineStepTrace:
+        # Scope the step under its own Spark job group so the job count
+        # is a small per-group lookup.  (getJobIdsForGroup(None) returns
+        # EVERY job id the session ever ran — in a long-lived session the
+        # py4j array transfer grows with session age and a per-step call
+        # became measurably slow after a few thousand jobs.)
         if self.spark is not None:
-            self._jobs0 = self._job_count()
+            try:
+                sc = self.spark.sparkContext
+                self._prev_group = sc.getLocalProperty("spark.jobGroup.id")
+                sc.setJobGroup(
+                    self.step_trace.span_id, f"dlt step {self.step_trace.step}"
+                )
+            except Exception:
+                self.spark = None
         self.trace.steps.append(self.step_trace)
         return self.step_trace
 
     def __exit__(self, exc_type, exc, tb) -> None:
         self.step_trace.finished_at = _now()
         if self.spark is not None:
-            self.step_trace.spark_jobs = max(0, self._job_count() - self._jobs0)
+            try:
+                sc = self.spark.sparkContext
+                ids = sc.statusTracker().getJobIdsForGroup(self.step_trace.span_id)
+                self.step_trace.spark_jobs = len(ids)
+                sc.setLocalProperty("spark.jobGroup.id", self._prev_group)
+            except Exception:
+                pass
         if exc is not None:
             self.step_trace.step_exception = f"{type(exc).__name__}: {exc}"
         return None
