@@ -2906,6 +2906,31 @@ def _q_diverse_sample(spark, sf_dir):
     ).orderBy("cell", "rep_rank")
 
 
+def _copurchase_pairs(spark, sf_dir):
+    """Parts-bought-together edge list (lineitem pairs within an order),
+    shared by the graph-family entries.  Grouped-array pair generation:
+    one shuffle groups each order's parts, then both legs explode
+    in-task.  The naive ``l_orderkey`` self-join broadcasts the small
+    side and runs the pair explosion on the scan's few input splits (AQE
+    cannot re-split a broadcast probe), so it crawls on 3 tasks at sf0.1
+    — the groupBy hashes orders across the full shuffle width instead.
+    Multiset-identical to the self-join with ``x.l_partkey <
+    y.l_partkey`` (per order, every unordered line pair with distinct
+    parts yields one value-ordered pair), which is what the SQL oracles
+    replay."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    g = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("_ps"))
+    return (
+        g.select(F.posexplode("_ps").alias("_i", "_pv"), F.col("_ps"))
+        .select("_i", "_pv", F.posexplode("_ps").alias("_j", "_pw"))
+        .filter((F.col("_i") < F.col("_j")) & (F.col("_pv") != F.col("_pw")))
+        .select(
+            F.least("_pv", "_pw").alias("src"),
+            F.greatest("_pv", "_pw").alias("dst"),
+        )
+    )
+
+
 def _q_triangle_census(spark, sf_dir):
     """Triangle census of the parts-bought-together co-occurrence graph
     (lineitem pairs within an order): degree-ordered orientation bounds
@@ -2913,16 +2938,7 @@ def _q_triangle_census(spark, sf_dir):
     exact BIGINTs."""
     from dlt_spark.dataops.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-    )
-    return triangle_count(pairs)
+    return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
 def _q_token_pmi(spark, sf_dir):
@@ -2970,16 +2986,7 @@ def _q_clustering_coeff(spark, sf_dir):
     coefficient.  Top-50 densest nodes with degree >= 3."""
     from dlt_spark.dataops.graph import clustering_coefficient
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-    )
-    out = clustering_coefficient(pairs)
+    out = clustering_coefficient(_copurchase_pairs(spark, sf_dir))
     return (
         out.filter(F.col("degree") >= 3)
         .orderBy(F.desc("coefficient_nano"), F.col("id"))
@@ -2995,16 +3002,9 @@ def _q_clustering_coeff_capped(spark, sf_dir):
     sampling, weights, HALF_UP rounding, and the 1.0 clamp exactly."""
     from dlt_spark.dataops.graph import clustering_coefficient
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
+    out = clustering_coefficient(
+        _copurchase_pairs(spark, sf_dir), max_wedges_per_node=45
     )
-    out = clustering_coefficient(pairs, max_wedges_per_node=45)
     return (
         out.filter(F.col("degree") >= 3)
         .orderBy(F.desc("coefficient_nano"), F.col("id"))
@@ -3290,7 +3290,7 @@ def _q_link_prediction(spark, sf_dir):
     """Resource-Allocation link prediction over the parts-bought-together
     graph.  Every wedge carries score mass, so the fan-out per center is
     C(deg,2) — the ``max_wedges_per_node`` budget is what makes the op
-    scale-safe: capped centers keep 45 sha256-ranked neighbors and their
+    scale-safe: capped centers keep 25 sha256-ranked neighbors and their
     wedges carry the exact integer up-weight, the same estimator the
     capped clustering coefficient uses (and the oracle replays the
     identical sampling).  Each kept wedge contributes
@@ -3299,16 +3299,9 @@ def _q_link_prediction(spark, sf_dir):
     tie-break."""
     from dlt_spark.dataops.graph import link_prediction
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
+    return link_prediction(
+        _copurchase_pairs(spark, sf_dir), topk=50, max_wedges_per_node=300
     )
-    return link_prediction(pairs, topk=50, max_wedges_per_node=1000)
 
 
 def _q_kmeans_lloyd(spark, sf_dir):
@@ -3897,15 +3890,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY sha256(CAST(z AS VARCHAR) || ':'
                                        || CAST(n AS VARCHAR)), n
                    ) AS rn
-            FROM az WHERE deg > 45
+            FROM az WHERE deg > 25
         ), kept AS (
-            SELECT z, n, deg FROM az WHERE deg <= 45
+            SELECT z, n, deg FROM az WHERE deg <= 25
             UNION ALL
-            SELECT z, n, deg FROM ranked WHERE rn <= 45
+            SELECT z, n, deg FROM ranked WHERE rn <= 25
         ), weighted AS (
             SELECT z, n, deg,
-                   CAST(CASE WHEN deg <= 45 THEN 1000000
-                        ELSE ((deg * (deg - 1)) // 2 * 1000000) // 990
+                   CAST(CASE WHEN deg <= 25 THEN 1000000
+                        ELSE ((deg * (deg - 1)) // 2 * 1000000) // 300
                         END AS BIGINT) AS w6
             FROM kept
         ), contrib AS (

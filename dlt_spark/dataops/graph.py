@@ -177,23 +177,46 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).localCheckpoint(eager=False)
-    # the wedge self-join EXPLODES row counts (C(d,2) per center, 30-50x
-    # the edge count is routine) and AQE coalesces partitions by INPUT
-    # bytes, blind to the explosion — left alone the heaviest stage of
-    # the whole triangle family runs on a handful of tasks.  Explicit
-    # co-partitioning on the center key at cluster parallelism keeps the
-    # merge + downstream probe/explode saturated (defaultParallelism =
-    # total executor cores on a real cluster).
-    par = oriented.sparkSession.sparkContext.defaultParallelism
-    o_rep = oriented.repartition(par, "u")
-    e2 = o_rep.select(
-        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
-    )
-    wedges = o_rep.join(e2, F.col("u") == F.col("u2")).filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
-    ).select("u", "v", F.col("w2").alias("w"))
+    wedges = _wedge_fanout(oriented)
     return und, deg, oriented, wedges
+
+
+def _wedge_fanout(kept: DataFrame, weighted: bool = False) -> DataFrame:
+    """Per-center wedge enumeration ``(u; v, w)`` from oriented edges
+    ``(u, v, dv[, _w6])`` — the explosion stage of the triangle family.
+
+    Grouped-array fan-out instead of a self-join: ONE shuffle groups the
+    out-neighborhood per center (``collect_list``), then both pair legs
+    explode inside the same task (whole-stage codegen, no sort-merge, no
+    second exchange — a self-join shuffles the edge table twice and
+    sorts both sides; measured ~2x on the co-purchase graph).  Array
+    size per row is the center's out-degree, which the degree-ordered
+    orientation bounds by O(sqrt(m)) under any skew, so a single row
+    stays megabytes even at 1e11 edges.  The per-center C(d,2) blow-up
+    lands in the same task either way — AQE's byte-based coalescing is
+    equally blind to it in both formulations, and the groupBy hashes
+    centers across the full shuffle-partition count.  ``(v, w)`` keep
+    orientation order (``dv < dw``, ties by id)."""
+    grp = ["u", "_w6"] if weighted else ["u"]
+    arr = kept.groupBy(*grp).agg(
+        F.collect_list(F.struct(F.col("v"), F.col("dv"))).alias("_ns")
+    )
+    lo = F.col("_i.v")
+    out = (
+        arr.select(*grp, F.explode("_ns").alias("_i"), F.col("_ns"))
+        .select(*grp, "_i", F.explode("_ns").alias("_j"))
+        .filter(
+            (F.col("_i.dv") < F.col("_j.dv"))
+            | ((F.col("_i.dv") == F.col("_j.dv")) & (lo < F.col("_j.v")))
+        )
+        .select(
+            "u",
+            F.col("_i.v").alias("v"),
+            F.col("_j.v").alias("w"),
+            *(["_w6"] if weighted else []),
+        )
+    )
+    return out
 
 
 def _wedge_cap_k(cap: int) -> int:
@@ -263,22 +286,9 @@ def _capped_wedges(edges: DataFrame, src: str, dst: str, cap: int) -> tuple:
         )
         .localCheckpoint(eager=False)
     )
-    # same join-explosion dial as _oriented_wedges: co-partition on the
-    # center key at cluster parallelism so AQE's byte-based coalescing
-    # cannot starve the wedge merge of tasks
-    par = kept.sparkSession.sparkContext.defaultParallelism
-    kept_rep = kept.repartition(par, "u")
-    e2 = kept_rep.select(
-        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("dv").alias("dw")
-    )
-    wedges = (
-        kept_rep.join(e2, F.col("u") == F.col("u2"))
-        .filter(
-            (F.col("dv") < F.col("dw"))
-            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2")))
-        )
-        .select("u", "v", F.col("w2").alias("w"), "_w6")
-    )
+    # same grouped-array fan-out as _oriented_wedges — _w6 is constant
+    # per center (a function of its out-degree), so it rides the group key
+    wedges = _wedge_fanout(kept, weighted=True)
     return und, deg, oriented, wedges, capped_centers
 
 
@@ -765,10 +775,10 @@ def link_prediction(
     up-weight ``(C(d,2) * 1e6) div C(k,2)``, the same estimator as
     :func:`_capped_wedges`.  Each wedge ``(z; x, y)`` contributes
     ``w6 div deg(z)`` micro-units, summed per pair; existing edges leave
-    via one anti-join (broadcast under ``EDGE_BROADCAST_LIMIT``); the
-    adjacency is co-partitioned on the center key at cluster parallelism
-    before the self-join (AQE coalesces by input bytes and is blind to
-    the explosion).  Top-k with full deterministic tie-break.
+    via one anti-join (broadcast under ``EDGE_BROADCAST_LIMIT``); pair
+    fan-out is a grouped-array explode per center (one shuffle, in-task
+    codegen — see :func:`_wedge_fanout`) rather than a self-join.
+    Top-k with full deterministic tie-break.
 
     Returns ``(x, y, n_common, ra_score_q6)`` — ``ra_score_q6`` is the
     RA score in integer micro-units (estimates under a wedge cap, exact
@@ -825,15 +835,23 @@ def link_prediction(
         )
     else:
         kept = az.withColumn("_w6", F.lit(MICRO).cast("bigint"))
-    par = kept.sparkSession.sparkContext.defaultParallelism
-    kept_rep = kept.repartition(par, "z").localCheckpoint(eager=False)
-    other = kept_rep.select(F.col("z").alias("z2"), F.col("n").alias("n2"))
+    # grouped-array pair fan-out (see _wedge_fanout): one shuffle groups
+    # the kept neighborhood per center — deg and _w6 are per-center
+    # constants so they ride the group key — then both pair legs explode
+    # in-task.  Neighbor lists are distinct per center, so unordered
+    # position pairs + least/greatest reproduce the value-ordered join.
+    arr = kept.groupBy("z", "deg", "_w6").agg(
+        F.collect_list("n").alias("_ns")
+    )
     contrib = (
-        kept_rep.join(other, F.col("z") == F.col("z2"))
-        .filter(F.col("n") < F.col("n2"))
+        arr.select(
+            "deg", "_w6", F.posexplode("_ns").alias("_i", "_nv"), F.col("_ns")
+        )
+        .select("deg", "_w6", "_i", "_nv", F.posexplode("_ns").alias("_j", "_nw"))
+        .filter(F.col("_i") < F.col("_j"))
         .select(
-            F.col("n").alias("x"),
-            F.col("n2").alias("y"),
+            F.least("_nv", "_nw").alias("x"),
+            F.greatest("_nv", "_nw").alias("y"),
             F.expr("_w6 div deg").alias("_c6"),
         )
     )
