@@ -282,6 +282,15 @@ class Schema:
 
     @classmethod
     def from_dict(cls, d: dict) -> "Schema":
+        from .migrations import (
+            looks_like_reference_schema,
+            upgrade_reference_schema,
+        )
+
+        if looks_like_reference_schema(d):
+            # written by another engine build — run the engine-version
+            # ladder (reference migrations.py:41), then adapt
+            return upgrade_reference_schema(d)
         s = cls(d["name"])
         s.tables = d.get("tables", {})
         s.settings = d.get("settings", s.settings)
