@@ -113,10 +113,29 @@ class IcebergTableStore(TableStore):
             )
         r = self.spark.read.format("iceberg")
         if version is not None:
-            # native Iceberg time travel (snapshot id; branch/tag names
-            # also work through the same option on the real runtime)
-            r = r.option("snapshot-id", version)
+            # the TableStore contract (and Delta's versionAsOf) treats
+            # version as a sequential ordinal (0, 1, 2, ...); Iceberg
+            # time-travels by snapshot id, so map through the snapshot
+            # history ordered by commit time
+            r = r.option(
+                "snapshot-id", self._snapshot_id_for_ordinal(table, version)
+            )
         return r.load(f"{self.catalog}.{self.namespace}.{table}")
+
+    def _snapshot_id_for_ordinal(self, table: str, ordinal: int) -> int:
+        """Ordinal table version -> Iceberg snapshot id, via the
+        ``<table>.snapshots`` metadata table ordered by ``committed_at``
+        (ties broken by snapshot id for determinism)."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._ident(table)}.snapshots "
+            "ORDER BY committed_at, snapshot_id"
+        ).collect()
+        if not (0 <= ordinal < len(rows)):
+            raise ValueError(
+                f"table {table!r} has {len(rows)} versions "
+                f"(0..{len(rows) - 1}); requested version {ordinal}"
+            )
+        return rows[ordinal]["snapshot_id"]
 
     def append(
         self,
@@ -161,7 +180,10 @@ class IcebergTableStore(TableStore):
         from pyspark.sql import functions as F
 
         w = df.writeTo(self._ident(table)).using("iceberg")
-        if partition_by and not self.exists(table):
+        if partition_by:
+            # createOrReplace replaces the FULL table definition —
+            # partitionedBy must apply on every replace, or replacing an
+            # existing partitioned table would silently drop its spec
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.createOrReplace()
 
@@ -182,17 +204,29 @@ class IcebergTableStore(TableStore):
         if not self.exists(table):
             self.append(df, table)
             return
-        view = f"_dlt_merge_src_{table}"
+        import re
+        import uuid
+
+        # sanitized + uuid-suffixed: table names with identifier-illegal
+        # characters cannot break the view, concurrent merges on the same
+        # table in one session cannot collide, and the finally guarantees
+        # the view never leaks when the MERGE raises
+        view = (
+            f"_dlt_merge_src_{re.sub(r'[^A-Za-z0-9_]', '_', table)}"
+            f"_{uuid.uuid4().hex[:12]}"
+        )
         df.createOrReplaceTempView(view)
-        on = " AND ".join(f"t.`{c}` = s.`{c}`" for c in join_cols)
-        matched = (
-            "WHEN MATCHED THEN UPDATE SET * " if when_matched_update_all else ""
-        )
-        self.spark.sql(
-            f"MERGE INTO {self._ident(table)} t USING {view} s ON {on} "
-            f"{matched}WHEN NOT MATCHED THEN INSERT *"
-        )
-        self.spark.catalog.dropTempView(view)
+        try:
+            on = " AND ".join(f"t.`{c}` = s.`{c}`" for c in join_cols)
+            matched = (
+                "WHEN MATCHED THEN UPDATE SET * " if when_matched_update_all else ""
+            )
+            self.spark.sql(
+                f"MERGE INTO {self._ident(table)} t USING {view} s ON {on} "
+                f"{matched}WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def truncate(self, table: str) -> None:
         if self.exists(table):

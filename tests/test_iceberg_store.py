@@ -249,6 +249,23 @@ def iceberg_env(spark, tmp_path, monkeypatch):
                 "overwrite"
             ).parquet(path)
             return spark.range(0)
+        if q.startswith("SELECT snapshot_id FROM"):
+            # the <table>.snapshots metadata table: synthesize one
+            # snapshot per commit recorded against the ident, in commit
+            # order (ids 1000, 1001, ...)
+            ident = q.split("FROM", 1)[1].split()[0]
+            assert ident.endswith(".snapshots")
+            ident = ident[: -len(".snapshots")]
+            n = sum(
+                1
+                for c in log.calls
+                if (c["kind"] == "writeTo" and c.get("ident") == ident)
+                or (c["kind"] in ("delete", "merge") and ident in c.get("sql", ""))
+            )
+            log.add("snapshots", ident=ident, count=n)
+            return spark.createDataFrame(
+                [(1000 + i,) for i in range(n)], "snapshot_id long"
+            )
         if q.startswith("CALL"):
             kind = (
                 "rewrite_data_files"
@@ -322,15 +339,62 @@ def test_iceberg_store_contract(spark, iceberg_env):
     assert log.of("drop") and "PURGE" in log.of("drop")[0]["sql"]
 
 
-def test_iceberg_read_version_uses_snapshot_id(spark, iceberg_env):
+def test_iceberg_read_version_maps_ordinal_to_snapshot_id(spark, iceberg_env):
+    """read(version=) takes the TableStore contract's sequential ordinal
+    (0, 1, 2, ... like ParquetTableStore and Delta versionAsOf), mapped
+    to an Iceberg snapshot id through the snapshot history ordered by
+    committed_at — NOT interpreted as a raw snapshot id."""
+    import pytest as _pytest
+
     ibs, log = iceberg_env
     store = ibs.IcebergTableStore(spark, CAT, "ds")
-    store.append(spark.createDataFrame([(1,)], "id long"), "t")
-    store.read("t", version=42).count()
+    df = spark.createDataFrame([(1,)], "id long")
+    store.append(df, "t")   # snapshot ordinal 0
+    store.append(df, "t")   # snapshot ordinal 1
+    store.read("t", version=1).count()
     if not log.calls:
         return
     versioned = [r for r in log.of("read") if "snapshot-id" in r["options"]]
-    assert versioned and versioned[0]["options"]["snapshot-id"] == 42
+    # the fake numbers snapshots 1000, 1001, ... in commit order
+    assert versioned and versioned[0]["options"]["snapshot-id"] == 1001
+    with _pytest.raises(ValueError, match="2 versions"):
+        store.read("t", version=2)
+
+
+def test_iceberg_replace_keeps_partition_spec(spark, iceberg_env):
+    """createOrReplace replaces the FULL table definition, so overwrite
+    must re-apply partitionedBy on every replace — otherwise a replace
+    disposition silently drops the partition spec of an existing
+    partitioned table."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    df = spark.createDataFrame([(1, "x")], "id long, part string")
+    store.overwrite(df, "t", partition_by=["part"])
+    store.overwrite(df, "t", partition_by=["part"])  # replace existing
+    if not log.calls:
+        return
+    replaces = [w for w in log.of("writeTo") if w["op"] == "createOrReplace"]
+    assert len(replaces) == 2
+    assert all(w["partitioned_by"] for w in replaces)
+
+
+def test_iceberg_upsert_view_is_unique_and_dropped(spark, iceberg_env):
+    """The merge staging view is sanitized + uuid-suffixed (identifier-
+    illegal table names, concurrent merges) and dropped even when the
+    MERGE raises."""
+    ibs, log = iceberg_env
+    store = ibs.IcebergTableStore(spark, CAT, "ds")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.append(df, "t")
+    store.upsert(df, "t", join_cols=["id"])
+    store.upsert(df, "t", join_cols=["id"])
+    views = [t.name for t in spark.catalog.listTables()
+             if t.isTemporary and t.name.startswith("_dlt_merge_src_")]
+    assert views == []  # never leaks
+    if log.calls:
+        merges = log.of("merge")
+        names = [m["sql"].split(" USING ", 1)[1].split()[0] for m in merges]
+        assert len(set(names)) == 2  # unique per invocation
 
 
 def test_iceberg_partition_spec_only_at_creation(spark, iceberg_env):
