@@ -3589,8 +3589,64 @@ def _q_table_changes(spark, sf_dir):
     )
 
 
+def _q_nb_source_classifier(spark, sf_dir):
+    """Distributed multinomial Naive Bayes train + score over the
+    documents table (the quality/domain-classifier step of a CCNet /
+    Gopher / Dolma-style pipeline, with the training pass expressed as
+    two groupBy aggregations instead of an offline fasttext fit).
+    Laplace alpha=1, integer nano-logs throughout so scores, argmax,
+    and margins are exact BIGINT math under any partitioning; the
+    oracle replays the identical smoothing, rounding, and (score,
+    label) tie-break.  Output: every scored doc with its actual source,
+    predicted source, and best-minus-runner-up margin."""
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    priors, token_lp = nb_train(docs, "source")
+    out = nb_score(docs, priors, token_lp)
+    return (
+        out.join(
+            docs.select("doc_id", F.col("source").alias("actual")), "doc_id"
+        )
+        .select("doc_id", "actual", "predicted", "margin_nano")
+        .orderBy("doc_id")
+    )
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Covariance matrix of the embedding corpus — the distributed half
+    of PCA/whitening/drift detection (the d x d result is driver-sized
+    by construction; ``top_eigen`` finishes the eigendecomposition on
+    2080 scalars).  Components quantize to integer micros BEFORE any
+    sum, accumulators are decimal(38,0), and the only float step is the
+    final division of two exact integers — bit-identical in the SQL
+    twin.  One posexplode + in-task pair fan-out + one groupBy (i, j)."""
+    from dlt_spark.dataops.vector import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    return embedding_covariance(emb)
+
+
+def _q_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-3 diversity (template-farm / boilerplate
+    signal at the corpus level — the per-document cousins are the
+    repetition_signals family).  Exact BIGINT gram counts, one gram
+    shuffle, two map-side-combining aggregations."""
+    from dlt_spark.dataops.text import ngram_diversity
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+    )
+    return ngram_diversity(docs, "source", n=3)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "nb_source_classifier": _q_nb_source_classifier,
+        "embedding_covariance": _q_embedding_covariance,
+        "ngram_diversity": _q_ngram_diversity,
         "link_prediction": _q_link_prediction,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "source_centroid_sim": _q_source_centroid_sim,
@@ -3866,6 +3922,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["nb_source_classifier"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ), ct AS (
+            SELECT d.source AS label, dt.token, CAST(sum(dt.tf) AS BIGINT) AS ctf
+            FROM dt JOIN documents d USING (doc_id)
+            GROUP BY d.source, dt.token
+        ), tot AS (
+            SELECT label, CAST(sum(ctf) AS BIGINT) AS T FROM ct GROUP BY label
+        ), v AS (
+            SELECT count(DISTINCT token) AS V FROM ct
+        ), nd AS (
+            SELECT count(*) AS n FROM documents
+        ), lp AS (
+            SELECT token, label,
+                   CAST(round(ln(CAST(ctf + 1 AS DOUBLE)
+                                 / CAST(T + V AS DOUBLE)) * 1e9) AS BIGINT)
+                       AS lp_nano
+            FROM ct JOIN tot USING (label), v
+        ), priors AS (
+            SELECT p.label, p.n_docs,
+                   CAST(round(ln(CAST(p.n_docs AS DOUBLE)
+                                 / CAST(nd.n AS DOUBLE)) * 1e9) AS BIGINT)
+                       AS prior_nano,
+                   CAST(round(ln(CAST(1 AS DOUBLE)
+                                 / CAST(t.T + v.V AS DOUBLE)) * 1e9) AS BIGINT)
+                       AS default_lp_nano
+            FROM (SELECT source AS label, count(*) AS n_docs
+                  FROM documents GROUP BY source) p
+            JOIN tot t USING (label), v, nd
+        ), scored AS (
+            SELECT dt.doc_id, c.label,
+                   CAST(max(c.prior_nano)
+                        + sum(dt.tf * coalesce(l.lp_nano, c.default_lp_nano))
+                        AS BIGINT) AS score
+            FROM dt CROSS JOIN priors c
+            LEFT JOIN lp l ON l.token = dt.token AND l.label = c.label
+            GROUP BY dt.doc_id, c.label
+        ), ranked AS (
+            SELECT doc_id, label, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, label DESC) AS rn
+            FROM scored
+        ), agg AS (
+            SELECT doc_id,
+                   max(CASE WHEN rn = 1 THEN label END) AS predicted,
+                   CAST(max(CASE WHEN rn = 1 THEN score END)
+                        - coalesce(max(CASE WHEN rn = 2 THEN score END),
+                                   max(CASE WHEN rn = 1 THEN score END))
+                        AS BIGINT) AS margin_nano
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source AS actual, a.predicted, a.margin_nano
+        FROM agg a JOIN documents d USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+    sql["embedding_covariance"] = """
+        WITH qv AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.pos AS i, b.pos AS j, a.q AS qi, b.q AS qj
+            FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        ), agg AS (
+            SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(qi AS HUGEINT) * qj) AS sij,
+                   sum(CAST(qi AS HUGEINT)) AS si,
+                   sum(CAST(qj AS HUGEINT)) AS sj
+            FROM pairs GROUP BY i, j
+        )
+        SELECT i, j, n,
+               round(CAST(n * sij - si * sj AS DOUBLE)
+                     / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 9) AS cov
+        FROM agg ORDER BY i, j
+    """
+
+    sql["ngram_diversity"] = """
+        WITH toks AS (
+            SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT source,
+                   array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+            FROM toks,
+                 LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                     AS g(i)
+        ), per AS (
+            SELECT source, gram, count(*) AS c FROM grams GROUP BY source, gram
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9)
+                   AS diversity
+        FROM per GROUP BY source ORDER BY source
+    """
 
     sql["link_prediction"] = """
         WITH pairs AS (

@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "kmeans_lloyd",
     "source_centroid_sim",
     "link_prediction",
+    "nb_source_classifier",
+    "embedding_covariance",
+    "ngram_diversity",
 ]
 
 

@@ -349,3 +349,84 @@ def kmeans_lloyd(
     )
     out_assign._dlt_persisted = persisted
     return out_assign, out_cent
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    decimals: int = 9,
+) -> DataFrame:
+    """Covariance matrix of an embedding column — the distributed half
+    of PCA / whitening / drift detection: the d x d covariance is the
+    only corpus-sized computation, after which eigendecomposition runs
+    on the driver over d^2 scalars (d is 16-4096 by construction, so
+    the matrix is bytes, not data).
+
+    Returns the upper triangle ``(i, j, n, cov)`` with ``i <= j`` and
+    ``cov = (n * S_ij - S_i * S_j) / n^2`` (population covariance),
+    rounded half-away-from-zero to ``decimals``.
+
+    Engine-exactness: components quantize to integer micros BEFORE any
+    aggregation, so ``S_ij = sum q_i q_j``, ``S_i = sum q_i`` are exact
+    (decimal(38,0) accumulators — q_i q_j reaches 1e12 per row, 1e12 * n
+    overall, past BIGINT at corpus scale), and the single floating-point
+    step is the final division of two exact integers, identical under
+    any partitioning and in the SQL oracle.
+
+    Plan: one posexplode of the quantized vector, the pair fan-out
+    (d*(d+1)/2 terms per row) generated in-task from the grouped array
+    (same shape as the wedge fan-out in ``graph._wedge_fanout``), one
+    groupBy (i, j) — a single shuffle of n * d^2/2 narrow rows with full
+    map-side partial aggregation."""
+    q = df.select(
+        F.transform(
+            F.col(vec_col),
+            # floor(x*1e6 + 0.5): the repo's engine-portable quantizer
+            # (identical for negative components, where round-half-up
+            # and round-half-away diverge between engines)
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("_q")
+    )
+    pairs = (
+        q.select(F.posexplode("_q").alias("_i", "_vi"), F.col("_q"))
+        .select("_i", "_vi", F.posexplode("_q").alias("_j", "_vj"))
+        .filter(F.col("_i") <= F.col("_j"))
+    )
+    agg = pairs.groupBy(F.col("_i").alias("i"), F.col("_j").alias("j")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_vi") * F.col("_vj")).cast("decimal(38,0)")).alias("_sij"),
+        F.sum(F.col("_vi").cast("decimal(38,0)")).alias("_si"),
+        F.sum(F.col("_vj").cast("decimal(38,0)")).alias("_sj"),
+    )
+    cov = (
+        (F.col("n") * F.col("_sij") - F.col("_si") * F.col("_sj"))
+        .cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+        / F.lit(1e12)
+    )
+    return agg.select(
+        "i", "j", "n", F.round(cov, decimals).alias("cov")
+    ).orderBy("i", "j")
+
+
+def top_eigen(cov_rows, dim: int, iters: int = 50):
+    """Driver-side power iteration over a collected upper-triangle
+    covariance (list of ``(i, j, cov)`` rows): returns ``(eigenvalue,
+    eigenvector)`` of the leading component.  The matrix is d^2 scalars
+    — collecting it is the POINT of :func:`embedding_covariance`'s
+    split; no Spark job runs here."""
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    v = np.ones(dim) / dim ** 0.5
+    for _ in range(iters):
+        w = m @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            return 0.0, v.tolist()
+        v = w / nrm
+    return float(v @ m @ v), v.tolist()

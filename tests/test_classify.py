@@ -1,0 +1,129 @@
+"""Naive Bayes classifier, embedding covariance, and n-gram diversity
+(round-7 dataops additions)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_nb_separable_corpus(spark):
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    rows = [
+        (1, "spark shuffle partition executor", "eng"),
+        (2, "executor partition shuffle codegen", "eng"),
+        (3, "sourdough flour hydration levain", "baking"),
+        (4, "levain flour sourdough crumb", "baking"),
+        (5, "shuffle executor spark plan", "eng"),
+        (6, "crumb hydration flour bake", "baking"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    priors, lp = nb_train(docs, "source")
+    got = {
+        r["doc_id"]: (r["predicted"], r["margin_nano"])
+        for r in nb_score(docs, priors, lp).collect()
+    }
+    for did, (pred, margin) in got.items():
+        expect = "eng" if did in (1, 2, 5) else "baking"
+        assert pred == expect, (did, pred)
+        assert margin > 0
+    # priors: 3 docs each of 6 -> ln(1/2) * 1e9
+    p = {r["label"]: r["prior_nano"] for r in priors.collect()}
+    assert p["eng"] == p["baking"]
+    import math
+
+    assert abs(p["eng"] - round(math.log(0.5) * 1e9)) <= 1
+
+
+def test_nb_unseen_token_takes_default(spark):
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa", "x"), (2, "bb bb", "y")],
+        "doc_id long, text string, source string",
+    )
+    priors, lp = nb_train(docs, "source")
+    # a doc of only tokens class y never saw still scores for y via the
+    # smoothed default, and x (which saw them) must win
+    test = spark.createDataFrame([(9, "aa aa aa", "?")],
+                                 "doc_id long, text string, source string")
+    out = nb_score(test, priors, lp).collect()
+    assert out[0]["predicted"] == "x" and out[0]["margin_nano"] > 0
+
+
+def test_nb_margin_zero_on_exact_tie(spark):
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    # perfectly symmetric corpus: identical token stats per class
+    docs = spark.createDataFrame(
+        [(1, "tok", "a"), (2, "tok", "b")],
+        "doc_id long, text string, source string",
+    )
+    priors, lp = nb_train(docs, "source")
+    out = nb_score(docs, priors, lp).collect()
+    for r in out:
+        assert r["margin_nano"] == 0
+        assert r["predicted"] == "b"  # (score, label) max tie-break
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from dlt_spark.dataops.vector import embedding_covariance, top_eigen
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 5)).astype("float32")
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "embedding array<float>"
+    )
+    rows = embedding_covariance(df).collect()
+    assert len(rows) == 15  # upper triangle of 5x5
+    # reconstruct and compare against numpy population covariance of the
+    # micro-quantized data (the op is exact w.r.t. its quantization)
+    q = np.floor(x.astype("float64") * 1e6 + 0.5)
+    cov_np = np.cov(q.T, bias=True) / 1e12
+    for r in rows:
+        assert abs(r["cov"] - cov_np[r["i"], r["j"]]) < 1e-8, (r, cov_np[r["i"], r["j"]])
+    ev, vec = top_eigen(rows, dim=5, iters=500)
+    w_np = np.linalg.eigvalsh(cov_np).max()
+    # power iteration converges geometrically in the eigengap ratio; a
+    # random gaussian covariance has a small gap, so assert to 1e-4
+    assert abs(ev - w_np) < 1e-4
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-9
+
+
+def test_ngram_diversity_exact_counts(spark):
+    from dlt_spark.dataops.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y z x y z"),       # grams: xyz yzx zxy xyz -> 4 total, 3 distinct
+            ("a", "x y z"),             # xyz -> total 5, distinct 3 for source a
+            ("b", "p q"),               # short doc: one truncated gram "p q"
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in ngram_diversity(docs, "source", n=3).collect()}
+    assert out["a"]["total_ngrams"] == 5
+    assert out["a"]["distinct_ngrams"] == 3
+    assert abs(out["a"]["diversity"] - 0.6) < 1e-12
+    assert out["b"]["total_ngrams"] == 1 and out["b"]["distinct_ngrams"] == 1
+
+
+def test_ngram_diversity_sketch_path(spark):
+    from dlt_spark.dataops.text import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [("a", "x y z x y z"), ("a", "x y z"), ("b", "p q")],
+        "source string, text string",
+    )
+    exact = {r["source"]: r for r in ngram_diversity(docs, "source").collect()}
+    approx = {r["source"]: r for r in
+              ngram_diversity(docs, "source", exact=False).collect()}
+    for s in exact:
+        assert approx[s]["total_ngrams"] == exact[s]["total_ngrams"]
+        # HLL at rsd=0.01 is exact for tiny cardinalities
+        assert approx[s]["distinct_ngrams"] == exact[s]["distinct_ngrams"]
