@@ -98,3 +98,4 @@ def shard_manifest(
             F.expr("bit_xor(_hb)").alias("checksum"),
         )
     )
+

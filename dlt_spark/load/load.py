@@ -113,8 +113,23 @@ class LoadStage:
         # range-exchange shuffle per load — the same trade BigQuery makes
         # on clustered ingest.  `sort` alone stays shuffle-free
         # (sortWithinPartitions): rows cluster inside each task's files.
+        # `zorder` hint — multi-column pruning (Delta OPTIMIZE ZORDER
+        # analog, applied at write time): files cover small hyper-boxes
+        # in EVERY z-ordered dimension, where lexicographic `cluster`
+        # prunes only on its leading column.  Takes precedence over
+        # `cluster` when both are set.
+        zorder_by = [c for c in _hint_cols(table, "zorder") if c in df.columns]
         cluster_by = [c for c in _hint_cols(table, "cluster") if c in df.columns]
-        if cluster_by:
+        if zorder_by:
+            from ..store.zorder import zorder
+
+            df = zorder(
+                df,
+                zorder_by,
+                num_files=df.sparkSession.sparkContext.defaultParallelism,
+            )
+            cluster_by = []
+        elif cluster_by:
             df = df.repartitionByRange(*cluster_by)
         sort_by = _hint_cols(table, "sort")
         present_sort = None

@@ -138,3 +138,53 @@ def test_declared_references_drive_join_derivation(spark, tmp_path):
     joined = ds["orders"].join(ds["customers"], kind="inner", alias="c")
     rows = joined.spark_df().collect()
     assert len(rows) == 1 and rows[0]["oid"] == 1
+
+
+def test_zorder_hint_prunes_on_every_dimension(spark, tmp_path):
+    """The `zorder` column hint interleaves bucket bits of ALL hinted
+    columns, so each written file covers a small (x, y) box and a
+    y-only range scan prunes files — under the lexicographic `cluster`
+    hint every file spans the full y domain and nothing prunes."""
+    import pyarrow.parquet as pq
+
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    rows = [{"x": i // 64, "y": i % 64} for i in range(4096)]
+
+    def boxes(pipe_name, hints, table):
+        res = DltResource(list(rows), name=table)
+        res.apply_hints(columns=hints)
+        pipe = dlt_spark.pipeline(
+            pipe_name, str(tmp_path / pipe_name), "ds", spark,
+            max_rows_per_file=256,
+        )
+        pipe.run(res)
+        out = []
+        for f in pipe.dataset()[table].source_files():
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(f.replace("file:", ""), columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            out.append((min(xs), max(xs), min(ys), max(ys)))
+        return out
+
+    zb = boxes(
+        "zorderhint",
+        {"x": {"name": "x", "zorder": True}, "y": {"name": "y", "zorder": True}},
+        "zt",
+    )
+    cb = boxes(
+        "lexhint",
+        {"x": {"name": "x", "cluster": True}, "y": {"name": "y", "cluster": True}},
+        "ct",
+    )
+    assert len(zb) > 4 and len(cb) > 4
+    # a y-only range scan: y BETWEEN 10 AND 12
+    z_hit = sum(1 for (_, _, lo, hi) in zb if lo <= 12 and hi >= 10)
+    c_hit = sum(1 for (_, _, lo, hi) in cb if lo <= 12 and hi >= 10)
+    assert c_hit == len(cb)          # lexicographic: every file overlaps
+    assert z_hit <= len(zb) // 2     # z-order: most files pruned
+    # and the x dimension still prunes too (no worse than ~a quadrant)
+    zx_hit = sum(1 for (lo, hi, _, _) in zb if lo <= 12 and hi >= 10)
+    assert zx_hit <= len(zb) // 2
