@@ -76,13 +76,21 @@ def canon_cell(v) -> str:
     if isinstance(v, (float, np.floating)):
         return repr(float(v))
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, pd.Timestamp):
-        if v.tzinfo is not None:
+        # the driver normalizes Decimal -> float before hashing (Spark
+        # decimal sums arrive as object(Decimal), DuckDB as float64)
+        return repr(float(v))
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        if isinstance(v, pd.Timestamp) and v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)
+        elif isinstance(v, dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        # DATE columns arrive as midnight datetime64 from duckdb.df()
+        # but as date objects from Spark toPandas; the driver hashes the
+        # two equal (every date-emitting TPC-H query is driver-green),
+        # so midnight collapses to the date form here too
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat(sep=" ")
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -90,13 +98,35 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+def _col_family(ser) -> str:
+    """Dtype family for comparison.  Object columns resolve by VALUE:
+    Spark dates/Decimals land as object dtype where DuckDB gives
+    datetime64/float64 — the driver renders those pairs equal, so the
+    families must unify here (the int-vs-float skew stays a mismatch)."""
+    import datetime as dt
+    import decimal
+
+    fam = _KIND_FAMILY.get(ser.dtype.kind, ser.dtype.kind)
+    if fam != "object":
+        return fam
+    for v in ser:
+        if v is None or (isinstance(v, float)):
+            continue
+        if isinstance(v, dt.datetime):
+            return "datetime"
+        if isinstance(v, dt.date):
+            return "datetime"
+        if isinstance(v, decimal.Decimal):
+            return "float"
+        return "object"
+    return "object"
+
+
 def canon_frame(pdf):
     """(sorted column names, dtype families in that order, sorted canonical
     row lines) for a pandas frame — the driver-equivalent canonical form."""
     cols = sorted(pdf.columns)
-    fams = [
-        _KIND_FAMILY.get(pdf[c].dtype.kind, pdf[c].dtype.kind) for c in cols
-    ]
+    fams = [_col_family(pdf[c]) for c in cols]
     lines = sorted(
         "\x1f".join(canon_cell(row[c]) for c in cols)
         for row in pdf.to_dict("records")
