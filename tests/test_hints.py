@@ -188,3 +188,38 @@ def test_zorder_hint_prunes_on_every_dimension(spark, tmp_path):
     # and the x dimension still prunes too (no worse than ~a quadrant)
     zx_hit = sum(1 for (lo, hi, _, _) in zb if lo <= 12 and hi >= 10)
     assert zx_hit <= len(zb) // 2
+
+
+def test_quantile_zorder_balances_skewed_dimension(spark, tmp_path):
+    """Equal-width z-ranks collapse under skew (a power-law column packs
+    most rows into one bucket, so that dimension stops pruning);
+    quantile mode gives every bucket ~equal row mass, so per-file boxes
+    stay balanced in ROW terms and a hot-range scan still prunes."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.store.zorder import zorder
+
+    # y is uniform; x is power-law: 90% of rows in [0, 10), tail to 10000
+    rows = []
+    for i in range(4000):
+        x = (i % 10) if i % 10 != 9 else (i * 37) % 10000
+        rows.append((x, i % 64))
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def hot_file_fraction(mode):
+        out = zorder(df, ["x", "y"], num_files=16, mode=mode)
+        parts = out.withColumn("_pid", F.spark_partition_id())
+        stats = parts.groupBy("_pid").agg(
+            F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+            F.count("*").alias("n"),
+        ).collect()
+        # a scan for the HOT range x < 10 (90% of rows): fraction of
+        # ROWS inside files whose x-box overlaps it that are wasted
+        # reads is what pruning quality means under skew; proxy: how
+        # many files carry a tail-polluted box (xhi far from xlo)
+        return sum(1 for r in stats if r["xlo"] < 10 and r["xhi"] >= 1000), len(stats)
+
+    wide_bad, wide_n = hot_file_fraction("width")
+    q_bad, q_n = hot_file_fraction("quantile")
+    # quantile mode must strictly reduce tail-polluted hot files
+    assert q_bad < wide_bad, (q_bad, wide_bad, q_n, wide_n)
