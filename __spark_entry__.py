@@ -3642,8 +3642,29 @@ def _q_ngram_diversity(spark, sf_dir):
     return ngram_diversity(docs, "source", n=3)
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """Blocklist screening (the C4 'bad words' stage): per document, the
+    count and token-share of blocklisted terms plus the keep/block
+    verdict at a 5% threshold.  One case-insensitive word-boundary
+    alternation evaluated in codegen — zero shuffle, scan-speed; the
+    regex stays inside the Java-regex/RE2 shared subset (same
+    portability rule as PII_PATTERNS) so the oracle replays it."""
+    from dlt_spark.dataops.text import blocklist_hits, token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hits, ratio = blocklist_hits(F.col("text"), ["slow", "dup", "big"])
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        hits.alias("hits"),
+        ratio.alias("hit_ratio"),
+        (ratio > F.lit(0.05)).alias("blocked"),
+    ).orderBy("doc_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "blocklist_filter": _q_blocklist_filter,
         "nb_source_classifier": _q_nb_source_classifier,
         "embedding_covariance": _q_embedding_covariance,
         "ngram_diversity": _q_ngram_diversity,
@@ -3922,6 +3943,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["blocklist_filter"] = """
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_toks,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(slow|dup|big)\\b', 1)) AS BIGINT) AS hits
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_toks, hits,
+               CASE WHEN n_toks > 0
+                    THEN round(CAST(hits AS DOUBLE) / n_toks, 9)
+                    ELSE 0.0 END AS hit_ratio,
+               (CASE WHEN n_toks > 0
+                     THEN round(CAST(hits AS DOUBLE) / n_toks, 9)
+                     ELSE 0.0 END) > 0.05 AS blocked
+        FROM scored ORDER BY doc_id
+    """
 
     sql["nb_source_classifier"] = """
         WITH tok AS (

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "nb_source_classifier",
     "embedding_covariance",
     "ngram_diversity",
+    "blocklist_filter",
 ]
 
 

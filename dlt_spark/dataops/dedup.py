@@ -1164,3 +1164,46 @@ def fuzzy_pairs(
         .filter(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def lsh_params(
+    threshold: float,
+    num_perm: int,
+    fp_weight: float = 0.5,
+) -> "tuple[int, int]":
+    """Choose MinHash-LSH banding ``(bands, rows)`` for a target Jaccard
+    ``threshold`` — the standard s-curve optimization (Leskovec/Rajaraman
+    /Ullman ch.3, the datasketch-style parameter search): the candidate
+    probability of a pair at similarity s is ``1 - (1 - s^rows)^bands``;
+    pick the factorization of ``num_perm`` minimizing the weighted sum
+    of false-positive area below the threshold and false-negative area
+    above it (``fp_weight`` : ``1 - fp_weight``).
+
+    Driver-side pure math (integrates the s-curve on a fixed grid) —
+    call it once to size :func:`minhash_dedup`'s banding before a run
+    instead of hand-picking bands."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    fn_weight = 1.0 - fp_weight
+    steps = 200
+    best, best_err = (1, num_perm), float("inf")
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        fp = fn = 0.0
+        # integrate P(candidate | s) on each side of the threshold
+        for i in range(steps):
+            s = threshold * (i + 0.5) / steps
+            fp += (1.0 - (1.0 - s ** rows) ** bands) * (threshold / steps)
+        for i in range(steps):
+            s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+            fn += (1.0 - (1.0 - (1.0 - s ** rows) ** bands)) * (
+                (1.0 - threshold) / steps
+            )
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    return best

@@ -814,3 +814,27 @@ def ngram_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def blocklist_hits(
+    text: Column, words: "list[str]", decimals: int = 9
+) -> "tuple[Column, Column]":
+    """Blocklist screening (the C4 'bad words' filter stage): returns
+    ``(hit_count, hit_ratio)`` columns — total blocklisted-token
+    occurrences and their share of the token count.  Pure Column
+    expressions (codegen, zero shuffle): the word list compiles to one
+    case-insensitive alternation wrapped in word boundaries; ``\\b`` and
+    the alternation subset behave identically in Java regex (Spark) and
+    RE2 (the DuckDB oracle), same portability rule as PII_PATTERNS."""
+    import re as _re
+
+    alt = "|".join(_re.escape(w.lower()) for w in words)
+    pat = rf"\b({alt})\b"
+    hits = F.coalesce(
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 1)), F.lit(0)
+    ).cast("bigint")
+    ratio = F.when(
+        token_count(text) > 0,
+        F.round(hits.cast("double") / token_count(text).cast("double"), decimals),
+    ).otherwise(F.lit(0.0))
+    return hits, ratio

@@ -127,3 +127,22 @@ def test_ngram_diversity_sketch_path(spark):
         assert approx[s]["total_ngrams"] == exact[s]["total_ngrams"]
         # HLL at rsd=0.01 is exact for tiny cardinalities
         assert approx[s]["distinct_ngrams"] == exact[s]["distinct_ngrams"]
+
+
+def test_lsh_params_s_curve():
+    from dlt_spark.dataops.dedup import lsh_params
+
+    # classic textbook point: 128 perms at t=0.5 lands near b=16, r=8
+    b, r = lsh_params(0.5, 128)
+    assert b * r == 128
+    assert 8 <= b <= 32
+    # higher threshold -> more rows per band (steeper curve, fewer FPs)
+    b_hi, r_hi = lsh_params(0.9, 128)
+    assert r_hi > r
+    # the implied 50%-candidacy similarity (1/b)^(1/r) brackets the target
+    t50 = (1.0 / b) ** (1.0 / r)
+    assert 0.3 < t50 < 0.7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_params(1.5, 128)
