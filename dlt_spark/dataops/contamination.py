@@ -140,10 +140,14 @@ def source_overlap_matrix(
     EVERY pair (train-vs-eval splits, mirrored crawls, vendor feeds).
 
     Scale shape: one explode to distinct ``(source, gram)`` rows, then
-    a gram-keyed self-join whose fan-out per gram is bounded by
-    ``|sources|²`` (sources are few) — candidate volume grows with the
-    distinct-gram count, never with ``docs²``.  Counts are integers;
-    the only float is the final Jaccard division, rounded to 6.
+    ONE groupBy collects each gram's source set (bounded by the source
+    count, which is small by construction) and the pair fan-out —
+    ``|sources|² `` per gram at worst — explodes in-task under codegen
+    (the grouped-array pattern of ``graph._wedge_fanout``; a gram-keyed
+    self-join pays two exchanges plus sort-merge for the same rows).
+    Candidate volume grows with the distinct-gram count, never with
+    ``docs²``.  Counts are integers; the only float is the final
+    Jaccard division, rounded to 6.
 
     Returns ``(source_a, source_b, shared, jaccard)``.
     """
@@ -161,14 +165,15 @@ def source_overlap_matrix(
         .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("_grp").agg(F.count(F.lit(1)).alias("_sz"))
+    per_gram = grams.groupBy("_g").agg(F.collect_list("_grp").alias("_ss"))
     pairs = (
-        grams.select(F.col("_grp").alias("_ga"), "_g")
-        .join(
-            grams.select(F.col("_grp").alias("_gb"), "_g"),
-            "_g",
+        per_gram.select(F.posexplode("_ss").alias("_i", "_sa"), F.col("_ss"))
+        .select("_i", "_sa", F.posexplode("_ss").alias("_j", "_sb"))
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
         )
-        .filter(F.col("_ga") < F.col("_gb"))
-        .groupBy(F.col("_ga").alias("source_a"), F.col("_gb").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sz = F.broadcast(sizes)
