@@ -185,6 +185,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    # ~160 queries x 5-20 codegen units each JIT-compiles far past the
+    # default 240 MB ReservedCodeCacheSize (measured: the profiled
+    # nmethods heap is half full after 40 SMALL queries) — once the code
+    # cache saturates, the JVM flushes/deoptimizes hot methods and every
+    # late query pays re-JIT, which is the single biggest source of
+    # late-sweep inflation.  Must be set at JVM LAUNCH, so it goes
+    # through SPARK_SUBMIT_OPTS before the gateway starts, not builder
+    # config.  setdefault: an externally provided value wins.
+    os.environ.setdefault(
+        "SPARK_SUBMIT_OPTS", "-XX:ReservedCodeCacheSize=512m"
+    )
+
     from pyspark.sql import SparkSession
 
     spark = (
