@@ -3662,8 +3662,27 @@ def _q_blocklist_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """The full tokenizer loop: train 4 BPE merges on the corpus
+    (``bpe_train`` — vocabulary-collapsed, 1 driver scalar per round),
+    then ENCODE every document with the learned table (``bpe_apply`` —
+    a chain of two-pass non-overlapping replaces per word occurrence,
+    all codegen) and account tokens per document.  The oracle replays
+    training AND encoding in one SQL statement, so the learned merges,
+    the segmentation, and the counts are all engine-exact."""
+    from dlt_spark.dataops.tokenizer import bpe_apply, bpe_train
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return bpe_apply(docs, bpe_train(docs, merges=4))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "bpe_encode": _q_bpe_encode,
         "blocklist_filter": _q_blocklist_filter,
         "nb_source_classifier": _q_nb_source_classifier,
         "embedding_covariance": _q_embedding_covariance,
@@ -3943,6 +3962,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["bpe_encode"] = """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE word <> '' AND regexp_full_match(word, '[a-z0-9]+')
+            GROUP BY word
+        ), w0 AS (
+            SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq
+            FROM words
+        ), p1 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w0) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w1 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w0, t1
+        ), p2 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w1) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w2 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w1, t2
+        ), p3 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w2) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        w3 AS (
+            SELECT trim(replace(replace(' ' || sym || ' ',
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS sym,
+                   freq
+            FROM w2, t3
+        ), p4 AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT string_split(sym, ' ') AS l, freq FROM w3) t,
+                 LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ), t4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        docs0 AS (
+            SELECT doc_id,
+                   ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+                       AS sym
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE word <> '' AND regexp_full_match(word, '[a-z0-9]+')
+        ), d1 AS (
+            SELECT doc_id,
+                   replace(replace(sym,
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+            FROM docs0, t1
+        ), d2 AS (
+            SELECT doc_id,
+                   replace(replace(sym,
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+            FROM d1, t2
+        ), d3 AS (
+            SELECT doc_id,
+                   replace(replace(sym,
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+            FROM d2, t3
+        ), d4 AS (
+            SELECT doc_id,
+                   replace(replace(sym,
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                       ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+            FROM d3, t4
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_tokens,
+               round(CAST(sum(len(string_split(trim(sym), ' '))) AS DOUBLE)
+                     / count(*), 9) AS tokens_per_word
+        FROM d4 GROUP BY doc_id ORDER BY doc_id
+    """
 
     sql["blocklist_filter"] = """
         WITH scored AS (

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "ngram_diversity",
     "blocklist_filter",
+    "bpe_encode",
 ]
 
 

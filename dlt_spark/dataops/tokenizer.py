@@ -145,3 +145,59 @@ def bpe_train(df: DataFrame, text_col: str = "text", merges: int = 3) -> list:
             eager=False
         )
     return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: "list[dict]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a trained BPE merge table (the other half
+    of :func:`bpe_train` — together they are the train -> tokenize loop
+    a data pipeline runs before packing): every lowercase-alnum word
+    occurrence becomes its symbol segmentation after applying the
+    merges in rank order, and the per-document token accounting falls
+    out (``n_words``, ``n_tokens``, ``tokens_per_word``).
+
+    Each merge applies as the same two-pass non-overlapping
+    left-to-right ``replace`` the trainer uses — a chain of
+    ``2 * len(merges)`` codegen string ops per word occurrence, zero
+    Python, zero extra shuffle beyond the final per-doc aggregation.
+    Engine-exact: the SQL oracle replays the identical replace chain.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for m in merges:
+        pat = f" {m['pair_left']} {m['pair_right']} "
+        rep = f" {m['pair_left']}{m['pair_right']} "
+        for _ in range(2):
+            sym = F.replace(sym, F.lit(pat), F.lit(rep))
+    toks = F.size(F.split(F.trim(sym), " "))
+    return (
+        words.select(F.col(id_col), toks.alias("_t"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_t").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                9,
+            ).alias("tokens_per_word"),
+        )
+        .orderBy(id_col)
+    )

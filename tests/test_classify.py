@@ -146,3 +146,31 @@ def test_lsh_params_s_curve():
 
     with _pytest.raises(ValueError):
         lsh_params(1.5, 128)
+
+
+def test_bpe_apply_matches_python_replay(spark):
+    """bpe_apply's chained two-pass replaces must reproduce a direct
+    Python replay of the same merge procedure per word occurrence."""
+    from dlt_spark.dataops.tokenizer import bpe_apply, bpe_train
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new wider wide"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, merges=3)
+    out = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+
+    def encode(word):
+        s = " " + " ".join(word) + " "
+        for m in merges:
+            pat = f" {m['pair_left']} {m['pair_right']} "
+            rep = f" {m['pair_left']}{m['pair_right']} "
+            s = s.replace(pat, rep).replace(pat, rep)
+        return len(s.split())
+
+    for did, text in rows:
+        words = [w for w in text.lower().split() if w.isalnum()]
+        assert out[did]["n_words"] == len(words)
+        assert out[did]["n_tokens"] == sum(encode(w) for w in words), did
