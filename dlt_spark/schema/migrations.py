@@ -267,9 +267,10 @@ def upgrade_reference_schema(d: dict) -> "Any":
     from .naming import NAMING_CONVENTIONS
     from .schema import Schema
 
-    d = dict(d)  # the ladder mutates; never mutate the caller's dict
-    d["tables"] = {k: dict(v) if isinstance(v, dict) else v
-                   for k, v in d.get("tables", {}).items()}
+    import copy
+
+    # the ladder mutates nested table/column dicts — never the caller's
+    d = copy.deepcopy(d)
     from_engine = int(d.get("engine_version", 1))
     if not (MIN_ENGINE <= from_engine <= REFERENCE_ENGINE):
         raise SchemaEngineNoUpgradePath(

@@ -154,8 +154,12 @@ def test_attach_engine2_roundtrips_native():
     s2 = Schema.from_json(j)
     assert s2.to_json() == j
     assert s2.version == s.version
-    # the source dict was not mutated
+    # the source dict was not mutated — including NESTED column dicts
+    # (the engine-10 rung pops foreign_key in place)
     assert src["engine_version"] == 2 and "hints" in src
+    child_cols = src["tables"]["event_user__parse_data__entities"]
+    assert child_cols["_dlt_parent_id"]["foreign_key"] is True
+    assert "ghost" in child_cols
 
 
 def test_attach_engine11_current_reference():
