@@ -3680,8 +3680,23 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe_apply(docs, bpe_train(docs, merges=4))
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Int8 embedding-quantization audit (the 4x compression step before
+    ANN serving): per vector, the max-abs scale and the exact integer
+    squared reconstruction error of the [-127, 127] codes.  Components
+    quantize to micros first and per-component errors floor-quantize to
+    BIGINT before summing, so the report is order-independent and the
+    oracle replays it bit-for-bit.  Pure map + per-vector aggregation —
+    no cross-row shuffle."""
+    from dlt_spark.dataops.vector import quantize_embeddings_report
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_embeddings_report(emb)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "embedding_quantize": _q_embedding_quantize,
         "bpe_encode": _q_bpe_encode,
         "blocklist_filter": _q_blocklist_filter,
         "nb_source_classifier": _q_nb_source_classifier,
@@ -3962,6 +3977,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["embedding_quantize"] = """
+        WITH qv AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ), ma AS (
+            SELECT vec_id, CAST(max(abs(q)) AS BIGINT) AS maxabs_q6
+            FROM qv GROUP BY vec_id
+        ), recon AS (
+            SELECT qv.vec_id, ma.maxabs_q6,
+                   CAST(q AS DOUBLE)
+                   - (CASE WHEN maxabs_q6 = 0 THEN 0
+                      ELSE CAST(floor(CAST(q AS DOUBLE) * 127.0
+                                      / maxabs_q6 + 0.5) AS BIGINT)
+                      END) * CAST(maxabs_q6 AS DOUBLE) / 127.0 AS d
+            FROM qv JOIN ma USING (vec_id)
+        ), err AS (
+            SELECT vec_id, maxabs_q6,
+                   CAST(floor(d * d + 0.5) AS BIGINT) AS e
+            FROM recon
+        )
+        SELECT vec_id, maxabs_q6,
+               CAST(sum(e) AS BIGINT) AS sum_err_q,
+               round(CAST(sum(e) AS DOUBLE) / count(*) / 1e12, 12) AS mse
+        FROM err GROUP BY vec_id, maxabs_q6 ORDER BY vec_id
+    """
 
     sql["bpe_encode"] = """
         WITH words AS (

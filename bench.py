@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "blocklist_filter",
     "bpe_encode",
+    "embedding_quantize",
 ]
 
 

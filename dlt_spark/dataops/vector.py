@@ -430,3 +430,71 @@ def top_eigen(cov_rows, dim: int, iters: int = 50):
             return 0.0, v.tolist()
         v = w / nrm
     return float(v @ m @ v), v.tolist()
+
+
+def quantize_embeddings_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization audit — the embedding-compression step
+    before ANN serving (4x memory cut):every vector gets a max-abs scale,
+    each component maps to a code in [-127, 127], and the report returns
+    ``(id, maxabs_q6, sum_err_q, mse)`` — the per-vector squared
+    reconstruction error in integer micro^2 units plus its rounded mean.
+
+    Engine-exact: components quantize to integer micros first; codes are
+    ``floor(q * 127 / maxabs + 0.5)`` (floor-based half-up — identical
+    for negative components, where engine round() conventions diverge);
+    per-component squared errors floor-quantize to BIGINT before the
+    sum, so aggregation is order-independent.  Pure map + one explode /
+    groupBy per vector — no cross-row shuffle at all (the group key is
+    the vector id the explode carried)."""
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("_q"),
+    )
+    q = q.withColumn(
+        "_ma",
+        F.array_max(F.transform(F.col("_q"), lambda v: F.abs(v))),
+    )
+    ex = q.select(id_col, "_ma", F.explode("_q").alias("_v"))
+    code = F.when(F.col("_ma") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            F.col("_v").cast("double") * F.lit(127.0)
+            / F.col("_ma").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    recon = (
+        code.cast("double") * F.col("_ma").cast("double") / F.lit(127.0)
+    )
+    err_q = F.floor(
+        (F.col("_v").cast("double") - recon)
+        * (F.col("_v").cast("double") - recon)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        ex.select(id_col, "_ma", err_q.alias("_e"))
+        .groupBy(id_col, F.col("_ma").alias("maxabs_q6"))
+        .agg(
+            F.sum("_e").alias("sum_err_q"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            id_col,
+            "maxabs_q6",
+            "sum_err_q",
+            F.round(
+                F.col("sum_err_q").cast("double")
+                / F.col("_n").cast("double") / F.lit(1e12),
+                12,
+            ).alias("mse"),
+        )
+        .orderBy(id_col)
+    )

@@ -174,3 +174,26 @@ def test_bpe_apply_matches_python_replay(spark):
         words = [w for w in text.lower().split() if w.isalnum()]
         assert out[did]["n_words"] == len(words)
         assert out[did]["n_tokens"] == sum(encode(w) for w in words), did
+
+
+def test_embedding_quantize_report(spark):
+    import numpy as np
+
+    from dlt_spark.dataops.vector import quantize_embeddings_report
+
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector: maxabs 0, zero error
+        (3, [1.0, -1.0, 0.5, -0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_report(df).collect()}
+    assert out[2]["maxabs_q6"] == 0 and out[2]["sum_err_q"] == 0
+    for vid, v in [(1, vecs[0][1]), (3, vecs[2][1])]:
+        q = np.floor(np.array(v) * 1e6 + 0.5)
+        ma = np.abs(q).max()
+        code = np.floor(q * 127.0 / ma + 0.5)
+        assert np.all(np.abs(code) <= 127)
+        err = np.floor((q - code * ma / 127.0) ** 2 + 0.5).sum()
+        assert out[vid]["sum_err_q"] == int(err), vid
+        assert out[vid]["maxabs_q6"] == int(ma)
