@@ -94,3 +94,59 @@ def test_version_hash_order_independent(cols):
 def test_infer_never_crashes(v):
     t = infer_data_type(v)
     assert isinstance(t, str)
+
+
+# --- round-7 surfaces -------------------------------------------------
+
+
+@given(
+    st.floats(min_value=0.05, max_value=0.95),
+    st.sampled_from([16, 32, 64, 128, 256]),
+)
+@settings(max_examples=60, deadline=None)
+def test_lsh_params_properties(threshold, num_perm):
+    from dlt_spark.dataops.dedup import lsh_params
+
+    b, r = lsh_params(threshold, num_perm)
+    assert b * r == num_perm and b >= 1 and r >= 1
+    # the 50%-candidacy point of the chosen s-curve brackets the target
+    # loosely (within the coarse factorization grid of num_perm)
+    t50 = (1.0 / b) ** (1.0 / r)
+    assert 0.0 < t50 <= 1.0  # b=1 (one band) gives t50 == 1.0
+    # monotone-ish: a much higher threshold never picks FEWER rows/band
+    b2, r2 = lsh_params(min(threshold + 0.3, 0.97), num_perm)
+    assert r2 >= r
+
+
+def test_zorder_key_bounds_and_locality(spark):
+    """The Morton key stays within bits*2 bits; sorting by it groups
+    spatial neighbors (deterministic grid check)."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.store.zorder import zorder_key
+
+    bits = 8
+    points = [(float(x), float(y)) for x in range(16) for y in range(16)]
+    ranges = {"x": (0.0, 15.0), "y": (0.0, 15.0)}
+    df = spark.createDataFrame(points, "x double, y double")
+    rows = df.select("x", "y", zorder_key(ranges, bits).alias("z")).collect()
+    assert all(0 <= r["z"] < (1 << (2 * bits)) for r in rows)
+    # monotone per axis when the other coordinate is fixed
+    by_y0 = sorted((r["x"], r["z"]) for r in rows if r["y"] == 0.0)
+    zs = [z for _, z in by_y0]
+    assert zs == sorted(zs)
+
+
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1,
+                max_size=32))
+@settings(max_examples=60, deadline=None)
+def test_canon_cell_int_float_distinct(vals):
+    """The gate's canonical rendering never collapses an int cell and
+    its float twin — the round-6 HUGEINT class stays visible."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from verify_local import canon_cell
+
+    for v in vals:
+        assert canon_cell(v) != canon_cell(float(v))
