@@ -3694,8 +3694,21 @@ def _q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings_report(emb)
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-document distinct-3-gram novelty (memorization / near-copy
+    ranking signal): share of each doc's distinct grams appearing in no
+    other document.  Inverted-index shape — distinct (doc, gram) once,
+    gram document-frequency, one join back, one per-doc agg; exact
+    BIGINT counts."""
+    from dlt_spark.dataops.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ngram_novelty": _q_ngram_novelty,
         "embedding_quantize": _q_embedding_quantize,
         "bpe_encode": _q_bpe_encode,
         "blocklist_filter": _q_blocklist_filter,
@@ -3977,6 +3990,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["ngram_novelty"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, i, i + 2), ' ') AS g
+            FROM toks,
+                 LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                     AS s(i)
+        ), dfreq AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g
+        )
+        SELECT grams.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS novel_grams,
+               round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 9) AS novelty
+        FROM grams JOIN dfreq USING (g)
+        GROUP BY grams.doc_id ORDER BY grams.doc_id
+    """
 
     sql["embedding_quantize"] = """
         WITH qv AS (

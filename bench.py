@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "bpe_encode",
     "embedding_quantize",
+    "ngram_novelty",
 ]
 
 

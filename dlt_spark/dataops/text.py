@@ -838,3 +838,57 @@ def blocklist_hits(
         F.round(hits.cast("double") / token_count(text).cast("double"), decimals),
     ).otherwise(F.lit(0.0))
     return hits, ratio
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    decimals: int = 9,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/near-copy signal
+    used to rank documents for curation: the share of a document's
+    DISTINCT word n-grams that appear in no other document.  Low
+    novelty marks mirrored/boilerplate content :func:`dup_ngram_fraction`
+    cannot see (it is within-doc); high novelty marks unique text worth
+    keeping.
+
+    Plan: distinct (doc, gram) rows once; gram document-frequency from
+    one groupBy over that frame; one join back keyed on gram (the gram
+    table is vocabulary-shaped — AQE broadcasts it when it fits, and at
+    corpus scale the shuffle join on the gram key is the right plan);
+    one per-doc aggregation.  Exact BIGINT counts, one final division.
+    """
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("_g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dfreq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("novel_grams").cast("bigint").alias("novel_grams"),
+            F.round(
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                decimals,
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

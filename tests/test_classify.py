@@ -197,3 +197,20 @@ def test_embedding_quantize_report(spark):
         err = np.floor((q - code * ma / 127.0) ** 2 + 0.5).sum()
         assert out[vid]["sum_err_q"] == int(err), vid
         assert out[vid]["maxabs_q6"] == int(ma)
+
+
+def test_ngram_novelty_exact(spark):
+    from dlt_spark.dataops.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: 'a b c', 'b c d'
+            (2, "a b c x"),       # grams: 'a b c', 'b c x'
+            (3, "p q r s"),       # grams: 'p q r', 'q r s' (all novel)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["novel_grams"] == 1
+    assert out[2]["novel_grams"] == 1
+    assert out[3]["novelty"] == 1.0
