@@ -4058,7 +4058,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT string_split(sym, ' ') AS l, freq FROM w0) t,
                  LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
             GROUP BY 1, 2
-        ), t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        ), t1 AS (
+            -- sentinel no-op pair: '#' cannot appear in a [a-z0-9]
+            -- symbol and n=-1 loses to any real pair, so an EMPTY
+            -- p1 (degenerate corpus, <4 trainable merges) degrades
+            -- to a no-op replace instead of wiping the doc chain
+            SELECT a, b, n FROM (
+                SELECT a, b, n FROM p1
+                UNION ALL SELECT '#', '#', CAST(-1 AS BIGINT)
+            ) ORDER BY n DESC, a ASC, b ASC LIMIT 1),
         w1 AS (
             SELECT trim(replace(replace(' ' || sym || ' ',
                        ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
@@ -4070,7 +4078,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT string_split(sym, ' ') AS l, freq FROM w1) t,
                  LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
             GROUP BY 1, 2
-        ), t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        ), t2 AS (
+            -- sentinel no-op pair: '#' cannot appear in a [a-z0-9]
+            -- symbol and n=-1 loses to any real pair, so an EMPTY
+            -- p2 (degenerate corpus, <4 trainable merges) degrades
+            -- to a no-op replace instead of wiping the doc chain
+            SELECT a, b, n FROM (
+                SELECT a, b, n FROM p2
+                UNION ALL SELECT '#', '#', CAST(-1 AS BIGINT)
+            ) ORDER BY n DESC, a ASC, b ASC LIMIT 1),
         w2 AS (
             SELECT trim(replace(replace(' ' || sym || ' ',
                        ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
@@ -4082,7 +4098,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT string_split(sym, ' ') AS l, freq FROM w2) t,
                  LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
             GROUP BY 1, 2
-        ), t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        ), t3 AS (
+            -- sentinel no-op pair: '#' cannot appear in a [a-z0-9]
+            -- symbol and n=-1 loses to any real pair, so an EMPTY
+            -- p3 (degenerate corpus, <4 trainable merges) degrades
+            -- to a no-op replace instead of wiping the doc chain
+            SELECT a, b, n FROM (
+                SELECT a, b, n FROM p3
+                UNION ALL SELECT '#', '#', CAST(-1 AS BIGINT)
+            ) ORDER BY n DESC, a ASC, b ASC LIMIT 1),
         w3 AS (
             SELECT trim(replace(replace(' ' || sym || ' ',
                        ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
@@ -4094,7 +4118,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT string_split(sym, ' ') AS l, freq FROM w3) t,
                  LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
             GROUP BY 1, 2
-        ), t4 AS (SELECT a, b, n FROM p4 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        ), t4 AS (
+            -- sentinel no-op pair: '#' cannot appear in a [a-z0-9]
+            -- symbol and n=-1 loses to any real pair, so an EMPTY
+            -- p4 (degenerate corpus, <4 trainable merges) degrades
+            -- to a no-op replace instead of wiping the doc chain
+            SELECT a, b, n FROM (
+                SELECT a, b, n FROM p4
+                UNION ALL SELECT '#', '#', CAST(-1 AS BIGINT)
+            ) ORDER BY n DESC, a ASC, b ASC LIMIT 1),
         docs0 AS (
             SELECT doc_id,
                    ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '

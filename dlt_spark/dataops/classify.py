@@ -60,7 +60,15 @@ def nb_train(
     )
     class_tok = labeled.groupBy("_lbl", "token").agg(F.sum("tf").alias("ctf"))
     class_tot = class_tok.groupBy("_lbl").agg(F.sum("ctf").alias("T"))
-    vocab_n = class_tok.select("token").distinct().count()
+    # one job yields both sizing scalars: vocab (needed for smoothing)
+    # and class count (model-row bound vocab*classes, stamped on the
+    # returned frame so nb_score can gate its broadcast WITHOUT an
+    # extra count() action per scoring call)
+    sizes = class_tok.agg(
+        F.countDistinct("token").alias("v"),
+        F.countDistinct("_lbl").alias("c"),
+    ).first()
+    vocab_n, n_classes = sizes["v"], sizes["c"]
     n_docs = docs.count()
 
     def _nlog(num, den):
@@ -92,6 +100,7 @@ def nb_train(
             F.lit(alpha), F.col("T") + F.lit(alpha * vocab_n)
         ).alias("default_lp_nano"),
     )
+    token_lp._nb_model_rows = vocab_n * n_classes
     return priors, token_lp
 
 
@@ -116,10 +125,9 @@ def nb_score(
     argmax via ``max_by`` + second-best via sort-drop."""
     dt = doc_term_freq(docs, id_col, text_col)
     classes = priors.select("label", "prior_nano", "default_lp_nano")
-    try:
-        model_rows = token_lp.count()
-    except Exception:
-        model_rows = None
+    # gate on the vocab*classes bound stamped by nb_train — zero extra
+    # jobs here; a hand-built model without the stamp is left to AQE
+    model_rows = getattr(token_lp, "_nb_model_rows", None)
     lp = token_lp
     if model_rows is not None and model_rows <= MODEL_BROADCAST_LIMIT:
         lp = F.broadcast(token_lp)

@@ -127,6 +127,10 @@ class LoadStage:
                 df,
                 zorder_by,
                 num_files=df.sparkSession.sparkContext.defaultParallelism,
+                # bits*cols must fit a BIGINT (62 usable bits) — a 4+
+                # column hint is valid (Delta accepts any ZORDER arity),
+                # so degrade per-column resolution instead of crashing.
+                bits=min(16, 62 // max(len(zorder_by), 1)),
             )
             cluster_by = []
         elif cluster_by:

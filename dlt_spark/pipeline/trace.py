@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime as dt
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional
 
 
 def _now() -> dt.datetime:
@@ -112,7 +112,13 @@ class TraceStep:
             span_id=uuid.uuid4().hex[:16], step=step, started_at=_now()
         )
         self.spark = spark
-        self._prev_group: Any = None
+        self._prev_props: Dict[str, Any] = {}
+
+    _GROUP_PROPS = (
+        "spark.jobGroup.id",
+        "spark.job.description",
+        "spark.job.interruptOnCancel",
+    )
 
     def __enter__(self) -> PipelineStepTrace:
         # Scope the step under its own Spark job group so the job count
@@ -123,7 +129,12 @@ class TraceStep:
         if self.spark is not None:
             try:
                 sc = self.spark.sparkContext
-                self._prev_group = sc.getLocalProperty("spark.jobGroup.id")
+                # setJobGroup sets THREE local properties; capture all of
+                # them so jobs run after the step aren't labeled with the
+                # stale step description in the Spark UI
+                self._prev_props = {
+                    k: sc.getLocalProperty(k) for k in self._GROUP_PROPS
+                }
                 sc.setJobGroup(
                     self.step_trace.span_id, f"dlt step {self.step_trace.step}"
                 )
@@ -139,7 +150,8 @@ class TraceStep:
                 sc = self.spark.sparkContext
                 ids = sc.statusTracker().getJobIdsForGroup(self.step_trace.span_id)
                 self.step_trace.spark_jobs = len(ids)
-                sc.setLocalProperty("spark.jobGroup.id", self._prev_group)
+                for k, v in self._prev_props.items():
+                    sc.setLocalProperty(k, v)
             except Exception:
                 pass
         if exc is not None:

@@ -214,6 +214,11 @@ def migrate_schema(d: dict, from_engine: int, to_engine: int = REFERENCE_ENGINE)
             default_hints.pop("foreign_key", None)
             default_hints["row_key"] = ["_dlt_id"]
             default_hints["parent_key"] = ["_dlt_parent_id"]
+        # engine 10 also dropped generate_dlt_id from the json
+        # normalizer config (ref :179-182)
+        if json_norm := d.get("normalizers", {}).get("json"):
+            if json_config := json_norm.get("config"):
+                json_config.pop("generate_dlt_id", None)
         from_engine = 10
     if from_engine == 10 and to_engine > 10:
         # engine 11 pinned legacy path-breaking off (ref :186)
@@ -240,9 +245,21 @@ def looks_like_reference_schema(d: dict) -> bool:
                             "includes", "excludes")):
         return True
     try:
-        return int(d.get("engine_version", 1)) > 1
+        if int(d.get("engine_version", 1)) > 1:
+            return True
     except (TypeError, ValueError):
         return False
+    # a minimal reference engine-1/2 dict may carry NONE of the marker
+    # keys; its ``tables`` block is a flat name -> columns mapping, so
+    # any table value missing the native table-schema shape ("columns"
+    # key) marks it as reference-written too
+    tables = d.get("tables")
+    if isinstance(tables, dict) and tables:
+        return any(
+            not (isinstance(t, dict) and "columns" in t)
+            for t in tables.values()
+        )
+    return False
 
 
 _SIMPLE_REGEX = re.compile(r"^re:")

@@ -214,3 +214,62 @@ def test_ngram_novelty_exact(spark):
     assert out[1]["n_grams"] == 2 and out[1]["novel_grams"] == 1
     assert out[2]["novel_grams"] == 1
     assert out[3]["novelty"] == 1.0
+
+
+def test_bpe_encode_oracle_degenerate_corpus(spark, tmp_path):
+    """Gate parity when bpe_train finds fewer than 4 merges: the oracle
+    twins' tN CTEs fall back to a sentinel no-op pair instead of
+    cross-joining the doc chain against an empty frame (which returned
+    zero rows — a guaranteed driver mismatch)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    for name, text in (
+        ("zero", "a b c"),       # all single-symbol words: 0 merges
+        ("one", "ab ab c"),      # exactly one trainable merge
+    ):
+        d = tmp_path / name
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(5)], "doc_id long, text string"
+        )
+        docs.write.parquet(str(d / "documents.parquet"))
+        out = (
+            entry.queries()["bpe_encode"](spark, str(d))
+            .orderBy("doc_id")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+            + str(d / "documents.parquet") + "/*.parquet')"
+        )
+        oracle = con.execute(
+            entry.oracle_sql()["bpe_encode"]
+        ).fetchall()
+        assert len(out) == len(oracle) == 5, (name, len(out), len(oracle))
+        got = sorted(tuple(r) for r in out)
+        want = sorted(tuple(r) for r in oracle)
+        assert got == want, (name, got[:2], want[:2])
+
+
+def test_nb_train_stamps_model_rows_and_score_adds_no_count_job(spark):
+    """nb_train stamps vocab*classes on the model frame; nb_score gates
+    its broadcast on the stamp with NO extra count() action."""
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    rows = [
+        (1, "alpha beta gamma", "x"),
+        (2, "beta gamma delta", "y"),
+        (3, "alpha delta", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    priors, lp = nb_train(docs, "source")
+    vocab = {"alpha", "beta", "gamma", "delta"}
+    assert lp._nb_model_rows == len(vocab) * 2
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    scored = nb_score(docs, priors, lp)
+    mid = len(sc.statusTracker().getJobIdsForGroup(None))
+    assert mid == before, "nb_score must launch zero jobs before the action"
+    assert scored.count() == 3

@@ -232,3 +232,45 @@ def test_attached_schema_loads_through_pipeline_surface(spark, tmp_path):
     s.bump_version()
     assert s.version == before + 1
     assert "new_col" in s.tables["event_user"]["columns"]
+
+
+def test_minimal_engine1_without_markers_takes_ladder():
+    """A minimal engine-1 stored schema may carry NONE of the marker
+    keys (hints/preferred_types/includes/excludes) — the flat
+    name->columns ``tables`` shape alone must route it to the ladder
+    instead of silently ingesting columns dicts as native tables."""
+    d = {
+        "name": "bare", "engine_version": 1,
+        "tables": {"t": {"a": {"name": "a", "data_type": "text",
+                               "nullable": True}}},
+    }
+    assert looks_like_reference_schema(d)
+    s = Schema.from_dict(d)
+    assert s.tables["t"]["columns"]["a"]["data_type"] == "text"
+    # and it came out in native shape, not the flat engine-1 form
+    assert "columns" in s.tables["t"]
+
+
+def test_engine10_rung_pops_generate_dlt_id():
+    """Reference migrations.py:179-182 — engine 10 removes
+    ``generate_dlt_id`` from the json normalizer config."""
+    d = engine2_schema()
+    d["engine_version"] = 2
+    out = migrate_schema(d, 2, REFERENCE_ENGINE)
+    json_cfg = out["normalizers"]["json"]["config"]
+    assert "generate_dlt_id" not in json_cfg
+    # explicit: a dict entering at engine 9 with the key set loses it
+    d2 = {
+        "name": "g", "engine_version": 9, "version_hash": "",
+        "previous_hashes": [], "tables": {},
+        "settings": {"default_hints": {}, "preferred_types": {}},
+        "normalizers": {
+            "names": "snake_case",
+            "json": {"module": "relational",
+                     "config": {"generate_dlt_id": True,
+                                "propagation": {}}},
+        },
+    }
+    out2 = migrate_schema(d2, 9, REFERENCE_ENGINE)
+    assert "generate_dlt_id" not in out2["normalizers"]["json"]["config"]
+    assert out2["normalizers"]["json"]["config"]["propagation"] == {}

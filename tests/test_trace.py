@@ -73,3 +73,22 @@ def test_progress_log_collector(spark, tmp_path, capfd):
     err = capfd.readouterr().err
     assert "[prg] extract done" in err
     assert "[prg] load done" in err
+
+
+def test_step_restores_job_description(pipe, spark):
+    """TraceStep scopes jobs under a per-step group; on exit ALL the
+    group-related local properties must be restored, or jobs run after
+    the pipeline carry the stale step label in the Spark UI."""
+    sc = spark.sparkContext
+    sc.setJobGroup("outer-group", "outer description")
+    try:
+        pipe.run([{"id": 1}], table_name="t")
+        assert sc.getLocalProperty("spark.jobGroup.id") == "outer-group"
+        assert (
+            sc.getLocalProperty("spark.job.description")
+            == "outer description"
+        )
+    finally:
+        for k in ("spark.jobGroup.id", "spark.job.description",
+                  "spark.job.interruptOnCancel"):
+            sc.setLocalProperty(k, None)

@@ -68,3 +68,25 @@ def test_column_ranges(spark, grid):
     r = column_ranges(grid, ["x", "y"])
     assert r["x"] == (0.0, 99.0)
     assert r["y"] == (0.0, 99.0)
+
+
+def test_zorder_hint_with_four_columns_loads(spark, tmp_path):
+    """A 4+ column zorder hint is valid (Delta accepts any ZORDER
+    arity); the load path must degrade per-column bit resolution so
+    bits*cols fits a BIGINT instead of crashing the write."""
+    import dlt_spark
+    from dlt_spark.pipeline.resources import DltResource
+
+    rows = [
+        {"a": i % 7, "b": i % 11, "c": i % 13, "d": i % 17}
+        for i in range(500)
+    ]
+    res = DltResource(rows, name="z4")
+    res.apply_hints(columns={
+        c: {"name": c, "zorder": True} for c in ("a", "b", "c", "d")
+    })
+    pipe = dlt_spark.pipeline(
+        "z4pipe", str(tmp_path / "z4"), "ds", spark
+    )
+    pipe.run(res)
+    assert len(pipe.dataset()["z4"].fetchall()) == 500
