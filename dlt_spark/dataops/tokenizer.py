@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -147,11 +148,42 @@ def bpe_train(df: DataFrame, text_col: str = "text", merges: int = 3) -> list:
     return out
 
 
+#: above this many merges bpe_apply switches from the chained-replace
+#: codegen path to the vocabulary-collapsed pandas-UDF path.  The chain
+#: builds a Catalyst expression 2*merges deep: measured on this host the
+#: analyzer + codegen stay healthy through 64 merges (see SCALE.md r8
+#: probe), while a production merge table (8k-50k merges) would blow up
+#: the expression tree linearly — the vocab path is the scale answer.
+CHAIN_MERGE_LIMIT = 64
+
+
+def _encode_tokens_udf(merges: "list[dict]"):
+    """Arrow-batched word -> token-count kernel replaying the EXACT
+    two-pass non-overlapping left-to-right replace the column chain and
+    the trainer use (Python ``str.replace`` has identical semantics),
+    so both bpe_apply paths agree bit-for-bit."""
+    pairs = [(m["pair_left"], m["pair_right"]) for m in merges]
+
+    @F.pandas_udf("int")
+    def _encode(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            s = " " + " ".join(w) + " "
+            for a, b in pairs:
+                pat, rep = f" {a} {b} ", f" {a}{b} "
+                s = s.replace(pat, rep).replace(pat, rep)
+            out.append(len(s.split()))
+        return pd.Series(out, dtype="int32")
+
+    return _encode
+
+
 def bpe_apply(
     df: DataFrame,
     merges: "list[dict]",
     id_col: str = "doc_id",
     text_col: str = "text",
+    chain_merge_limit: int = CHAIN_MERGE_LIMIT,
 ) -> DataFrame:
     """Encode the corpus with a trained BPE merge table (the other half
     of :func:`bpe_train` — together they are the train -> tokenize loop
@@ -160,11 +192,24 @@ def bpe_apply(
     merges in rank order, and the per-document token accounting falls
     out (``n_words``, ``n_tokens``, ``tokens_per_word``).
 
-    Each merge applies as the same two-pass non-overlapping
-    left-to-right ``replace`` the trainer uses — a chain of
-    ``2 * len(merges)`` codegen string ops per word occurrence, zero
-    Python, zero extra shuffle beyond the final per-doc aggregation.
-    Engine-exact: the SQL oracle replays the identical replace chain.
+    Two physical strategies, picked by merge-table size:
+
+    - ``len(merges) <= chain_merge_limit``: each merge applies as the
+      same two-pass non-overlapping left-to-right ``replace`` the
+      trainer uses — a chain of ``2 * len(merges)`` codegen string ops
+      per word occurrence, zero Python, zero extra shuffle.  The chain
+      is merge-LINEAR in Catalyst expression depth, so it is capped
+      (measured healthy through 64 merges; see ``CHAIN_MERGE_LIMIT``).
+    - above the cap: the vocabulary collapse every real tokenizer
+      exploits — DISTINCT words (vocab-sized, corpus-independent) run
+      the real merge loop in ONE Arrow-batched pandas UDF whose cost is
+      merges x vocab, then token counts join back to occurrences on the
+      word key (AQE broadcasts the vocab side when small).  An 8k-50k
+      production merge table is O(1) in plan size on this path.
+
+    Both paths replay identical replace semantics and agree exactly
+    (property-tested at merges >= 64).  Engine-exact: the SQL oracle
+    replays the same chain.
     """
     words = df.select(
         F.col(id_col),
@@ -172,19 +217,27 @@ def bpe_apply(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("word"),
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
-    sym = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")),
-        F.lit(" "),
-    )
-    for m in merges:
-        pat = f" {m['pair_left']} {m['pair_right']} "
-        rep = f" {m['pair_left']}{m['pair_right']} "
-        for _ in range(2):
-            sym = F.replace(sym, F.lit(pat), F.lit(rep))
-    toks = F.size(F.split(F.trim(sym), " "))
+    if len(merges) <= chain_merge_limit:
+        sym = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+            F.lit(" "),
+        )
+        for m in merges:
+            pat = f" {m['pair_left']} {m['pair_right']} "
+            rep = f" {m['pair_left']}{m['pair_right']} "
+            for _ in range(2):
+                sym = F.replace(sym, F.lit(pat), F.lit(rep))
+        toks = F.size(F.split(F.trim(sym), " "))
+        counted = words.select(F.col(id_col), toks.alias("_t"))
+    else:
+        encode = _encode_tokens_udf(merges)
+        vocab = words.select("word").distinct().select(
+            "word", encode("word").alias("_t")
+        )
+        counted = words.join(vocab, "word").select(F.col(id_col), "_t")
     return (
-        words.select(F.col(id_col), toks.alias("_t"))
+        counted
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

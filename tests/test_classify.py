@@ -273,3 +273,39 @@ def test_nb_train_stamps_model_rows_and_score_adds_no_count_job(spark):
     mid = len(sc.statusTracker().getJobIdsForGroup(None))
     assert mid == before, "nb_score must launch zero jobs before the action"
     assert scored.count() == 3
+
+
+def test_bpe_apply_paths_agree_at_64_merges(spark):
+    """The chained-replace and vocab-collapse paths replay identical
+    two-pass replace semantics — at merges >= 64 (the chain cap) both
+    must produce the same per-doc token accounting."""
+    import random
+
+    from dlt_spark.dataops.tokenizer import bpe_apply
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    rows = [
+        (i, " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12)))
+            for _ in range(rng.randint(3, 20))
+        ))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # synthetic 80-merge table: single chars, then grown symbols —
+    # many will fire on real words, some won't (no-ops must be safe)
+    merges = []
+    grown = list(alphabet)
+    for r in range(80):
+        a = grown[r % len(grown)]
+        b = alphabet[(r * 3 + 1) % len(alphabet)]
+        merges.append(
+            {"rank": r + 1, "pair_left": a, "pair_right": b, "n": 100 - r}
+        )
+        grown.append(a + b)
+    chain = bpe_apply(docs, merges, chain_merge_limit=1000).collect()
+    vocab = bpe_apply(docs, merges, chain_merge_limit=0).collect()
+    assert [tuple(r) for r in chain] == [tuple(r) for r in vocab]
+    # and the default limit routes an 80-merge table to the vocab path
+    assert len(merges) > 64

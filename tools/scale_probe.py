@@ -227,15 +227,30 @@ def main() -> None:
             exp = math.log(t2 / t1) / math.log(x2 / x1)
             report[name] = round(exp, 2)
 
-    lines = ["# SCALE — scaling-curve probe (tools/scale_probe.py)", ""]
-    lines.append(
-        "Wall-clock per query on local[%s] over sf0.01, sf0.1, and synthetic "
-        "replicas of sf0.1 (near-duplicate shifted-key copies; see the "
-        "script docstring for construction).  `exp` = log-log slope "
-        "between the two largest tiers — ~1.0 is linear scaling, <1 means "
-        "fixed overhead still dominates, >1.3 deserves a look." % cpus
-    )
-    lines.append("")
+    # full boilerplate header only once per file — appended batches get
+    # a short dated sub-heading (SCALE.md was accumulating one identical
+    # header block per probe run)
+    out_path = os.path.join(HERE, "SCALE.md")
+    custom = any(a.startswith("--queries") for a in sys.argv[1:])
+    have_header = False
+    if custom:  # append mode only — a full (w-mode) run rewrites the file
+        try:
+            with open(out_path) as f:
+                have_header = "# SCALE — scaling-curve probe" in f.read()
+        except OSError:
+            pass
+    if have_header:
+        lines = ["## probe batch (local[%s])" % cpus, ""]
+    else:
+        lines = ["# SCALE — scaling-curve probe (tools/scale_probe.py)", ""]
+        lines.append(
+            "Wall-clock per query on local[%s] over sf0.01, sf0.1, and synthetic "
+            "replicas of sf0.1 (near-duplicate shifted-key copies; see the "
+            "script docstring for construction).  `exp` = log-log slope "
+            "between the two largest tiers — ~1.0 is linear scaling, <1 means "
+            "fixed overhead still dominates, >1.3 deserves a look." % cpus
+        )
+        lines.append("")
     tags = [t for t, _, _ in tiers]
     lines.append("| query | " + " | ".join(tags) + " | exp |")
     lines.append("|---" * (len(tags) + 2) + "|")
@@ -248,7 +263,6 @@ def main() -> None:
         lines.append("| " + " | ".join(row) + " |")
     # a custom --queries run is a batch probe: append the table to
     # SCALE.md instead of clobbering the accumulated findings
-    custom = any(a.startswith("--queries") for a in sys.argv[1:])
     mode = "a" if custom else "w"
     with open(os.path.join(HERE, "SCALE.md"), mode) as f:
         if custom:
