@@ -3912,7 +3912,114 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # already-green queries ordered oldest-check-first, so over successive
 # rounds every registry entry cycles through driver verification while the
 # most-stale regressions re-enter the window soonest.
-def _driver_window_order(names: "list[str]") -> "list[str]":
+_GIT_TS_CACHE: "dict[str, float | None]" = {}
+_GIT_DIRTY_CACHE: "list[set] | list" = []
+
+
+def _git_last_commit_ts(relpath: str) -> "float | None":
+    """Unix timestamp of the last commit touching ``relpath`` (None when
+    git/history is unavailable) — memoized, one subprocess per file per
+    process."""
+    if relpath in _GIT_TS_CACHE:
+        return _GIT_TS_CACHE[relpath]
+    import os as _os
+    import subprocess as _sp
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    ts = None
+    try:
+        out = _sp.run(
+            ["git", "log", "-1", "--format=%ct", "--", relpath],
+            cwd=here, capture_output=True, text=True, timeout=15,
+        )
+        if out.stdout.strip():
+            ts = float(out.stdout.strip())
+    except Exception:
+        ts = None
+    _GIT_TS_CACHE[relpath] = ts
+    return ts
+
+
+def _git_dirty_files() -> set:
+    """Working-tree files changed vs HEAD (uncommitted edits are 'newer
+    than any past driver check' for staleness purposes)."""
+    if _GIT_DIRTY_CACHE:
+        return _GIT_DIRTY_CACHE[0]
+    import os as _os
+    import subprocess as _sp
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    dirty: set = set()
+    try:
+        out = _sp.run(
+            ["git", "diff", "--name-only", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=15,
+        )
+        dirty = {ln.strip() for ln in out.stdout.splitlines() if ln.strip()}
+    except Exception:
+        dirty = set()
+    _GIT_DIRTY_CACHE.append(dirty)
+    return dirty
+
+
+def _query_impl_modules(fn) -> "list[str]":
+    """Repo-relative paths of the dlt_spark modules a ``_q_*`` function
+    imports directly — the staleness unit for window promotion.  The
+    entry module itself is excluded (it changes every round with
+    registry additions, which would promote everything)."""
+    import inspect as _inspect
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    try:
+        src = _inspect.getsource(fn)
+    except Exception:
+        return []
+    mods = set(_re.findall(r"from (dlt_spark(?:\.[a-z_0-9]+)+) import", src))
+    mods |= set(_re.findall(r"import (dlt_spark(?:\.[a-z_0-9]+)+)", src))
+    out = []
+    for m in sorted(mods):
+        rel = m.replace(".", "/")
+        for cand in (rel + ".py", rel + "/__init__.py"):
+            if _os.path.isfile(_os.path.join(here, cand)):
+                out.append(cand)
+                break
+    return out
+
+
+def _stale_since_check(
+    fn, last_round: int,
+    module_ts=_git_last_commit_ts,
+    check_ts=_git_last_commit_ts,
+    dirty=_git_dirty_files,
+) -> bool:
+    """True when any module implementing ``fn`` changed after the
+    CORRECTNESS file of the query's last driver check — with 191 queries
+    and a 50-slot window, a query touched by a refactor would otherwise
+    wait up to 3 rounds for re-verification (tier 2.5, VERDICT r7 #6).
+    The timestamp providers are injectable for tests."""
+    mods = _query_impl_modules(fn)
+    if not mods:
+        return False
+    checked_at = check_ts(f"CORRECTNESS_r{last_round:02d}.json")
+    if checked_at is None:
+        checked_at = check_ts(f"CORRECTNESS_r{last_round}.json")
+    if checked_at is None:
+        return False
+    dirty_set = dirty()
+    for m in mods:
+        if m in dirty_set:
+            return True
+        ts = module_ts(m)
+        if ts is not None and ts > checked_at:
+            return True
+    return False
+
+
+def _driver_window_order(
+    names: "list[str]", all_q: "dict | None" = None
+) -> "list[str]":
     import glob as _glob
     import json as _json
     import os as _os
@@ -3968,8 +4075,20 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
     # (1) backlog not yet driver-checked, (2) other never-checked
     # NEWEST-registered first (the registry dict is newest-first, so the
     # code most in need of external verification — this round's new
-    # queries — fills the remaining window slots), then (3) checked
+    # queries — fills the remaining window slots), (3) checked entries
+    # whose implementing dlt_spark module changed since their last
+    # driver check (stale tier, VERDICT r7 #6), then (4) checked
     # entries oldest-round-first as regression rotation
+    stale: set = set()
+    if all_q:
+        for n, fn in all_q.items():
+            if n in last_checked and latest_green.get(n, True):
+                try:
+                    if _stale_since_check(fn, last_checked[n]):
+                        stale.add(n)
+                except Exception:
+                    pass
+
     def key(n):
         if n in last_checked and not latest_green.get(n, True):
             return (0, idx[n], 0)
@@ -3977,14 +4096,16 @@ def _driver_window_order(names: "list[str]") -> "list[str]":
             return (1, prio[n], 0)
         if n not in last_checked:
             return (2, idx[n], 0)
-        return (3, last_checked[n], idx[n])
+        if n in stale:
+            return (3, last_checked[n], idx[n])
+        return (4, last_checked[n], idx[n])
 
     return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    order = _driver_window_order(list(all_q))
+    order = _driver_window_order(list(all_q), all_q)
     return {name: all_q[name] for name in order}
 
 

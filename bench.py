@@ -182,6 +182,45 @@ BENCH_QUERIES = [
     "ngram_novelty",
 ]
 
+# Cheap tier: the registry queries OUTSIDE the headline set, timed once
+# at sf0.01 in a separate JSON section — so a regression in, say, the
+# merge family's non-default dispositions is visible round-over-round
+# without inflating the headline total (which must stay comparable to
+# prior rounds).  Together with BENCH_QUERIES this covers every
+# queries() entry.
+CHEAP_QUERIES = [
+    "image_resize",
+    "audio_features",
+    "l_diversity",
+    "k_anonymity_stats",
+    "row_counts",
+    "sql_query",
+    "rollup_agg",
+    "merge_insert_only",
+    "merge_hard_delete",
+    "replace",
+    "incremental_lag",
+    "incremental_backfill",
+    "incremental_boundary_dedup",
+    "coercions",
+    "text_fingerprint",
+    "lang_id",
+    "embedding_dup_pairs",
+    "set_ops",
+    "cube_agg",
+    "variant_split",
+    "text_quality",
+    "bpe_token_count",
+    "dedup_simhash",
+    "similarity_lsh_topk",
+    "multimodal_features",
+    "pipeline_e2e",
+    "distinct_agg",
+    "variant_type_json",
+    "grouping_sets",
+    "outer_join_counts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -274,6 +313,40 @@ def main() -> None:
         except Exception:
             pass
 
+    # cheap tier: one sf0.01 pass over the non-headline registry queries
+    # (or the headline sf_dir itself when no sf0.01 sibling exists)
+    cheap_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(cheap_dir):
+        cheap_dir = sf_dir
+    cheap_sf = float(cheap_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cheap_timings: dict = {}
+    cheap_total = 0.0
+    for name in CHEAP_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, cheap_dir)
+            n = df.count()
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"# cheap {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
+        dt = time.time() - t0
+        cheap_timings[name] = round(dt, 3)
+        cheap_total += dt
+        print(f"# cheap {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        try:
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(True)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     prev_delta = _diff_vs_previous(timings, sf)
     result = {
         "metric": "headline_queries_total_wallclock",
@@ -281,9 +354,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cheap_tier": {
+            "sf": cheap_sf,
+            "value": round(cheap_total, 3),
+            "queries": cheap_timings,
+        },
     }
     if prev_delta:
         result["prev_delta"] = prev_delta
+    _diff_cheap_vs_previous(cheap_timings)
     if errors:
         result["errors"] = errors
     # the stdout line is the driver contract, but its tail capture can
@@ -305,6 +384,24 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+
+
+def _diff_cheap_vs_previous(cheap: dict) -> None:
+    """Best-effort stderr diff of the cheap tier vs the previous
+    bench_out.json — regression visibility for the 30 non-headline
+    registry queries (always sf0.01, so no sf gating)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_out.json")) as f:
+            prev = json.load(f).get("cheap_tier", {}).get("queries", {})
+    except Exception:
+        return
+    for name, now in sorted(cheap.items()):
+        if name in prev and abs(now - prev[name]) >= 0.3:
+            print(
+                f"# cheap-diff {name}: {prev[name]:.2f}s -> {now:.2f}s",
+                file=sys.stderr,
+            )
 
 
 def _diff_vs_previous(timings: dict, sf: float) -> dict:

@@ -79,10 +79,33 @@ def union_evolved(existing: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 class LoadStage:
-    def __init__(self, spark: SparkSession, store: TableStore, schema: Schema) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        schema: Schema,
+        json_as_variant: bool = False,
+    ) -> None:
         self.spark = spark
         self.store = store
         self.schema = schema
+        # opt-in Spark 4 VariantType storage for dlt `json` columns
+        # (see schema/spark_types.py json branch for the portability
+        # trade); silently stays text on runtimes without VariantType
+        self.json_as_variant = json_as_variant
+
+    def _cast_json_variant(self, df: DataFrame, table: TTableSchema) -> DataFrame:
+        from ..schema.spark_types import variant_supported
+
+        if not (self.json_as_variant and variant_supported()):
+            return df
+        casts = {}
+        for cname, cschema in (table.get("columns") or {}).items():
+            if cschema.get("data_type") != "json" or cname not in df.columns:
+                continue
+            if isinstance(df.schema[cname].dataType, T.StringType):
+                casts[cname] = F.parse_json(F.col(cname))
+        return df.withColumns(casts) if casts else df
 
     # -- single-table write with disposition --
 
@@ -97,6 +120,7 @@ class LoadStage:
         disposition = table.get("write_disposition", "append")
         if disposition == "skip":
             return
+        df = self._cast_json_variant(df, table)
         partition_by = _hint_cols(table, "partition") or None
         exists = self.store.exists(name)
         dest = self.store.read(name) if exists else None

@@ -89,11 +89,14 @@ class Pipeline:
         export_schema_path: Optional[str] = None,
             progress: "Optional[str]" = None,
         max_rows_per_file: int = 0,
+        json_as_variant: bool = False,
     ) -> None:
         from ..schema.naming import naming_from_name
 
         self.pipeline_name = pipeline_name
         self.progress = progress
+        # opt-in Spark 4 VariantType storage for `json` columns
+        self.json_as_variant = json_as_variant
         self.dataset_name = dataset_name
         self.spark = spark or SparkSession.builder.getOrCreate()
         # max_rows_per_file: the reference buffered writer's rotation dial
@@ -303,7 +306,10 @@ class Pipeline:
             raise ValueError("nothing normalized; call normalize() first")
         with self._trace_step("load") as st:
             load_id = getattr(norm_info, "load_id", None) or self._new_load_id()
-            loader = LoadStage(self.spark, self.store, self.schema)
+            loader = LoadStage(
+                self.spark, self.store, self.schema,
+                json_as_variant=self.json_as_variant,
+            )
             info = LoadInfo(self.pipeline_name, load_id, self.dataset_name)
             seen_inc = set()
             for res, root_schema, tables in norm_info.chains:
@@ -686,6 +692,7 @@ def pipeline(
     export_schema_path: Optional[str] = None,
     progress: Optional[str] = None,
     max_rows_per_file: int = 0,
+    json_as_variant: bool = False,
 ) -> Pipeline:
     """Pipeline factory.  ``destination`` / ``dataset_name`` omitted fall
     back to config (``pipelines.<name>.destination`` then bare keys —
@@ -708,4 +715,5 @@ def pipeline(
         export_schema_path=export_schema_path,
         progress=progress,
         max_rows_per_file=max_rows_per_file,
+        json_as_variant=json_as_variant,
     )

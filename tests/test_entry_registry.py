@@ -148,3 +148,52 @@ def test_queries_and_bench_reference_registered_names():
     registry = set(entry._all_queries())
     missing = [n for n in bench if n not in registry]
     assert not missing, missing
+
+
+def test_stale_since_code_change_promotes_affected_queries():
+    """Tier 3 (VERDICT r7 #6): a checked-green query whose implementing
+    dlt_spark module changed AFTER its last driver check jumps ahead of
+    plain oldest-first rotation — here, 'touching dedup.py' promotes
+    the dedup family via injected timestamp providers."""
+    q = entry._all_queries()
+    fn = q["dedup_minhash_lsh"]
+    mods = entry._query_impl_modules(fn)
+    assert any("dedup" in m for m in mods), mods
+
+    # module edited at t=200, check committed at t=100 -> stale
+    assert entry._stale_since_check(
+        fn, 7,
+        module_ts=lambda p: 200.0,
+        check_ts=lambda p: 100.0,
+        dirty=lambda: set(),
+    )
+    # module older than the check -> fresh
+    assert not entry._stale_since_check(
+        fn, 7,
+        module_ts=lambda p: 50.0,
+        check_ts=lambda p: 100.0,
+        dirty=lambda: set(),
+    )
+    # uncommitted working-tree edit counts as stale regardless of ts
+    assert entry._stale_since_check(
+        fn, 7,
+        module_ts=lambda p: 50.0,
+        check_ts=lambda p: 100.0,
+        dirty=lambda: {mods[0]},
+    )
+    # no CORRECTNESS commit found -> cannot assess, not stale
+    assert not entry._stale_since_check(
+        fn, 7,
+        module_ts=lambda p: 200.0,
+        check_ts=lambda p: None,
+        dirty=lambda: set(),
+    )
+
+
+def test_window_order_stale_tier_between_never_checked_and_rotation():
+    """End-to-end on the real registry/git state: the ordering is still
+    a permutation when the stale tier is active, and any stale-promoted
+    name sorts before a fresh checked name of the same last round."""
+    q = entry._all_queries()
+    ordered = entry._driver_window_order(list(q), q)
+    assert sorted(ordered) == sorted(q)
