@@ -3706,8 +3706,126 @@ def _q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(docs, "doc_id", "text", n=3)
 
 
+
+def _q_boundary_overlap(spark, sf_dir):
+    """Split-artifact detection before sequence packing: pairs of docs
+    where one's last k tokens equal another's first k tokens (crawl
+    pagination / chunked-ingest seams).  Inverted-index shape: two
+    doc-count-sized single-gram frames equi-joined on the gram key —
+    never all-pairs (dataops/contamination.py boundary_overlap)."""
+    from dlt_spark.dataops.contamination import boundary_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boundary_overlap(docs, "doc_id", "text", k=3)
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Per-source Zipf rank-frequency slope (corpus-health scalar:
+    natural text ~ -1, templated/synthetic sources go shallow).  Exact
+    micro-log BIGINT regression sums, rank window pruned to top-n
+    before the fit (dataops/text.py zipf_slope)."""
+    from dlt_spark.dataops.text import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, "source", "text", top_n=500)
+
+
+def _q_langid_confusion(spark, sf_dir):
+    """Classifier evaluation as a dataop: confusion matrix of the
+    n-gram language-ID heuristic against the labeled lang column —
+    one groupBy on the (actual, predicted) pair plus a broadcast join
+    to per-class totals (dataops/evalmetrics.py confusion_matrix)."""
+    from dlt_spark.dataops.evalmetrics import confusion_matrix
+    from dlt_spark.dataops.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("actual_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+    return confusion_matrix(scored, "actual_lang", "pred_lang")
+
+
+def _q_chunk_text_lateral(spark, sf_dir):
+    """Python UDTF surface (Spark 4): token-window chunking registered
+    as a SQL table function and used via LATERAL — the interactive
+    escape hatch next to the codegen chunk_documents path
+    (functions/udtf.py; SURVEY §2.K)."""
+    from dlt_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
+    docs.createOrReplaceTempView("docs_chunk_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk
+        FROM docs_chunk_src d, LATERAL chunk_text(d.text, 12, 4) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """REAL Structured Streaming dedup of a doubled feed: the events
+    parquet staged TWICE into the file source (exactly-once
+    re-delivery), dropDuplicates on (event_id, ts) under a watermark,
+    append-mode memory sink, per-type counts read back — terminal
+    state equals the distinct batch counts, so the oracle is exact
+    (dlt_spark/streaming watermark_dedup)."""
+    import os
+    import tempfile
+    import uuid
+
+    from dlt_spark.streaming import watermark_dedup
+
+    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="dlt_spark_sdedup_")
+    if os.path.isdir(src):
+        files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+        for i, f in enumerate(sorted(files)):
+            os.symlink(os.path.join(src, f), os.path.join(d, f"a{i}.parquet"))
+            os.symlink(os.path.join(src, f), os.path.join(d, f"b{i}.parquet"))
+    else:
+        os.symlink(src, os.path.join(d, "a.parquet"))
+        os.symlink(src, os.path.join(d, "b.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = watermark_dedup(stream, "ts", ["event_id"], delay="3650 days")
+    qn = "sdd_" + uuid.uuid4().hex[:10]
+    cp = tempfile.mkdtemp(prefix="dlt_spark_sdd_cp_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qn)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_dedup": _q_stream_dedup,
+        "chunk_text_lateral": _q_chunk_text_lateral,
+        "langid_confusion": _q_langid_confusion,
+        "zipf_slope": _q_zipf_slope,
+        "boundary_overlap": _q_boundary_overlap,
         "ngram_novelty": _q_ngram_novelty,
         "embedding_quantize": _q_embedding_quantize,
         "bpe_encode": _q_bpe_encode,
@@ -4111,6 +4229,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    sql["boundary_overlap"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), base AS (
+            SELECT doc_id, t FROM toks WHERE len(t) > 3
+        ), heads AS (
+            SELECT doc_id AS doc_b,
+                   array_to_string(list_slice(t, 1, 3), ' ') AS boundary_gram
+            FROM base
+        ), tails AS (
+            SELECT doc_id AS doc_a,
+                   array_to_string(list_slice(t, len(t) - 2, len(t)), ' ')
+                       AS boundary_gram
+            FROM base
+        )
+        SELECT doc_a, doc_b, boundary_gram
+        FROM tails JOIN heads USING (boundary_gram)
+        WHERE doc_a <> doc_b
+        ORDER BY doc_a, doc_b
+    """
+
+    sql["zipf_slope"] = """
+        WITH words AS (
+            SELECT source AS grp,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS word
+            FROM documents WHERE text IS NOT NULL
+        ), freqs AS (
+            SELECT grp, word, CAST(count(*) AS BIGINT) AS freq
+            FROM words WHERE word <> '' GROUP BY grp, word
+        ), ranked AS (
+            SELECT grp,
+                   row_number() OVER w AS rnk,
+                   CAST(round(ln(CAST(row_number() OVER w AS DOUBLE))
+                              * 1000000) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS y
+            FROM freqs
+            WINDOW w AS (PARTITION BY grp ORDER BY freq DESC, word ASC)
+        ), agg AS (
+            SELECT grp AS source,
+                   CAST(count(*) AS BIGINT) AS n_ranks,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM ranked WHERE rnk <= 500 GROUP BY grp
+        )
+        SELECT source, n_ranks,
+               round((n_ranks * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n_ranks * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     9) AS slope
+        FROM agg ORDER BY source
+    """
+
+    sql["chunk_text_lateral"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        ), ks AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS k
+            FROM toks WHERE len(t) >= 1
+        )
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               CAST(least(12, len(t) - k * 8) AS INTEGER) AS n_tokens,
+               array_to_string(list_slice(t, k * 8 + 1, k * 8 + 12), ' ')
+                   AS chunk
+        FROM ks
+        WHERE k = 0 OR (k - 1) * 8 + 12 < len(t)
+        ORDER BY doc_id, chunk_idx
+    """
+
+    sql["stream_dedup"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
 
     sql["ngram_novelty"] = """
         WITH toks AS (
@@ -5058,6 +5261,29 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {es} = {best} THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM documents
+    """
+
+    sql["langid_confusion"] = f"""
+        WITH preds AS (
+            SELECT lang AS actual_lang,
+                   CASE WHEN {best} = 0 THEN 'und'
+                        WHEN {en} = {best} THEN 'en'
+                        WHEN {de} = {best} THEN 'de'
+                        WHEN {es} = {best} THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM documents
+        ), pairs AS (
+            SELECT actual_lang AS actual, pred_lang AS predicted,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM preds GROUP BY 1, 2
+        ), totals AS (
+            SELECT actual, CAST(sum(n) AS BIGINT) AS tot
+            FROM pairs GROUP BY actual
+        )
+        SELECT p.actual, p.predicted, p.n,
+               round(CAST(p.n AS DOUBLE) / t.tot, 9) AS share
+        FROM pairs p JOIN totals t USING (actual)
+        ORDER BY p.actual, p.predicted
     """
 
     sql["dedup_exact"] = f"""

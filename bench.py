@@ -180,6 +180,11 @@ BENCH_QUERIES = [
     "bpe_encode",
     "embedding_quantize",
     "ngram_novelty",
+    "boundary_overlap",
+    "zipf_slope",
+    "langid_confusion",
+    "chunk_text_lateral",
+    "stream_dedup",
 ]
 
 # Cheap tier: the registry queries OUTSIDE the headline set, timed once

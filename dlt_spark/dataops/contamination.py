@@ -191,3 +191,52 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def boundary_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Document-boundary contamination: pairs where one document's
+    LAST ``k`` tokens equal another's FIRST ``k`` tokens — the
+    split-artifact signature of a source document sliced across two
+    records (crawl pagination, chunked ingestion, concatenated shards).
+    Sequence packing then re-learns the seam as a real transition, so
+    boundary pairs are flagged before packing.
+
+    Returns ``(doc_a, doc_b, boundary_gram)``: ``doc_a``'s tail equals
+    ``doc_b``'s head (``doc_a != doc_b``), ordered.
+
+    Scale shape: one pass computes each doc's head-gram and tail-gram
+    (pure Column slicing, no explode); the pair search is an equi-join
+    of two doc-count-sized single-gram frames on the gram key — the
+    inverted-index shape, never all-pairs.  Docs shorter than ``k``
+    tokens are excluded (a whole-doc match is duplicate detection's
+    job, not boundary detection's)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            toks.alias("_t"),
+        )
+        .filter(F.size("_t") > k)
+    )
+    heads = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.array_join(F.slice("_t", 1, k), " ").alias("boundary_gram"),
+    )
+    tails = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.array_join(
+            F.slice("_t", F.size("_t") - F.lit(k - 1), F.lit(k)), " "
+        ).alias("boundary_gram"),
+    )
+    return (
+        tails.join(heads, "boundary_gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary_gram")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -134,3 +134,39 @@ def recall_at_k(
         "hits",
         F.round(F.col("hits") / F.lit(float(k)), decimals).alias(f"recall_at_{k}"),
     )
+
+
+def confusion_matrix(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+    decimals: int = 9,
+) -> DataFrame:
+    """Labeled-evaluation confusion matrix: one row per observed
+    ``(actual, predicted)`` pair with the count and its share of the
+    actual class — the accuracy/leakage readout for any classifier-like
+    dataop (language ID vs labeled lang, NB source routing, quality
+    tiers vs human labels).
+
+    Plan: ONE groupBy on the pair key (map-side combinable), a
+    broadcast-sized join back to per-actual totals (bounded by the
+    label alphabet, not the corpus).  Exact BIGINT counts; the share is
+    a single division of two exact integers."""
+    pairs = df.groupBy(
+        F.col(actual_col).alias("actual"),
+        F.col(predicted_col).alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("actual").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"),
+                decimals,
+            ).alias("share"),
+        )
+        .orderBy("actual", "predicted")
+    )

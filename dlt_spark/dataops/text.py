@@ -892,3 +892,74 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 500,
+    decimals: int = 9,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency slope: least-squares fit of
+    ``ln(freq) ~ ln(rank)`` over each group's ``top_n`` most frequent
+    words.  Natural text sits near −1; a shallow slope marks templated
+    or synthetic sources, a steep one a collapsed vocabulary — a
+    corpus-health scalar you can threshold per source.
+
+    Returns ``(group, n_ranks, slope)``.
+
+    Plan: one word-count aggregation per (group, word), a per-group
+    ``row_number`` window ranks by frequency (ties by word — total,
+    engine-portable order), ranks beyond ``top_n`` prune BEFORE the fit,
+    and the regression reduces to five exact BIGINT sums of integer
+    nano-logs — order-independent, so the slope is partition-exact and
+    the SQL oracle reproduces it bit-for-bit.  Shuffle volume: the word
+    table once, then top_n rows per group."""
+    from pyspark.sql import Window
+
+    # micro-logs, not nano: the regression sums x*y products, and
+    # (ln(rank)*1e9)^2 ~ 4e19 overflows BIGINT; at 1e6 the products are
+    # ~4e13 and whole-group sums stay exact BIGINT math
+    MICRO = 1_000_000
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("freq").desc(), F.col("word").asc()
+    )
+    ranked = (
+        words.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "grp",
+            F.round(F.log(F.col("rank").cast("double")) * F.lit(float(MICRO)))
+            .cast("bigint").alias("x"),
+            F.round(F.log(F.col("freq").cast("double")) * F.lit(float(MICRO)))
+            .cast("bigint").alias("y"),
+        )
+    )
+    agg = ranked.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return agg.select(
+        group_col,
+        "n_ranks",
+        F.round(num / den, decimals).alias("slope"),
+    ).orderBy(group_col)

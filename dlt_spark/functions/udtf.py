@@ -1,0 +1,65 @@
+"""Python UDTF surface (Spark 4): one-row-in, many-rows-out table
+functions for ad-hoc lateral expansion — the seventh-plus UDF surface
+next to resource generators, transformers, map/filter/yield UDFs,
+custom sinks, last_value callables, and pydantic validators (SURVEY
+§2.K).
+
+UDTFs complement the declarative dataops: ``chunk_documents``
+(dataops/text.py) is the pipeline-scale chunker (pure Column explode),
+while :func:`chunk_text_udtf` registers the same chunking as a SQL
+table function for interactive ``LATERAL`` use — the escape hatch a
+user reaches for inside ``dataset.query()`` without leaving SQL.
+
+Scale note: a UDTF runs one Python process round-trip per partition —
+fine for exploratory queries and bounded expansions, but the hot path
+for corpus-scale chunking remains the codegen explode in
+``chunk_documents``.  The UDTF is surface parity, not the 100 TB plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+
+def chunk_text_rows(
+    text: Optional[str], size: int, overlap: int
+) -> "Iterator[tuple[int, int, str]]":
+    """Deterministic token-window chunking shared by the UDTF and its
+    tests: lowercase-trimmed whitespace tokens, windows of ``size``
+    tokens stepping ``size - overlap``, final partial window kept.
+    Yields ``(chunk_idx, n_tokens, chunk)``."""
+    if text is None:
+        return
+    toks = [t for t in text.strip().lower().split() if t]
+    if not toks:
+        return
+    step = max(size - overlap, 1)
+    idx = 0
+    for start in range(0, len(toks), step):
+        window = toks[start:start + size]
+        yield idx, len(window), " ".join(window)
+        idx += 1
+        if start + size >= len(toks):
+            break
+
+
+def make_chunk_text_udtf():
+    """Build the ``chunk_text`` UDTF class wrapped by
+    ``pyspark.sql.functions.udtf`` (Arrow-optimized eval).  Returns the
+    wrapped UDTF; register for SQL with
+    ``spark.udtf.register("chunk_text", make_chunk_text_udtf())``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class ChunkText:
+        def eval(self, text: Optional[str], size: int, overlap: int):
+            yield from chunk_text_rows(text, size, overlap)
+
+    return ChunkText
+
+
+def register_udtfs(spark) -> "list[str]":
+    """Register the package's UDTFs on ``spark`` (idempotent); returns
+    the registered names."""
+    spark.udtf.register("chunk_text", make_chunk_text_udtf())
+    return ["chunk_text"]

@@ -78,6 +78,9 @@ AUDIT = [
     "bpe_encode",
     "embedding_quantize",
     "ngram_novelty",
+    "boundary_overlap",
+    "zipf_slope",
+    "langid_confusion",
     "merge_insert_only",
     "merge_hard_delete",
     "replace",
