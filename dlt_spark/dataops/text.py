@@ -854,11 +854,14 @@ def ngram_novelty(
     cannot see (it is within-doc); high novelty marks unique text worth
     keeping.
 
-    Plan: distinct (doc, gram) rows once; gram document-frequency from
-    one groupBy over that frame; one join back keyed on gram (the gram
-    table is vocabulary-shaped — AQE broadcasts it when it fits, and at
-    corpus scale the shuffle join on the gram key is the right plan);
-    one per-doc aggregation.  Exact BIGINT counts, one final division.
+    Plan — NO gram-keyed join back (r8): a gram with document-frequency
+    1 has exactly ONE owning document, so ``min(id)`` inside the same
+    aggregation that computes the frequency carries the owner for free.
+    Per-doc novel counts then come from a doc-keyed aggregation of the
+    singleton grams, and totals from a doc-keyed aggregation of the
+    distinct-gram frame — the final join is DOC-count-sized (tiny),
+    where the old plan reshuffled the whole gram table onto the gram
+    key a second time.  Exact BIGINT counts, one final division.
     """
     grams = (
         df.filter(F.col(text_col).isNotNull())
@@ -870,15 +873,20 @@ def ngram_novelty(
         )
         .localCheckpoint(eager=False)
     )
-    dfreq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.min(id_col).alias("_owner"),
+    )
+    novel = (
+        dfreq.filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        grams.join(dfreq, "_g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias(
-                "novel_grams"
-            ),
+        totals.join(novel, id_col, "left")
+        .withColumn(
+            "novel_grams", F.coalesce(F.col("novel_grams"), F.lit(0))
         )
         .select(
             id_col,
