@@ -150,3 +150,62 @@ def test_canon_cell_int_float_distinct(vals):
 
     for v in vals:
         assert canon_cell(v) != canon_cell(float(v))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("ab cd ef gh ij kl mn op".split()),
+            min_size=1, max_size=12,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_boundary_overlap_matches_bruteforce(spark, corpora, k):
+    """boundary_overlap == the quadratic python definition: doc_a's
+    last k tokens equal doc_b's first k tokens, docs longer than k."""
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpora)]
+    toks = {i: t.split() for i, t in docs}
+    expect = sorted(
+        (a, b, " ".join(toks[a][-k:]))
+        for a in toks for b in toks
+        if a != b and len(toks[a]) > k and len(toks[b]) > k
+        and toks[a][-k:] == toks[b][:k]
+    )
+    from dlt_spark.dataops.contamination import boundary_overlap
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in boundary_overlap(sdf, k=k).collect())
+    assert got == expect
+
+
+@given(
+    st.text(alphabet="abc ", min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunk_text_rows_properties(text, size, overlap):
+    """Pure-python chunker invariants: full token coverage in order,
+    every chunk <= size tokens, consecutive chunks overlap by exactly
+    `overlap` tokens except a clipped tail, indices dense from 0."""
+    from dlt_spark.functions.udtf import chunk_text_rows
+
+    overlap = min(overlap, size - 1) if size > 1 else 0
+    toks = text.strip().lower().split()
+    chunks = list(chunk_text_rows(text, size, overlap))
+    if not toks:
+        assert chunks == []
+        return
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    for idx, n_tokens, chunk in chunks:
+        assert len(chunk.split()) == n_tokens <= size
+    # coverage: concatenating each chunk's non-overlapping suffix
+    # reproduces the token stream exactly
+    expect = []
+    for idx, _, chunk in chunks:
+        w = chunk.split()
+        expect.extend(w[overlap:] if idx else w)
+    assert expect == toks
