@@ -25,6 +25,7 @@ from .pipeline.resources import (
     transformer,
 )
 from .pipeline import current  # noqa: F401  (dlt.current analog)
+from .pipeline import progress  # noqa: F401  (dlt.progress analog — collectors)
 from .schema.schema import Schema, SchemaContractViolation
 from .session import spark_session
 

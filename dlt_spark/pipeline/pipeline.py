@@ -95,6 +95,12 @@ class Pipeline:
 
         self.pipeline_name = pipeline_name
         self.progress = progress
+        # progress collector (reference dlt/pipeline/progress.py):
+        # resolved once; a NullCollector stays None-like (no per-step cost)
+        from .progress import NullCollector, _from_name
+
+        _c = _from_name(progress)
+        self._collector = None if isinstance(_c, NullCollector) else _c
         # opt-in Spark 4 VariantType storage for `json` columns
         self.json_as_variant = json_as_variant
         self.dataset_name = dataset_name
@@ -171,18 +177,13 @@ class Pipeline:
             try:
                 with TraceStep(self._active_trace, step, self.spark) as st:
                     yield st
-                if self.progress == "log":
-                    import sys as _sys
-
+                if self._collector is not None:
                     dur = (
                         (st.finished_at - st.started_at).total_seconds()
                         if st.finished_at and st.started_at
                         else 0.0
                     )
-                    print(
-                        f"[{self.pipeline_name}] {step} done in {dur:.2f}s",
-                        file=_sys.stderr,
-                    )
+                    self._collector.on_step(self.pipeline_name, step, dur)
             finally:
                 if owned:
                     self._active_trace.finished_at = self._active_trace.steps[-1].finished_at

@@ -92,3 +92,30 @@ def test_step_restores_job_description(pipe, spark):
         for k in ("spark.jobGroup.id", "spark.job.description",
                   "spark.job.interruptOnCancel"):
             sc.setLocalProperty(k, None)
+
+
+def test_progress_collectors(spark, tmp_path, capfd):
+    """dlt.progress parity (reference dlt/pipeline/progress.py): named
+    'log' collector resolves and fires per step; a custom Collector
+    object passes through; unknown names fail loudly."""
+    import pytest
+
+    import dlt_spark
+    from dlt_spark.pipeline.progress import Collector, _from_name
+
+    seen = []
+
+    class Capture(Collector):
+        def on_step(self, pipeline_name, step, seconds):
+            seen.append((pipeline_name, step))
+
+    pipe = dlt_spark.pipeline(
+        "prog_pipe", str(tmp_path / "p"), "ds", spark, progress=Capture()
+    )
+    pipe.run([{"id": 1}], table_name="t")
+    assert [s for _, s in seen] == ["extract", "normalize", "load"]
+    assert all(n == "prog_pipe" for n, _ in seen)
+    # module surface: dlt_spark.progress like dlt.progress
+    assert dlt_spark.progress.log is not None
+    with pytest.raises(ValueError):
+        _from_name("enlighten_nope")
