@@ -209,3 +209,57 @@ def test_chunk_text_rows_properties(text, size, overlap):
         w = chunk.split()
         expect.extend(w[overlap:] if idx else w)
     assert expect == toks
+
+
+_col_names = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+_dtypes = st.sampled_from(["text", "bigint", "double", "bool", "complex"])
+
+
+@given(
+    st.dictionaries(  # engine-1 flat tables: name -> {col -> colschema}
+        _col_names,
+        st.dictionaries(
+            _col_names,
+            st.fixed_dictionaries(
+                {"data_type": _dtypes, "nullable": st.booleans()}
+            ),
+            max_size=4,
+        ),
+        max_size=4,
+    ),
+    st.sampled_from([1, 2]),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_migration_ladder_fuzz_engine1_2(tables, engine, with_markers):
+    """Random minimal engine-1/2 reference dicts (ADVICE r8 class: no
+    marker keys at all) must either migrate cleanly through the ladder
+    or raise — never silently ingest the flat tables dict as native
+    table schemas.  Invariants after Schema.from_dict: every table has
+    native shape ('columns' key), no 'complex' data_type survives
+    (engine 10 renamed it json), engine tables exist."""
+    import copy
+
+    from dlt_spark.schema.migrations import looks_like_reference_schema
+    from dlt_spark.schema.typing import LOADS_TABLE_NAME
+
+    d = {"name": "fz", "engine_version": engine, "tables": copy.deepcopy(tables)}
+    if with_markers:
+        d["hints"] = {}
+        d["preferred_types"] = {}
+    if engine == 2:
+        d["includes"] = []
+        d["excludes"] = []
+    if tables or with_markers or engine == 2:
+        assert looks_like_reference_schema(d)
+    dispatched = looks_like_reference_schema(d)
+    s = Schema.from_dict(d)
+    for t in s.tables.values():
+        assert "columns" in t
+        for c in t.get("columns", {}).values():
+            assert c.get("data_type") != "complex"
+    if dispatched:  # an EMPTY marker-less dict is legitimately ambiguous
+        assert LOADS_TABLE_NAME in s.tables
+    # and the migrated schema round-trips natively
+    s2 = Schema.from_json(s.to_json())
+    assert set(s2.tables) == set(s.tables)
