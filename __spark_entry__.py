@@ -3819,8 +3819,51 @@ def _q_stream_dedup(spark, sf_dir):
     )
 
 
+
+def _q_scd2_point_in_time(spark, sf_dir):
+    """The canonical downstream read of an scd2 dimension: orders join
+    the customer-tier version VALID AT each order's as-of timestamp
+    (half of them before the v2 boundary, half after), aggregated per
+    (as-of day, tier).  Dimension broadcasts — the right dimension-join
+    plan at any fact scale (dataset/joins.py point_in_time_join)."""
+    from dlt_spark.dataset.joins import point_in_time_join
+    from dlt_spark.load.dispositions import scd2_apply
+
+    dim = scd2_apply(
+        None, _scd2_snapshot(spark, sf_dir, 1),
+        boundary_ts="2024-01-01 00:00:00",
+    )
+    dim = scd2_apply(
+        dim, _scd2_snapshot(spark, sf_dir, 2),
+        boundary_ts="2024-02-01 00:00:00",
+    )
+    fact = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("2024-01-15"))
+        .otherwise(F.lit("2024-02-15"))
+        .cast("timestamp")
+        .alias("asof_ts"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    joined = point_in_time_join(
+        fact, dim, ["c_custkey"], "asof_ts"
+    )
+    return (
+        joined.groupBy(
+            F.col("asof_ts").cast("date").alias("asof_day"), "tier"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("asof_day", "tier")
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "scd2_point_in_time": _q_scd2_point_in_time,
         "stream_dedup": _q_stream_dedup,
         "chunk_text_lateral": _q_chunk_text_lateral,
         "langid_confusion": _q_langid_confusion,
@@ -5188,6 +5231,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
                TIMESTAMP '2024-02-01 00:00:00', NULL
         FROM h2 WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h1)
+    """
+
+    sql["scd2_point_in_time"] = f"""
+        WITH s1 AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS tier
+            FROM customer
+        ), s2 AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'vip'
+                        WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS tier
+            FROM customer WHERE c_custkey % 31 <> 0
+        ), h1 AS (SELECT *, {scd2_hash} AS _dlt_id FROM s1),
+           h2 AS (SELECT *, {scd2_hash} AS _dlt_id FROM s2),
+        dim AS (
+            SELECT c_custkey, tier,
+                   TIMESTAMP '2024-01-01 00:00:00' AS vf,
+                   TIMESTAMP '2024-02-01 00:00:00' AS vt
+            FROM h1 WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h2)
+            UNION ALL
+            SELECT c_custkey, tier, TIMESTAMP '2024-01-01 00:00:00', NULL
+            FROM h1 WHERE _dlt_id IN (SELECT _dlt_id FROM h2)
+            UNION ALL
+            SELECT c_custkey, tier, TIMESTAMP '2024-02-01 00:00:00', NULL
+            FROM h2 WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h1)
+        ), fact AS (
+            SELECT o_orderkey, o_custkey AS c_custkey,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN TIMESTAMP '2024-01-15 00:00:00'
+                        ELSE TIMESTAMP '2024-02-15 00:00:00' END AS asof_ts,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT CAST(asof_ts AS DATE) AS asof_day, tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM fact JOIN dim
+          ON fact.c_custkey = dim.c_custkey
+         AND fact.asof_ts >= dim.vf
+         AND (dim.vt IS NULL OR fact.asof_ts < dim.vt)
+        GROUP BY 1, 2 ORDER BY asof_day, tier
     """
 
     sql["replace"] = "SELECT * FROM orders WHERE o_orderstatus = 'O'"

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "chunk_text_lateral",
     "stream_dedup",
+    "scd2_point_in_time",
 ]
 
 # Cheap tier: the registry queries OUTSIDE the headline set, timed once

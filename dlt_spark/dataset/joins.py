@@ -21,6 +21,7 @@ ops chosen for scale:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -199,3 +200,42 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: "Sequence[str]",
+    ts_col: str,
+    valid_from: str = "_dlt_valid_from",
+    valid_to: str = "_dlt_valid_to",
+    how: str = "inner",
+    broadcast_dim: "bool | None" = None,
+) -> DataFrame:
+    """Join facts to the dimension version VALID AT each fact's
+    timestamp — the canonical downstream read of an scd2 table
+    (reference scd2 disposition writes `_dlt_valid_from`/`_dlt_valid_to`;
+    an open `valid_to` IS NULL marks the current version).  Interval
+    semantics are half-open ``[valid_from, valid_to)``, matching the
+    scd2 writer's retirement boundary.
+
+    Scale shape: dimensions are versions-per-key-sized — orders of
+    magnitude smaller than facts — so the dim side broadcasts by
+    default (``broadcast_dim=None`` auto-broadcasts; pass False on a
+    dimension too large, where the equi-key part of the predicate still
+    drives a shuffled hash join with the interval as a post-filter —
+    never a cartesian)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"point_in_time_join supports inner/left, got {how!r}")
+    on = list(on)
+    d = dim
+    if broadcast_dim is None or broadcast_dim:
+        d = F.broadcast(d)
+    cond = [fact[k] == d[k] for k in on]
+    cond.append(fact[ts_col] >= d[valid_from])
+    cond.append(d[valid_to].isNull() | (fact[ts_col] < d[valid_to]))
+    joined = fact.join(d, functools.reduce(lambda a, b: a & b, cond), how)
+    # drop the dim's duplicate key columns so the output is unambiguous
+    for k in on:
+        joined = joined.drop(d[k])
+    return joined

@@ -106,3 +106,40 @@ def test_interval_overlap_join_matches_theta(spark):
             for r in interval_overlap_join(a, "a_s", "a_e", b, "b_s", "b_e", width).collect()
         )
         assert got == expected, f"width={width}"
+
+
+def test_point_in_time_join_versions(spark):
+    """Facts pick the dimension version valid at their timestamp:
+    half-open [from, to) intervals, NULL valid_to = current version,
+    inner drops facts outside any interval / left keeps them."""
+    from dlt_spark.dataset.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01", "2024-02-01"),
+            (1, "gold", "2024-02-01", None),
+            (2, "silver", "2024-01-01", None),
+        ],
+        "k long, tier string, _dlt_valid_from string, _dlt_valid_to string",
+    ).selectExpr(
+        "k", "tier",
+        "CAST(_dlt_valid_from AS TIMESTAMP) AS _dlt_valid_from",
+        "CAST(_dlt_valid_to AS TIMESTAMP) AS _dlt_valid_to",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-15"),  # bronze window
+            (11, 1, "2024-02-01"),  # boundary: belongs to gold (half-open)
+            (12, 2, "2024-03-01"),  # open current version
+            (13, 1, "2023-12-31"),  # before any version
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        r["fid"]: r["tier"]
+        for r in point_in_time_join(fact, dim, ["k"], "ts").collect()
+    }
+    assert got == {10: "bronze", 11: "gold", 12: "silver"}
+    left = point_in_time_join(fact, dim, ["k"], "ts", how="left")
+    got_left = {r["fid"]: r["tier"] for r in left.collect()}
+    assert got_left[13] is None and len(got_left) == 4

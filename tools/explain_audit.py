@@ -79,6 +79,7 @@ AUDIT = [
     "embedding_quantize",
     "ngram_novelty",
     "boundary_overlap",
+    "scd2_point_in_time",
     "zipf_slope",
     "langid_confusion",
     "merge_insert_only",
