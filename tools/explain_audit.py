@@ -11,6 +11,9 @@ import os
 import re
 import sys
 
+# rest_incremental and stream_dedup are excluded: both execute full
+# E2E side effects (pipeline runs / a streaming query) before a plan
+# exists; their shapes are covered by their SCALE.md curves instead.
 AUDIT = [
     "normalize_explode",
     "relation_ops",
@@ -80,6 +83,20 @@ AUDIT = [
     "ngram_novelty",
     "boundary_overlap",
     "scd2_point_in_time",
+    "bpe_token_count",
+    "chunk_text_lateral",
+    "coercions",
+    "corpus_diff",
+    "k_anonymity_stats",
+    "lang_id",
+    "length_batches",
+    "linear_attribution",
+    "multimodal_features",
+    "row_counts",
+    "sql_query",
+    "text_fingerprint",
+    "text_quality",
+    "variant_split",
     "zipf_slope",
     "langid_confusion",
     "merge_insert_only",
