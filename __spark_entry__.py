@@ -3861,8 +3861,31 @@ def _q_scd2_point_in_time(spark, sf_dir):
     )
 
 
+
+def _q_scd2_partial(spark, sf_dir):
+    """scd2 with a merge key (reference gen_scd2_sql's merge-key branch,
+    sql_jobs.py:904-1021): a PARTIAL second snapshot covering only two
+    market segments retires vanished rows ONLY within its own segments —
+    customers in uncovered segments stay active despite being absent
+    from staging.  The full-snapshot twin is `scd2`."""
+    from dlt_spark.load.dispositions import scd2_apply
+
+    dim1 = scd2_apply(
+        None, _scd2_snapshot(spark, sf_dir, 1),
+        boundary_ts="2024-01-01 00:00:00",
+    )
+    partial = _scd2_snapshot(spark, sf_dir, 2).filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    return scd2_apply(
+        dim1, partial, boundary_ts="2024-02-01 00:00:00",
+        merge_key=["c_mktsegment"],
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "scd2_partial": _q_scd2_partial,
         "scd2_point_in_time": _q_scd2_point_in_time,
         "stream_dedup": _q_stream_dedup,
         "chunk_text_lateral": _q_chunk_text_lateral,
@@ -5227,6 +5250,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
                TIMESTAMP '2024-01-01 00:00:00', NULL
         FROM h1 WHERE _dlt_id IN (SELECT _dlt_id FROM h2)
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
+               TIMESTAMP '2024-02-01 00:00:00', NULL
+        FROM h2 WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h1)
+    """
+
+    sql["scd2_partial"] = f"""
+        WITH s1 AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS tier
+            FROM customer
+        ), s2 AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'vip'
+                        WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS tier
+            FROM customer
+            WHERE c_custkey % 31 <> 0
+              AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ), h1 AS (SELECT *, {scd2_hash} AS _dlt_id FROM s1),
+           h2 AS (SELECT *, {scd2_hash} AS _dlt_id FROM s2)
+        SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
+               TIMESTAMP '2024-01-01 00:00:00' AS _dlt_valid_from,
+               TIMESTAMP '2024-02-01 00:00:00' AS _dlt_valid_to
+        FROM h1
+        WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h2)
+          AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
+               TIMESTAMP '2024-01-01 00:00:00', NULL
+        FROM h1
+        WHERE _dlt_id IN (SELECT _dlt_id FROM h2)
+           OR c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
         UNION ALL
         SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
                TIMESTAMP '2024-02-01 00:00:00', NULL

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "chunk_text_lateral",
     "stream_dedup",
     "scd2_point_in_time",
+    "scd2_partial",
 ]
 
 # Cheap tier: the registry queries OUTSIDE the headline set, timed once

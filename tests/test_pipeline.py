@@ -175,3 +175,32 @@ def test_incremental_cursor(pipe):
     )
     pipe2.run(_batch1(), table_name="orders", incremental=inc2)
     assert pipe2.dataset()["orders"].row_count() == 5  # no duplicates
+
+
+def test_scd2_merge_key_scopes_retirement(spark):
+    """scd2 with merge_key (reference gen_scd2_sql merge-key branch):
+    a partial snapshot retires vanished rows only within its own key
+    values; rows under uncovered keys stay active."""
+    from dlt_spark.load.dispositions import scd2_apply
+
+    b1 = spark.createDataFrame(
+        [(1, "us", "a"), (2, "us", "b"), (3, "eu", "c")],
+        "id long, region string, val string",
+    )
+    dim = scd2_apply(None, b1, boundary_ts="2024-01-01 00:00:00")
+    # partial: only region=us; id=2 vanished (retire), id=1 changed val
+    b2 = spark.createDataFrame(
+        [(1, "us", "a2")], "id long, region string, val string"
+    )
+    out = scd2_apply(
+        dim, b2, boundary_ts="2024-02-01 00:00:00", merge_key=["region"]
+    ).collect()
+    by_id_val = {(r["id"], r["val"]): r for r in out}
+    # id=2 (us, vanished) retired at the boundary
+    assert str(by_id_val[(2, "b")]["_dlt_valid_to"]).startswith("2024-02-01")
+    # id=3 (eu, absent but uncovered) stays active
+    assert by_id_val[(3, "c")]["_dlt_valid_to"] is None
+    # id=1 old version retired, new version active from the boundary
+    assert str(by_id_val[(1, "a")]["_dlt_valid_to"]).startswith("2024-02-01")
+    assert by_id_val[(1, "a2")]["_dlt_valid_to"] is None
+    assert str(by_id_val[(1, "a2")]["_dlt_valid_from"]).startswith("2024-02-01")

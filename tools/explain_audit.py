@@ -83,6 +83,7 @@ AUDIT = [
     "ngram_novelty",
     "boundary_overlap",
     "scd2_point_in_time",
+    "scd2_partial",
     "bpe_token_count",
     "chunk_text_lateral",
     "coercions",
