@@ -45,17 +45,23 @@ def chunk_text_rows(
 
 def make_chunk_text_udtf():
     """Build the ``chunk_text`` UDTF class wrapped by
-    ``pyspark.sql.functions.udtf`` (Arrow-optimized eval).  Returns the
-    wrapped UDTF; register for SQL with
+    ``pyspark.sql.functions.udtf``.  Arrow-optimized eval is requested
+    explicitly (``useArrow=True`` — the session default
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is false), with a
+    pickled-row fallback if the runtime lacks Arrow UDTF support.
+    Register for SQL with
     ``spark.udtf.register("chunk_text", make_chunk_text_udtf())``."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
     class ChunkText:
         def eval(self, text: Optional[str], size: int, overlap: int):
             yield from chunk_text_rows(text, size, overlap)
 
-    return ChunkText
+    rt = "chunk_idx int, n_tokens int, chunk string"
+    try:
+        return udtf(ChunkText, returnType=rt, useArrow=True)
+    except Exception:
+        return udtf(ChunkText, returnType=rt)
 
 
 def register_udtfs(spark) -> "list[str]":
