@@ -4347,11 +4347,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= 500 GROUP BY grp
         )
         SELECT source, n_ranks,
-               round((n_ranks * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (n_ranks * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                     9) AS slope
+               CASE WHEN n_ranks * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                    THEN round((n_ranks * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (n_ranks * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                               9)
+               END AS slope
         FROM agg ORDER BY source
     """
 

@@ -966,8 +966,11 @@ def zipf_slope(
     n = F.col("n_ranks").cast("double")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
     den = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # ANSI mode (Spark 4 default) raises on division by zero: a group
+    # with a single rank has den == 0 — emit NULL slope instead (the
+    # oracle mirrors with CASE WHEN)
     return agg.select(
         group_col,
         "n_ranks",
-        F.round(num / den, decimals).alias("slope"),
+        F.when(den != F.lit(0.0), F.round(num / den, decimals)).alias("slope"),
     ).orderBy(group_col)

@@ -94,3 +94,18 @@ def test_chunk_text_udtf_rows_and_python_twin(spark):
     # degenerate inputs
     assert list(chunk_text_rows(None, 4, 2)) == []
     assert list(chunk_text_rows("   ", 4, 2)) == []
+
+
+def test_zipf_slope_single_rank_group_yields_null(spark):
+    """A group with ONE distinct word has a zero regression denominator;
+    under Spark 4 ANSI mode the naive division raises — the op must
+    emit a NULL slope instead (oracle mirrors with CASE WHEN)."""
+    from dlt_spark.dataops.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "same same same", "s1"), (2, "alpha beta beta", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in zipf_slope(docs, "source").collect()}
+    assert rows["s1"]["n_ranks"] == 1 and rows["s1"]["slope"] is None
+    assert rows["s2"]["n_ranks"] == 2 and rows["s2"]["slope"] is not None
