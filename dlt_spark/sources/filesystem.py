@@ -198,6 +198,43 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     )
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC scan (beyond-reference format — native in Spark, same
+    provenance column convention as the other readers)."""
+    return (
+        spark.read.options(**options).orc(path)
+        .withColumn("_file_url", F.input_file_name())
+    )
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options: str) -> DataFrame:
+    """XML scan (Spark 4 ships the built-in xml source; beyond-reference
+    format).  ``row_tag`` names the repeating element."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag)
+        .options(**options).load(path)
+        .withColumn("_file_url", F.input_file_name())
+    )
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro scan — requires the external spark-avro module on the
+    classpath (Spark bundles the format but not the jar); raises a
+    clear error otherwise."""
+    try:
+        return (
+            spark.read.format("avro").options(**options).load(path)
+            .withColumn("_file_url", F.input_file_name())
+        )
+    except Exception as ex:
+        if "Failed to find data source: avro" in str(ex):
+            raise ImportError(
+                "spark-avro is not on the classpath; add the "
+                "org.apache.spark:spark-avro package to read avro"
+            ) from ex
+        raise
+
+
 def read_location(spark: SparkSession, path: str, fmt: Optional[str] = None, **options: str) -> DataFrame:
     """Dispatch by extension when ``fmt`` not given."""
     fmt = fmt or path.rsplit(".", 1)[-1].lower().replace("jsonl", "json")
@@ -207,4 +244,10 @@ def read_location(spark: SparkSession, path: str, fmt: Optional[str] = None, **o
         return read_jsonl(spark, path, **options)
     if fmt == "parquet":
         return read_parquet(spark, path, **options)
+    if fmt == "orc":
+        return read_orc(spark, path, **options)
+    if fmt == "xml":
+        return read_xml(spark, path, **options)
+    if fmt == "avro":
+        return read_avro(spark, path, **options)
     raise ValueError(f"unsupported file format {fmt!r}")

@@ -555,3 +555,30 @@ def test_s3_tables_naming():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="may not exceed"):
         naming_from_name("s3_tables", max_length=300)
+
+
+def test_read_orc_and_xml_roundtrip(spark, tmp_path):
+    """Beyond-reference file formats: ORC (Spark-native) and XML
+    (built-in source since Spark 4) read through the filesystem source
+    with the shared _file_url provenance column; avro raises a clear
+    classpath error when the external jar is absent."""
+    import pytest
+
+    from dlt_spark.sources.filesystem import read_avro, read_location
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    orc_dir = str(tmp_path / "t.orc")
+    df.write.orc(orc_dir)
+    got = read_location(spark, orc_dir, fmt="orc")
+    assert got.count() == 2 and "_file_url" in got.columns
+
+    xml_dir = str(tmp_path / "t.xml")
+    df.write.format("xml").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).save(xml_dir)
+    got = read_location(spark, xml_dir, fmt="xml")
+    assert got.count() == 2 and "_file_url" in got.columns
+    assert {r["v"] for r in got.collect()} == {"a", "b"}
+
+    with pytest.raises((ImportError, Exception)):
+        read_avro(spark, str(tmp_path / "nope.avro"))
