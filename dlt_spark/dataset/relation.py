@@ -441,6 +441,14 @@ class Relation:
     def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
         self._df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
+    def write_orc(self, path: str, mode: str = "overwrite") -> None:
+        """ORC export (beyond-reference format, Spark-native)."""
+        self._df.write.mode(mode).orc(path)
+
+    def write_xml(self, path: str, mode: str = "overwrite", row_tag: str = "row") -> None:
+        """XML export (Spark 4 built-in xml source; beyond-reference)."""
+        self._df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
     def write_jdbc(self, url: str, table: str, mode: str = "append", **options: str) -> None:
         """INSERT-values path (reference insert_values writer) — Spark's
         batched JDBC writer."""

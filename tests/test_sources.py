@@ -582,3 +582,19 @@ def test_read_orc_and_xml_roundtrip(spark, tmp_path):
 
     with pytest.raises((ImportError, Exception)):
         read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_relation_write_orc_xml_roundtrip(spark, tmp_path):
+    """Relation exports for the round-8 formats round-trip through the
+    filesystem readers."""
+    from dlt_spark.dataset.relation import Relation
+    from dlt_spark.sources.filesystem import read_location
+
+    rel = Relation(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string"), "t"
+    )
+    rel.write_orc(str(tmp_path / "o"))
+    assert read_location(spark, str(tmp_path / "o"), fmt="orc").count() == 2
+    rel.write_xml(str(tmp_path / "x"))
+    got = read_location(spark, str(tmp_path / "x"), fmt="xml")
+    assert {r["v"] for r in got.collect()} == {"x", "y"}
