@@ -4361,13 +4361,15 @@ def oracle_sql() -> dict[str, str]:
     sql["chunk_text_lateral"] = """
         WITH toks AS (
             SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS t
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         ), ks AS (
             SELECT doc_id, t,
                    unnest(generate_series(
                        0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS k
-            FROM toks WHERE len(t) >= 1
+            FROM toks WHERE len(t) > 0
         )
         SELECT doc_id,
                CAST(k AS INTEGER) AS chunk_idx,

@@ -325,7 +325,11 @@ def main() -> None:
     cheap_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(cheap_dir):
         cheap_dir = sf_dir
-    cheap_sf = float(cheap_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        cheap_sf = float(cheap_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        # data dir not named sf<NUM> — label the tier, don't abort the bench
+        cheap_sf = None
     cheap_timings: dict = {}
     cheap_total = 0.0
     for name in CHEAP_QUERIES:

@@ -110,6 +110,7 @@ def nb_score(
     token_lp: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model_rows: "int | None" = None,
 ) -> DataFrame:
     """Score every document against every class and pick the argmax:
     ``score_c = prior_c + sum_t tf(t) * lp_c(t)`` (unseen tokens take
@@ -122,12 +123,20 @@ def nb_score(
     Plan: one doc-token table crossed with the (small) class list, LEFT
     joined against the model (broadcast under
     ``MODEL_BROADCAST_LIMIT``), one groupBy (doc, class), one window-free
-    argmax via ``max_by`` + second-best via sort-drop."""
+    argmax via ``max_by`` + second-best via sort-drop.
+
+    ``model_rows``: pass the model's row count (or the vocab*classes
+    bound) to gate the broadcast explicitly — the value ``nb_train``
+    stamps as ``_nb_model_rows`` is only a convenience and does not
+    survive ``cache()``/transformations/persist-reload, so a stored or
+    post-processed model should always supply it; omitted and unstamped
+    models are left to AQE."""
     dt = doc_term_freq(docs, id_col, text_col)
     classes = priors.select("label", "prior_nano", "default_lp_nano")
-    # gate on the vocab*classes bound stamped by nb_train — zero extra
-    # jobs here; a hand-built model without the stamp is left to AQE
-    model_rows = getattr(token_lp, "_nb_model_rows", None)
+    # explicit param wins; the nb_train stamp is the zero-extra-jobs
+    # fallback for the train-then-score-in-one-session path
+    if model_rows is None:
+        model_rows = getattr(token_lp, "_nb_model_rows", None)
     lp = token_lp
     if model_rows is not None and model_rows <= MODEL_BROADCAST_LIMIT:
         lp = F.broadcast(token_lp)

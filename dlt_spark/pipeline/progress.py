@@ -50,9 +50,16 @@ class TqdmCollector(Collector):
             raise ImportError(
                 "tqdm is not installed; pass progress='log' or install tqdm"
             ) from ex
+        self._tqdm = tqdm
         self._bar = tqdm(total=3, desc="pipeline", leave=False)
 
     def on_step(self, pipeline_name: str, step: str, seconds: float) -> None:
+        if self._bar.n >= self._bar.total:
+            # a collector instance outlives one run() (reference
+            # collectors restart per _step); roll the bar over so a
+            # second run / standalone step doesn't overflow it
+            self._bar.close()
+            self._bar = self._tqdm(total=3, desc="pipeline", leave=False)
         self._bar.set_postfix_str(f"{step} {seconds:.2f}s")
         self._bar.update(1)
 

@@ -309,3 +309,37 @@ def test_bpe_apply_paths_agree_at_64_merges(spark):
     assert [tuple(r) for r in chain] == [tuple(r) for r in vocab]
     # and the default limit routes an 80-merge table to the vocab path
     assert len(merges) > 64
+
+
+def test_nb_score_explicit_model_rows_survives_cache(spark):
+    """ADVICE r8: the _nb_model_rows stamp dies on any transformation /
+    cache round-trip — the explicit model_rows parameter restores the
+    broadcast gate for stored or post-processed models (and the scores
+    are identical either way)."""
+    from dlt_spark.dataops.classify import nb_score, nb_train
+
+    rows = [
+        (1, "alpha beta gamma", "x"),
+        (2, "beta gamma delta", "y"),
+        (3, "alpha delta", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    priors, lp = nb_train(docs, "source")
+    # a post-processed model frame loses the stamp
+    lp2 = lp.filter("label IS NOT NULL")
+    assert not hasattr(lp2, "_nb_model_rows")
+    base = sorted(tuple(r) for r in nb_score(docs, priors, lp).collect())
+
+    def _opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    gated = nb_score(docs, priors, lp2, model_rows=8)
+    # over-limit explicit count suppresses the model hint; the lineage
+    # carries other hints (class list, nb_train internals), so compare
+    # RELATIVE counts: explicit small model_rows adds exactly one
+    wide = nb_score(docs, priors, lp2, model_rows=10**9)
+    n_gated = _opt(gated).count("strategy=broadcast")
+    n_wide = _opt(wide).count("strategy=broadcast")
+    assert n_gated == n_wide + 1, (n_gated, n_wide)
+    assert sorted(tuple(r) for r in gated.collect()) == base
+    assert sorted(tuple(r) for r in wide.collect()) == base

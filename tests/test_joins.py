@@ -143,3 +143,39 @@ def test_point_in_time_join_versions(spark):
     left = point_in_time_join(fact, dim, ["k"], "ts", how="left")
     got_left = {r["fid"]: r["tier"] for r in left.collect()}
     assert got_left[13] is None and len(got_left) == 4
+
+
+def test_point_in_time_join_broadcast_gate(spark):
+    """broadcast_dim=None is SIZE-GATED (ADVICE r8): small dims get the
+    hint, an over-threshold dim is left to the planner/AQE; True forces
+    the hint regardless."""
+    from dlt_spark.dataset.joins import point_in_time_join
+
+    # dim must come from a source with REAL Catalyst stats (spark.range)
+    # — a createDataFrame LogicalRDD reports Long.Max and the gate
+    # correctly refuses to hint it at any threshold
+    dim = spark.range(2).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS tier",
+        "TIMESTAMP'2024-01-01' AS _dlt_valid_from",
+        "CAST(NULL AS TIMESTAMP) AS _dlt_valid_to",
+    )
+    fact = spark.createDataFrame(
+        [(10, 1, "2024-02-01")], "fid long, k long, ts string"
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP) AS ts")
+
+    def _opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # small dim under default threshold: hinted
+    assert "strategy=broadcast" in _opt(point_in_time_join(fact, dim, ["k"], "ts"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        # over-threshold estimate: default must NOT force the hint
+        gated = point_in_time_join(fact, dim, ["k"], "ts")
+        assert "strategy=broadcast" not in _opt(gated), _opt(gated)
+        # explicit True still forces it
+        forced = point_in_time_join(fact, dim, ["k"], "ts", broadcast_dim=True)
+        assert "strategy=broadcast" in _opt(forced)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -109,3 +109,56 @@ def test_zipf_slope_single_rank_group_yields_null(spark):
     rows = {r["source"]: r for r in zipf_slope(docs, "source").collect()}
     assert rows["s1"]["n_ranks"] == 1 and rows["s1"]["slope"] is None
     assert rows["s2"]["n_ranks"] == 2 and rows["s2"]["slope"] is not None
+
+
+def test_chunk_text_udtf_broken_eval_surfaces(spark):
+    """A defective UDTF class must raise at registration/use, not fall
+    back silently to pickled eval (the factory's fallback is reserved
+    for the no-useArrow-parameter TypeError only)."""
+    import pytest
+    from pyspark.sql.functions import udtf
+
+    class Broken:
+        # wrong surface entirely: no eval method
+        def evil(self, text):  # pragma: no cover - never called
+            yield (0,)
+
+    with pytest.raises(Exception) as ei:
+        fn = udtf(Broken, returnType="chunk_idx int", useArrow=True)
+        spark.udtf.register("broken_chunk", fn)
+        spark.sql("SELECT * FROM broken_chunk('x')").collect()
+    assert "eval" in str(ei.value).lower() or "Broken" in str(ei.value)
+
+
+def test_chunk_text_udtf_factory_only_downgrades_on_typeerror():
+    """make_chunk_text_udtf catches ONLY the no-useArrow TypeError; any
+    other construction failure propagates."""
+    from unittest import mock
+
+    from dlt_spark.functions import udtf as udtf_mod
+
+    calls = []
+
+    def fake_udtf(cls, returnType=None, useArrow=None):
+        calls.append(useArrow)
+        if useArrow is not None:
+            raise TypeError("udtf() got an unexpected keyword argument 'useArrow'")
+        return "pickled-udtf"
+
+    with mock.patch("pyspark.sql.functions.udtf", fake_udtf):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert udtf_mod.make_chunk_text_udtf() == "pickled-udtf"
+        assert any("useArrow" in str(x.message) for x in w)
+    assert calls == [True, None]
+
+    def broken_udtf(cls, returnType=None, useArrow=None):
+        raise RuntimeError("genuine failure")
+
+    with mock.patch("pyspark.sql.functions.udtf", broken_udtf):
+        import pytest
+
+        with pytest.raises(RuntimeError, match="genuine failure"):
+            udtf_mod.make_chunk_text_udtf()

@@ -119,3 +119,39 @@ def test_progress_collectors(spark, tmp_path, capfd):
     assert dlt_spark.progress.log is not None
     with pytest.raises(ValueError):
         _from_name("enlighten_nope")
+
+
+def test_tqdm_collector_rolls_over_between_runs():
+    """ADVICE r8: TqdmCollector hardcoded total=3 and overflowed on a
+    second run(); the bar must roll over once n reaches total."""
+    import sys
+    import types
+    from unittest import mock
+
+    bars = []
+
+    class FakeBar:
+        def __init__(self, total=None, desc=None, leave=None):
+            self.total, self.n, self.closed = total, 0, False
+            bars.append(self)
+
+        def set_postfix_str(self, s):
+            self.postfix = s
+
+        def update(self, k):
+            self.n += k
+            assert self.n <= self.total, "bar overflowed its total"
+
+        def close(self):
+            self.closed = True
+
+    fake_mod = types.ModuleType("tqdm")
+    fake_mod.tqdm = FakeBar
+    with mock.patch.dict(sys.modules, {"tqdm": fake_mod}):
+        from dlt_spark.pipeline.progress import TqdmCollector
+
+        c = TqdmCollector()
+        for run in range(2):
+            for step in ("extract", "normalize", "load"):
+                c.on_step("p", step, 0.1)
+    assert len(bars) == 2 and bars[0].closed and bars[1].n == 3
