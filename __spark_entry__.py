@@ -958,22 +958,31 @@ def _q_distinct_agg(spark, sf_dir):
 
 def _q_variant_type_json(spark, sf_dir):
     """Spark 4 VariantType path for the dlt `json` type: parse_json +
-    typed variant_get — the scan-time schema-on-read story (SURVEY §1.2
-    json row: 'VariantType on Spark 4')."""
+    typed variant_get driving a FILTER + AGGREGATION — the scan-time
+    schema-on-read story (SURVEY §1.2 json row: 'VariantType on Spark
+    4').  Promoted to the headline bench in r9 so the typed-read cost
+    (and, on shredded variant parquet, the field-pruned scan) is
+    tracked round-over-round."""
     ev = _t(spark, sf_dir, "events")
     try:
-        v = F.parse_json(F.col("props"))
-        out = ev.select(
+        typed = ev.select(
             "event_id",
             F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_typed"),
         )
-        out.limit(1).collect()  # probe variant support
-        return out
+        typed.limit(1).collect()  # probe variant support
     except Exception:
-        return ev.select(
+        typed = ev.select(
             "event_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("k_typed"),
         )
+    return (
+        typed.filter(F.col("k_typed") >= 25)
+        .groupBy((F.col("k_typed") % 8).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_typed").alias("sum_k"),
+        )
+    )
 
 
 def _q_grouping_sets(spark, sf_dir):
@@ -3767,16 +3776,14 @@ def _q_chunk_text_lateral(spark, sf_dir):
     )
 
 
-def _q_stream_dedup(spark, sf_dir):
-    """REAL Structured Streaming dedup of a doubled feed: the events
-    parquet staged TWICE into the file source (exactly-once
-    re-delivery), dropDuplicates on (event_id, ts) under a watermark,
-    append-mode memory sink, per-type counts read back — terminal
-    state equals the distinct batch counts, so the oracle is exact
-    (dlt_spark/streaming watermark_dedup)."""
+def _stream_dedup_df(spark, sf_dir):
+    """Build (but do NOT start) the stream_dedup streaming DataFrame:
+    the events parquet staged TWICE into a file source directory
+    (exactly-once re-delivery), dropDuplicates on (event_id, ts) under
+    a watermark.  Split out so tools/explain_audit.py can capture the
+    pre-start streaming plan (PLANS.md coverage) without executing."""
     import os
     import tempfile
-    import uuid
 
     from dlt_spark.streaming import watermark_dedup
 
@@ -3799,7 +3806,20 @@ def _q_stream_dedup(spark, sf_dir):
         )
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    deduped = watermark_dedup(stream, "ts", ["event_id"], delay="3650 days")
+    return watermark_dedup(stream, "ts", ["event_id"], delay="3650 days")
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """REAL Structured Streaming dedup of a doubled feed: the events
+    parquet staged TWICE into the file source (exactly-once
+    re-delivery), dropDuplicates on (event_id, ts) under a watermark,
+    append-mode memory sink, per-type counts read back — terminal
+    state equals the distinct batch counts, so the oracle is exact
+    (dlt_spark/streaming watermark_dedup)."""
+    import tempfile
+    import uuid
+
+    deduped = _stream_dedup_df(spark, sf_dir)
     qn = "sdd_" + uuid.uuid4().hex[:10]
     cp = tempfile.mkdtemp(prefix="dlt_spark_sdd_cp_")
     q = (
@@ -5886,9 +5906,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["variant_type_json"] = """
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
-        FROM events
+        WITH typed AS (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+            FROM events
+        )
+        SELECT k_typed % 8 AS k_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k_typed) AS BIGINT) AS sum_k
+        FROM typed
+        WHERE k_typed >= 25
+        GROUP BY k_typed % 8
     """
 
     sql["distinct_agg"] = """

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "gap_fill",
     "rolling_anomalies",
     "variant_shred",
+    "variant_type_json",
     "event_transitions",
     "rfm_segments",
     "weighted_sample",
@@ -223,7 +224,6 @@ CHEAP_QUERIES = [
     "multimodal_features",
     "pipeline_e2e",
     "distinct_agg",
-    "variant_type_json",
     "grouping_sets",
     "outer_join_counts",
 ]

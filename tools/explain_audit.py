@@ -11,10 +11,15 @@ import os
 import re
 import sys
 
-# rest_incremental and stream_dedup are excluded: both execute full
-# E2E side effects (pipeline runs / a streaming query) before a plan
-# exists; their shapes are covered by their SCALE.md curves instead.
+# rest_incremental executes its E2E pipeline side effects when called —
+# the audited plan is the FINAL READ over the loaded store (the query's
+# return value), which is the scan a downstream consumer pays.
+# stream_dedup is special-cased below: a streaming DataFrame cannot be
+# executed-planned pre-start, so its PRE-START plan is captured via
+# explain(extended) on __spark_entry__._stream_dedup_df.
 AUDIT = [
+    "rest_incremental",
+    "stream_dedup",
     "normalize_explode",
     "relation_ops",
     "relation_join_chain",
@@ -244,7 +249,30 @@ def main() -> None:
         "`*(n)` spans (WholeStageCodegen), `Exchange` count (shuffles).",
         "",
     ]
+    # streaming pre-start plan: explain(extended)'s physical section
+    # (executedPlan raises on unstarted streaming sources)
+    def _streaming_plan(df) -> str:
+        full = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+        return full.split("== Physical Plan ==")[-1].strip()
+
     for name in AUDIT:
+        if name == "stream_dedup":
+            sdf = entry._stream_dedup_df(spark, sf_dir)
+            plan = "(pre-start streaming plan)\n" + _streaming_plan(sdf)
+            plan = re.sub(r"#\d+L?", "", plan)
+            out.append(f"## {name}")
+            out.append(
+                f"shuffles(Exchange)={plan.count('Exchange')}"
+                f" · stateful ops={plan.count('StreamingDeduplicate')}"
+                " · state bounded by watermark delay"
+            )
+            out.append("```")
+            out.append(plan[:4000].rstrip())
+            out.append("```")
+            out.append("")
+            continue
         fn = qs.get(name)
         if fn is None:
             continue

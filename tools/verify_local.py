@@ -154,12 +154,21 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
+    import os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("verify_local")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # match bench.py: the default 1g driver cannot build the graph
+        # family's gated broadcasts at sf0.1 (r9: triangle_census died
+        # with notEnoughMemoryToBuildAndBroadcastTable under 1g)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
