@@ -4454,7 +4454,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, maxabs_q6,
                CAST(sum(e) AS BIGINT) AS sum_err_q,
-               round(CAST(sum(e) AS DOUBLE) / count(*) / 1e12, 12) AS mse
+               CAST((2 * CAST(sum(e) AS BIGINT) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 1e12 AS mse
         FROM err GROUP BY vec_id, maxabs_q6 ORDER BY vec_id
     """
 

@@ -490,10 +490,15 @@ def quantize_embeddings_report(
             id_col,
             "maxabs_q6",
             "sum_err_q",
-            F.round(
-                F.col("sum_err_q").cast("double")
-                / F.col("_n").cast("double") / F.lit(1e12),
-                12,
+            # mse rounded to 12 decimals == round-half-up(sum/n) at
+            # micro^2 precision.  Computed as EXACT integer division —
+            # engine round(double, 12) implementations diverge by one
+            # ULP on boundary values (r9: two sf0.1 vectors hashed
+            # differently vs DuckDB); one int->double cast + one IEEE
+            # divide is bit-identical everywhere.
+            (
+                F.expr("(2 * sum_err_q + _n) div (2 * _n)").cast("double")
+                / F.lit(1e12)
             ).alias("mse"),
         )
         .orderBy(id_col)

@@ -197,6 +197,12 @@ def test_embedding_quantize_report(spark):
         err = np.floor((q - code * ma / 127.0) ** 2 + 0.5).sum()
         assert out[vid]["sum_err_q"] == int(err), vid
         assert out[vid]["maxabs_q6"] == int(ma)
+        # mse is EXACT integer half-up division re-cast to double —
+        # round(double, 12) diverged from DuckDB by one ULP on 2 of
+        # 2000 sf0.1 vectors (r9 full-scale hash sweep); the integer
+        # form is engine-portable bit-for-bit
+        n = len(v)
+        assert out[vid]["mse"] == float((2 * int(err) + n) // (2 * n)) / 1e12, vid
 
 
 def test_ngram_novelty_exact(spark):
