@@ -3903,8 +3903,40 @@ def _q_scd2_partial(spark, sf_dir):
     )
 
 
+def _q_model_chain(spark, sf_dir):
+    """dbt-style SQL model DAG (dlt_spark/helpers/models.py, the
+    Spark-native form of reference dlt/helpers/dbt): staging -> filter
+    -> mart chained via {{ ref() }} temp views so Catalyst plans across
+    model boundaries (one job, filter and pruning reach the scan).
+    Money quantizes to integer cents before the sum — exact BIGINT
+    aggregation, order-independent."""
+    from dlt_spark.helpers import run_model_chain
+
+    orders = _t(spark, sf_dir, "orders")
+    models = {
+        "stg_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS total_c
+            FROM {{ source('orders') }}
+        """,
+        "stg_big": """
+            SELECT * FROM {{ ref('stg_orders') }} WHERE total_c > 15000000
+        """,
+        "mart_priority": """
+            SELECT o_orderpriority,
+                   count(*) AS n,
+                   sum(total_c) AS sum_total_c
+            FROM {{ ref('stg_big') }} GROUP BY o_orderpriority
+        """,
+    }
+    out = run_model_chain(spark, models, sources={"orders": orders})
+    return out["mart_priority"].orderBy("o_orderpriority")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "model_chain": _q_model_chain,
         "scd2_partial": _q_scd2_partial,
         "scd2_point_in_time": _q_scd2_point_in_time,
         "stream_dedup": _q_stream_dedup,
@@ -5280,6 +5312,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name, c_mktsegment, tier, _dlt_id,
                TIMESTAMP '2024-02-01 00:00:00', NULL
         FROM h2 WHERE _dlt_id NOT IN (SELECT _dlt_id FROM h1)
+    """
+
+    sql["model_chain"] = """
+        WITH stg_orders AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS total_c
+            FROM orders
+        ), stg_big AS (
+            SELECT * FROM stg_orders WHERE total_c > 15000000
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(total_c) AS BIGINT) AS sum_total_c
+        FROM stg_big GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
 
     sql["scd2_partial"] = f"""

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
 # prior rounds).  Together with BENCH_QUERIES this covers every
 # queries() entry.
 CHEAP_QUERIES = [
+    "model_chain",
     "image_resize",
     "audio_features",
     "l_diversity",

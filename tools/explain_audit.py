@@ -18,6 +18,7 @@ import sys
 # executed-planned pre-start, so its PRE-START plan is captured via
 # explain(extended) on __spark_entry__._stream_dedup_df.
 AUDIT = [
+    "model_chain",
     "rest_incremental",
     "stream_dedup",
     "normalize_explode",
