@@ -6,5 +6,13 @@ boundaries instead of each model being an opaque warehouse statement.
 """
 
 from .models import ModelChainError, run_model_chain, topo_order
+from .scheduler import PipelineTask, pipeline_tasks, run_tasks
 
-__all__ = ["run_model_chain", "topo_order", "ModelChainError"]
+__all__ = [
+    "run_model_chain",
+    "topo_order",
+    "ModelChainError",
+    "PipelineTask",
+    "pipeline_tasks",
+    "run_tasks",
+]

@@ -580,7 +580,11 @@ class DltTransformer:
                 else:
                     yield out
 
-        return DltResource(generate, name=self.name, **self.hints)
+        bound = DltResource(generate, name=self.name, **self.hints)
+        # parent edge feeds DltSource.decompose("scc") (reference
+        # source.py:515 walks the pipe DAG; here the bind site IS the edge)
+        bound._dlt_parent = parent.name
+        return bound
 
 
 class DltSource:
@@ -598,6 +602,41 @@ class DltSource:
 
     def selected_resources(self) -> List[DltResource]:
         return [r for r in self.resources.values() if r.selected]
+
+    def decompose(self, strategy: str = "none") -> "List[DltSource]":
+        """Split the source for orchestrated execution (reference
+        ``source.py:515``): ``"none"`` returns the source as-is;
+        ``"scc"`` groups SELECTED resources into connected components of
+        the resource/parent DAG (undirected, like the reference) — a
+        transformer always lands with its parent, independent resources
+        each get their own component.  Component order follows resource
+        declaration order; each component becomes its own
+        :class:`DltSource` sharing this source's name with a suffix."""
+        if strategy == "none":
+            return [self]
+        if strategy != "scc":
+            raise ValueError(strategy)
+        selected = {r.name: r for r in self.selected_resources()}
+        # union-find over parent edges restricted to selected resources
+        root: Dict[str, str] = {n: n for n in selected}
+
+        def find(n: str) -> str:
+            while root[n] != n:
+                root[n] = root[root[n]]
+                n = root[n]
+            return n
+
+        for n, r in selected.items():
+            parent = getattr(r, "_dlt_parent", None)
+            if parent in selected:
+                root[find(n)] = find(parent)
+        groups: Dict[str, List[DltResource]] = {}
+        for n in selected:  # declaration order preserved by dict
+            groups.setdefault(find(n), []).append(selected[n])
+        return [
+            DltSource(f"{self.name}_{i}", rs)
+            for i, rs in enumerate(groups.values())
+        ]
 
 
 def resource(
