@@ -1315,7 +1315,10 @@ def _q_dedup_containment(spark, sf_dir):
     from dlt_spark.dataops.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return containment_pairs(docs, "doc_id", n=3, threshold=0.5)
+    # threshold 0.2 (was 0.5): the sf0.1 doc_id<300 slice tops out at
+    # containment 0.25, so 0.5 returned ZERO rows there and the scale
+    # gate was vacuous; 0.2 yields rows at sf0.01 AND sf0.1 (r9)
+    return containment_pairs(docs, "doc_id", n=3, threshold=0.2)
 
 
 def _q_event_deltas(spark, sf_dir):
@@ -7249,7 +7252,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.5
+        WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.2
     """
 
     sql["interval_join"] = """
