@@ -528,7 +528,10 @@ def _q_dedup_exact(spark, sf_dir):
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from dlt_spark.dataops.dedup import jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id < 1000 (r9, was 300): the sf0.1 corpus plants its near-dup
+    # pairs above id 300, so the old slice hash-verified an EMPTY result
+    # at sf0.1; 1000 keeps the work bounded and yields pairs at both SFs
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return jaccard_pairs(docs, id_col="doc_id", text_col="text", n=3, threshold=0.5)
 
 
@@ -738,7 +741,9 @@ def _q_dedup_simhash(spark, sf_dir):
     reproduced in the DuckDB oracle (60 per-bit vote sums)."""
     from dlt_spark.dataops.dedup import simhash_candidates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # doc_id < 1000 (r9, was 200): non-vacuous at sf0.1 — see
+    # dedup_ngram_jaccard's slice note
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     out = simhash_candidates(docs, "doc_id", max_hamming=6)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
@@ -1314,11 +1319,10 @@ def _q_dedup_containment(spark, sf_dir):
     Same inverted-index + skew-guard plan as dedup_ngram_jaccard."""
     from dlt_spark.dataops.dedup import containment_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    # threshold 0.2 (was 0.5): the sf0.1 doc_id<300 slice tops out at
-    # containment 0.25, so 0.5 returned ZERO rows there and the scale
-    # gate was vacuous; 0.2 yields rows at sf0.01 AND sf0.1 (r9)
-    return containment_pairs(docs, "doc_id", n=3, threshold=0.2)
+    # doc_id < 1000 (r9, was 300 — which contained NO planted near-dups
+    # at sf0.1, making the scale gate vacuous); honest 0.5 threshold
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return containment_pairs(docs, "doc_id", n=3, threshold=0.5)
 
 
 def _q_event_deltas(spark, sf_dir):
@@ -2308,10 +2312,20 @@ def _q_tpch_q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("part_value"))
     )
-    total = per_part.agg((F.sum("part_value") * F.lit(0.001).cast("decimal(10,4)")).alias("threshold"))
+    # cutoff = 2x the MEAN per-part value (r9; was a fixed 0.1% of the
+    # total, which is scale-DEPENDENT: 10x more parts shrinks every
+    # share below any fixed fraction — the sf0.1 result was empty.
+    # TPC-H proper scales the fraction by 1/SF for the same reason; a
+    # mean-relative cutoff is the scale-free form of that intent.)
+    total = per_part.agg(
+        (
+            F.sum("part_value").cast("double")
+            / F.count(F.lit(1)).cast("double") * F.lit(2.0)
+        ).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value").cast("double") > F.col("threshold").cast("double"))
+        .filter(F.col("part_value").cast("double") > F.col("threshold"))
         .select("l_partkey", F.round(F.col("part_value").cast("double"), 6).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
@@ -5508,11 +5522,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
-    # word-3-gram jaccard pairs among doc_id < 300 (distinct shingles)
+    # word-3-gram jaccard pairs among doc_id < 1000 (distinct shingles)
     sql["dedup_ngram_jaccard"] = """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-            FROM documents WHERE doc_id < 300
+            FROM documents WHERE doc_id < 1000
         ), sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -5821,7 +5835,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_simhash"] = f"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id < 1000
         ), sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, greatest(len(toks) - 1, 1)),
@@ -6342,7 +6356,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_partkey, round(CAST(part_value AS DOUBLE), 6) AS part_value
         FROM per_part
         WHERE CAST(part_value AS DOUBLE) > (
-            SELECT CAST(sum(part_value) * CAST(0.001 AS DECIMAL(10,4)) AS DOUBLE)
+            SELECT CAST(sum(part_value) AS DOUBLE) / count(*) * 2.0
             FROM per_part
         )
         ORDER BY part_value DESC, l_partkey
@@ -7231,7 +7245,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_containment"] = """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-            FROM documents WHERE doc_id < 300
+            FROM documents WHERE doc_id < 1000
         ), sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -7252,7 +7266,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.2
+        WHERE common * 1.0 / least(sa.sz, sb.sz) >= 0.5
     """
 
     sql["interval_join"] = """
