@@ -4241,6 +4241,28 @@ def _query_impl_modules(fn) -> "list[str]":
     return out
 
 
+def _query_fingerprint(fn, oracle: "str | None") -> str:
+    """Stable fingerprint of one registry query: the ``_q_*`` function's
+    SOURCE plus its oracle SQL string.  This is the staleness unit the
+    module-level tier cannot see — entry-level edits (slices, thresholds,
+    oracle rewrites) live in __spark_entry__.py, which
+    ``_query_impl_modules`` deliberately excludes because the file
+    changes every round.  ``tools/snapshot_fingerprints.py`` writes
+    QUERY_FINGERPRINTS.json at each round wrap; a mismatch promotes the
+    query into the driver window (r9: five semantics-changed queries sat
+    at window positions 83-190 with no tier to claim them)."""
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    try:
+        src = _inspect.getsource(fn)
+    except Exception:
+        src = repr(fn)
+    return _hashlib.sha256(
+        (src + "\0" + (oracle or "")).encode()
+    ).hexdigest()[:16]
+
+
 def _stale_since_check(
     fn, last_round: int,
     module_ts=_git_last_commit_ts,
@@ -4329,9 +4351,13 @@ def _driver_window_order(
     # NEWEST-registered first (the registry dict is newest-first, so the
     # code most in need of external verification — this round's new
     # queries — fills the remaining window slots), (3) checked entries
-    # whose implementing dlt_spark module changed since their last
-    # driver check (stale tier, VERDICT r7 #6), then (4) checked
-    # entries oldest-round-first as regression rotation
+    # whose ENTRY-LEVEL fingerprint (query source + oracle SQL,
+    # QUERY_FINGERPRINTS.json) changed since the last wrap snapshot —
+    # the r9 gap: slice/threshold/oracle edits live in this file, which
+    # the module tier deliberately ignores, (4) checked entries whose
+    # implementing dlt_spark module changed since their last driver
+    # check (stale tier, VERDICT r7 #6), then (5) checked entries
+    # oldest-round-first as regression rotation
     stale: set = set()
     if all_q:
         for n, fn in all_q.items():
@@ -4341,6 +4367,18 @@ def _driver_window_order(
                         stale.add(n)
                 except Exception:
                     pass
+    entry_changed: set = set()
+    if all_q:
+        try:
+            with open(_os.path.join(here, "QUERY_FINGERPRINTS.json")) as fh:
+                snapshot = _json.load(fh)
+            oracles = oracle_sql()
+            for n, fn in all_q.items():
+                if n in snapshot and n in last_checked:
+                    if _query_fingerprint(fn, oracles.get(n)) != snapshot[n]:
+                        entry_changed.add(n)
+        except Exception:
+            pass
 
     def key(n):
         if n in last_checked and not latest_green.get(n, True):
@@ -4349,9 +4387,11 @@ def _driver_window_order(
             return (1, prio[n], 0)
         if n not in last_checked:
             return (2, idx[n], 0)
-        if n in stale:
+        if n in entry_changed:
             return (3, last_checked[n], idx[n])
-        return (4, last_checked[n], idx[n])
+        if n in stale:
+            return (4, last_checked[n], idx[n])
+        return (5, last_checked[n], idx[n])
 
     return sorted(names, key=key)
 

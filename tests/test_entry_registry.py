@@ -197,3 +197,50 @@ def test_window_order_stale_tier_between_never_checked_and_rotation():
     q = entry._all_queries()
     ordered = entry._driver_window_order(list(q), q)
     assert sorted(ordered) == sorted(q)
+
+
+def test_entry_fingerprint_tier_promotes_changed_queries(tmp_path, monkeypatch):
+    """Tier 3 (r9): a checked-green query whose ENTRY-LEVEL fingerprint
+    (query source + oracle SQL) differs from QUERY_FINGERPRINTS.json
+    jumps ahead of rotation — the module tier cannot see edits inside
+    __spark_entry__.py itself."""
+    import hashlib
+    import inspect
+    import json
+    import os
+    import shutil
+
+    q = entry._all_queries()
+    oracles = entry.oracle_sql()
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+
+    # _query_fingerprint matches the snapshot tool's hash byte-for-byte
+    name = "tpch_q1"
+    src = inspect.getsource(q[name])
+    want = hashlib.sha256(
+        (src + "\0" + oracles[name]).encode()
+    ).hexdigest()[:16]
+    assert entry._query_fingerprint(q[name], oracles[name]) == want
+
+    # committed snapshot: every fingerprint current EXCEPT tpch_q1's
+    snap = {n: entry._query_fingerprint(fn, oracles.get(n)) for n, fn in q.items()}
+    snap[name] = "0" * 16
+    real = os.path.join(here, "QUERY_FINGERPRINTS.json")
+    backup = None
+    if os.path.exists(real):
+        backup = real + ".bak_test"
+        shutil.copy(real, backup)
+    try:
+        with open(real, "w") as fh:
+            json.dump(snap, fh)
+        ordered = entry._driver_window_order(list(q), q)
+        # tpch_q1 (checked green many rounds ago) must now sit ahead of
+        # every other CHECKED query that has no promotion reason
+        others = [
+            n for n in ordered
+            if n != name and n not in ("model_chain",)
+        ]
+        assert ordered.index(name) < 30, ordered.index(name)
+    finally:
+        if backup:
+            shutil.move(backup, real)
