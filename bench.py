@@ -242,10 +242,17 @@ def main() -> None:
     # late query pays re-JIT, which is the single biggest source of
     # late-sweep inflation.  Must be set at JVM LAUNCH, so it goes
     # through SPARK_SUBMIT_OPTS before the gateway starts, not builder
-    # config.  setdefault: an externally provided value wins.
-    os.environ.setdefault(
-        "SPARK_SUBMIT_OPTS", "-XX:ReservedCodeCacheSize=512m"
-    )
+    # config.  MERGE, don't setdefault: environments that pre-set
+    # SPARK_SUBMIT_OPTS for unrelated -D flags (r9: the container
+    # exported ivy options, the setdefault silently dropped the flag,
+    # and the whole sweep re-paid JIT thrash at +32%) must still get
+    # the code-cache sizing; an explicit external ReservedCodeCacheSize
+    # wins.
+    _opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in _opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            _opts + " -XX:ReservedCodeCacheSize=512m"
+        ).strip()
 
     from pyspark.sql import SparkSession
 
