@@ -175,6 +175,14 @@ def main() -> None:
         if a.startswith("--queries"):
             names = a.split("=", 1)[1].split(",")
 
+    # same JVM-launch sizing as bench.py (merge — the container may
+    # pre-set SPARK_SUBMIT_OPTS with unrelated -D flags)
+    _opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in _opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            _opts + " -XX:ReservedCodeCacheSize=512m"
+        ).strip()
+
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
