@@ -122,8 +122,8 @@ def _q_relation_join_chain(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double"), 6
-            ).alias("sum_acctbal"),
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 6
+            ).cast("double").alias("sum_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -149,7 +149,7 @@ def _q_sql_query(spark, sf_dir):
         """
         SELECT o_orderpriority,
                count(*) AS order_count,
-               round(cast(sum(cast(o_totalprice AS decimal(38,2))) AS double), 6) AS total
+               cast(round(sum(cast(o_totalprice AS decimal(38,2))), 6) AS double) AS total
         FROM orders_v
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
@@ -165,7 +165,7 @@ def _q_sql_query(spark, sf_dir):
 def _q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(38,4)")
-    dbl6 = lambda c: F.round(c.cast("double"), 6)
+    dbl6 = lambda c: F.round(c, 6).cast("double")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -193,8 +193,8 @@ def _q_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(38,6)")), 6
+            ).cast("double").alias("sum_value"),
         )
         .orderBy(F.col("event_type").asc_nulls_first())
     )
@@ -212,8 +212,8 @@ def _q_window_running_sum(spark, sf_dir):
         "o_orderkey",
         "o_orderdate",
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double"), 6
-        ).alias("running_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w), 6
+        ).cast("double").alias("running_total"),
     )
 
 
@@ -627,7 +627,7 @@ def _q_tpch_q3(spark, sf_dir):
         .select(
             "o_orderkey",
             "o_orderdate",
-            F.round(F.col("revenue_d").cast("double"), 6).alias("revenue"),
+            F.round(F.col("revenue_d"), 6).cast("double").alias("revenue"),
         )
     )
 
@@ -942,8 +942,8 @@ def _q_time_bucket_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(38,6)")), 6
+            ).cast("double").alias("sum_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -1215,7 +1215,7 @@ def _q_tpch_q5(spark, sf_dir):
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .agg(F.round(F.sum(rev), 6).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -1387,10 +1387,9 @@ def _q_tpch_q6(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)"))
-                .cast("double"),
+                F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,8)")),
                 6,
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1420,7 +1419,7 @@ def _q_tpch_q10(spark, sf_dir):
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .agg(F.round(F.sum(rev), 6).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -1473,8 +1472,8 @@ def _q_salted_join_agg(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"), 6
-            ).alias("revenue"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 6
+            ).cast("double").alias("revenue"),
         )
     )
 
@@ -2041,7 +2040,7 @@ def _q_tpch_q7(spark, sf_dir):
     return (
         joined.withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("revenue"))
+        .agg(F.round(F.sum(_dec_revenue()), 6).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -2114,7 +2113,7 @@ def _q_tpch_q15(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+            F.round(F.col("total_rev"), 6).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2170,8 +2169,8 @@ def _q_tpch_q22(spark, sf_dir):
         .agg(
             F.count("*").alias("numcust"),
             F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double"), 6
-            ).alias("totacctbal"),
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 6
+            ).cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -2292,7 +2291,7 @@ def _q_tpch_q9(spark, sf_dir):
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("sum_profit"))
+        .agg(F.round(F.sum(_dec_revenue()), 6).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -2326,7 +2325,7 @@ def _q_tpch_q11(spark, sf_dir):
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value").cast("double") > F.col("threshold"))
-        .select("l_partkey", F.round(F.col("part_value").cast("double"), 6).alias("part_value"))
+        .select("l_partkey", F.round(F.col("part_value"), 6).cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -2415,7 +2414,7 @@ def _q_tpch_q19(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_dec_revenue()).cast("double"), 6).alias("revenue")
+        F.round(F.sum(_dec_revenue()), 6).cast("double").alias("revenue")
     )
 
 
@@ -5195,7 +5194,7 @@ def oracle_sql() -> dict[str, str]:
     sql["relation_join_chain"] = """
         SELECT r.r_name, n.n_name,
                count(*) AS n_customers,
-               round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 6) AS sum_acctbal
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(38,2))), 6) AS DOUBLE) AS sum_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -5216,7 +5215,7 @@ def oracle_sql() -> dict[str, str]:
     sql["sql_query"] = """
         SELECT o_orderpriority,
                count(*) AS order_count,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 6) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 6) AS DOUBLE) AS total
         FROM orders
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
@@ -5225,11 +5224,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 6) AS sum_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 6) AS sum_base_price,
-               round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 6) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))), 6) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
                    * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS sum_disc_price,
+                   AS DECIMAL(38,8))), 6) AS DOUBLE) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -5240,7 +5239,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rollup_agg"] = """
         SELECT event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY ROLLUP(event_type)
         ORDER BY event_type NULLS FIRST
@@ -5248,11 +5247,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["window_running_sum"] = """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE), 6) AS running_total
+               ), 6) AS DOUBLE) AS running_total
         FROM orders WHERE o_custkey % 100 = 0
     """
 
@@ -5646,7 +5645,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q3"] = """
         SELECT o_orderkey, o_orderdate,
-               round(CAST(revenue_d AS DOUBLE), 6) AS revenue
+               CAST(round(revenue_d, 6) AS DOUBLE) AS revenue
         FROM (
             SELECT o.o_orderkey, o.o_orderdate,
                    sum(CAST(CAST(l.l_extendedprice AS DECIMAL(38,4))
@@ -5954,7 +5953,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) AS TIMESTAMP) AS bucket,
                event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value,
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS sum_value,
                min(ts) AS first_ts,
                max(ts) AS last_ts
         FROM events
@@ -6371,10 +6370,10 @@ def oracle_sql() -> dict[str, str]:
     sql["tpch_q9"] = """
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               round(CAST(sum(CAST(
+               CAST(round(sum(CAST(
                    CAST(l_extendedprice AS DECIMAL(38,4)) *
                    (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS sum_profit
+                   AS DECIMAL(38,8))), 6) AS DOUBLE) AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
         JOIN orders   ON l_orderkey = o_orderkey
@@ -6393,7 +6392,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
             GROUP BY l_partkey
         )
-        SELECT l_partkey, round(CAST(part_value AS DOUBLE), 6) AS part_value
+        SELECT l_partkey, CAST(round(part_value, 6) AS DOUBLE) AS part_value
         FROM per_part
         WHERE CAST(part_value AS DOUBLE) > (
             SELECT CAST(sum(part_value) AS DOUBLE) / count(*) * 2.0
@@ -6445,10 +6444,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tpch_q19"] = """
-        SELECT round(CAST(sum(CAST(
+        SELECT CAST(round(sum(CAST(
             CAST(l_extendedprice AS DECIMAL(38,4)) *
             (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-            AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+            AS DECIMAL(38,8))), 6) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -6513,10 +6512,10 @@ def oracle_sql() -> dict[str, str]:
     sql["tpch_q7"] = """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-               round(CAST(sum(CAST(
+               CAST(round(sum(CAST(
                    CAST(l_extendedprice AS DECIMAL(38,4)) *
                    (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+                   AS DECIMAL(38,8))), 6) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -6571,7 +6570,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name,
-               round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+               CAST(round(total_rev, 6) AS DOUBLE) AS total_revenue
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_rev = (SELECT max(total_rev) FROM rev)
         ORDER BY s_suppkey
@@ -6593,7 +6592,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q22"] = """
         SELECT n_name, count(*) AS numcust,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE), 6)
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,2))), 6) AS DOUBLE)
                    AS totacctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
@@ -6610,10 +6609,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q5"] = """
         SELECT n_name,
-               round(CAST(sum(CAST(
+               CAST(round(sum(CAST(
                    CAST(l_extendedprice AS DECIMAL(38,4)) *
                    (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+                   AS DECIMAL(38,8))), 6) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -7071,7 +7070,7 @@ def oracle_sql() -> dict[str, str]:
                    AS bucket,
                event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_v,
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS sum_v,
                round(min(value), 6) AS min_v,
                round(max(value), 6) AS max_v,
                floor(CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
@@ -7144,7 +7143,7 @@ def oracle_sql() -> dict[str, str]:
     sql["salted_join_agg"] = """
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 6)
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 6) AS DOUBLE)
                    AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -7186,9 +7185,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["tpch_q6"] = """
-        SELECT round(CAST(sum(CAST(
+        SELECT CAST(round(sum(CAST(
                    CAST(l_extendedprice AS DECIMAL(38,4)) *
-                   CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS DOUBLE), 6)
+                   CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))), 6) AS DOUBLE)
                    AS revenue,
                count(*) AS n_items
         FROM lineitem
@@ -7200,10 +7199,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tpch_q10"] = """
         SELECT c_custkey, c_name, n_name,
-               round(CAST(sum(CAST(
+               CAST(round(sum(CAST(
                    CAST(l_extendedprice AS DECIMAL(38,4)) *
                    (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue
+                   AS DECIMAL(38,8))), 6) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey

@@ -79,7 +79,11 @@ def rollup_finalize(state: DataFrame, decimals: int = 6) -> DataFrame:
     return state.select(
         *keys,
         F.col("n"),
-        F.round(F.col("sum_v").cast("double"), decimals).alias("sum_v"),
+        # round the DECIMAL, then one cast: round(double, n) diverges
+        # across engines by one ULP once |sum| * 10^n nears 2^53 (r9:
+        # tpch_q1's 2.7e11 revenue sum hashed differently at the 60M-row
+        # replica); decimal rounding is exact on both sides
+        F.round(F.col("sum_v"), decimals).cast("double").alias("sum_v"),
         F.round(F.col("min_v"), decimals).alias("min_v"),
         F.round(F.col("max_v"), decimals).alias("max_v"),
         # avg in exact micro-units: the decimal sum is an exact integer at

@@ -175,8 +175,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # a Spark-written table is a DIRECTORY of part files (the
+        # scale_probe replicas); the driver's sf dirs are single files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/**/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     queries = entry.queries()
