@@ -101,6 +101,13 @@ def run_model_chain(
     src_views: Dict[str, str] = {}
     for t, df in (sources or {}).items():
         v = f"{view_prefix}src_{t}"
+        # a model literally named "src_<t>" would land on the same view
+        # name and silently shadow the source — reject it loudly
+        if f"src_{t}" in models:
+            raise ModelChainError(
+                f"model name 'src_{t}' collides with the registered view "
+                f"of source {t!r}; rename the model"
+            )
         df.createOrReplaceTempView(v)
         src_views[t] = v
 

@@ -107,20 +107,14 @@ def pipeline_tasks(
                 )
             )
         return tasks
-    # parallel-isolated: one cloned pipeline per component, no edges
-    import os
-
-    from ..pipeline.pipeline import Pipeline as _P
-
-    destination = os.path.dirname(pipeline.store.root)
+    # parallel-isolated: one cloned pipeline per component, no edges.
+    # Pipeline.clone carries the FULL construction config (naming,
+    # max_identifier_length, json_as_variant, rotation, progress, schema
+    # import/export) so isolated components normalize and load exactly
+    # like the monolithic run would.
     for comp in components:
         lead = _lead(comp)
-        iso = _P(
-            f"{pipeline.pipeline_name}-{lead}",
-            destination,
-            pipeline.dataset_name,
-            pipeline.spark,
-        )
+        iso = pipeline.clone(f"{pipeline.pipeline_name}-{lead}")
         tasks.append(
             PipelineTask(
                 name=f"{iso.pipeline_name}.{lead}",

@@ -94,6 +94,22 @@ class Pipeline:
         from ..schema.naming import naming_from_name
 
         self.pipeline_name = pipeline_name
+        self.destination = destination
+        # full construction config, kept for clone() — isolated pipelines
+        # (helpers/scheduler.py parallel-isolated) must normalize/load with
+        # the SAME naming/variant/rotation settings as the parent
+        self._ctor_kwargs = dict(
+            destination=destination,
+            dataset_name=dataset_name,
+            dev_mode=dev_mode,
+            naming=naming,
+            max_identifier_length=max_identifier_length,
+            import_schema_path=import_schema_path,
+            export_schema_path=export_schema_path,
+            progress=progress,
+            max_rows_per_file=max_rows_per_file,
+            json_as_variant=json_as_variant,
+        )
         self.progress = progress
         # progress collector (reference dlt/pipeline/progress.py):
         # resolved once; a NullCollector stays None-like (no per-step cost)
@@ -132,6 +148,17 @@ class Pipeline:
         if dev_mode:
             for t in self.store.list_tables():
                 self.store.drop(t)
+
+    def clone(self, pipeline_name: str) -> "Pipeline":
+        """A new Pipeline with this pipeline's full construction config
+        (destination, dataset, naming, identifier length, variant mode,
+        rotation, progress, schema import/export paths) under its own
+        name — hence its own state and schema lineage.  ``dev_mode`` is
+        deliberately NOT inherited: the parent already applied its drop at
+        construction, and a clone re-drop would wipe tables that sibling
+        clones loaded into the shared dataset."""
+        kwargs = dict(self._ctor_kwargs, dev_mode=False)
+        return type(self)(pipeline_name, spark=self.spark, **kwargs)
 
     def _schema_file(self, root: str) -> str:
         import os

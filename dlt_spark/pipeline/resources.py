@@ -617,7 +617,11 @@ class DltSource:
         if strategy != "scc":
             raise ValueError(strategy)
         selected = {r.name: r for r in self.selected_resources()}
-        # union-find over parent edges restricted to selected resources
+        # union-find over parent edges of the FULL pipe DAG (the
+        # reference builds undirected SCCs over all pipes then intersects
+        # with selected — source.py:515): a parent is a union key even
+        # when it is not itself selected, so two selected transformers of
+        # one unselected parent land in ONE component
         root: Dict[str, str] = {n: n for n in selected}
 
         def find(n: str) -> str:
@@ -628,7 +632,8 @@ class DltSource:
 
         for n, r in selected.items():
             parent = getattr(r, "_dlt_parent", None)
-            if parent in selected:
+            if parent is not None:
+                root.setdefault(parent, parent)
                 root[find(n)] = find(parent)
         groups: Dict[str, List[DltResource]] = {}
         for n in selected:  # declaration order preserved by dict

@@ -52,6 +52,20 @@ def test_cycle_and_unknown_ref_raise(spark):
         topo_order({"a": "SELECT * FROM {{ ref('nope') }}"})
 
 
+def test_model_named_like_source_view_raises(spark):
+    # a model literally named src_<source> would land on the source's
+    # temp-view name and silently shadow it — must raise instead
+    from dlt_spark.helpers import ModelChainError, run_model_chain
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    models = {
+        "src_orders": "SELECT 1 AS one",
+        "mart": "SELECT count(*) AS n FROM {{ source('orders') }}",
+    }
+    with pytest.raises(ModelChainError, match="collides"):
+        run_model_chain(spark, models, sources={"orders": orders})
+
+
 def test_view_chain_is_one_catalyst_plan(spark):
     """The 100 TB point of view-materialization: a mart's filter pushes
     down THROUGH two model boundaries into the parquet scan, and the

@@ -13,7 +13,9 @@ import sys
 
 # rest_incremental executes its E2E pipeline side effects when called —
 # the audited plan is the FINAL READ over the loaded store (the query's
-# return value), which is the scan a downstream consumer pays.
+# return value), which is the scan a downstream consumer pays.  The
+# store is a fresh tempfile.mkdtemp per call (see _q_rest_incremental),
+# so repeated audits never accumulate or mutate shared state.
 # stream_dedup is special-cased below: a streaming DataFrame cannot be
 # executed-planned pre-start, so its PRE-START plan is captured via
 # explain(extended) on __spark_entry__._stream_dedup_df.
