@@ -528,10 +528,15 @@ def _q_dedup_exact(spark, sf_dir):
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from dlt_spark.dataops.dedup import jaccard_pairs
 
-    # doc_id < 1000 (r9, was 300): the sf0.1 corpus plants its near-dup
-    # pairs above id 300, so the old slice hash-verified an EMPTY result
-    # at sf0.1; 1000 keeps the work bounded and yields pairs at both SFs
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # doc_id % 10M < 1000 (r10, was doc_id < 1000 since r9): the replica
+    # builder block-shifts doc ids by 10M per rep, so the modulo slice is
+    # a NO-OP at sf0.01/sf0.1 (all ids < 5000 — identical results) but
+    # scales WITH the corpus at sfx10/sfx100, picking 1000 docs per rep
+    # block incl. cross-block clone pairs — makes the pair family
+    # certifiable at replica scale instead of scale-capped
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 1000
+    )
     return jaccard_pairs(docs, id_col="doc_id", text_col="text", n=3, threshold=0.5)
 
 
@@ -741,9 +746,11 @@ def _q_dedup_simhash(spark, sf_dir):
     reproduced in the DuckDB oracle (60 per-bit vote sums)."""
     from dlt_spark.dataops.dedup import simhash_candidates
 
-    # doc_id < 1000 (r9, was 200): non-vacuous at sf0.1 — see
-    # dedup_ngram_jaccard's slice note
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # doc_id % 10M < 1000 (r10): replica-scaling slice — see
+    # dedup_ngram_jaccard's slice note (no-op at base scales)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 1000
+    )
     out = simhash_candidates(docs, "doc_id", max_hamming=6)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
@@ -1319,9 +1326,12 @@ def _q_dedup_containment(spark, sf_dir):
     Same inverted-index + skew-guard plan as dedup_ngram_jaccard."""
     from dlt_spark.dataops.dedup import containment_pairs
 
-    # doc_id < 1000 (r9, was 300 — which contained NO planted near-dups
-    # at sf0.1, making the scale gate vacuous); honest 0.5 threshold
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # doc_id % 10M < 1000 (r10): replica-scaling slice — see
+    # dedup_ngram_jaccard's slice note (no-op at base scales); honest
+    # 0.5 threshold
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 1000
+    )
     return containment_pairs(docs, "doc_id", n=3, threshold=0.5)
 
 
@@ -5561,11 +5571,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
-    # word-3-gram jaccard pairs among doc_id < 1000 (distinct shingles)
+    # word-3-gram jaccard pairs among doc_id % 10M < 1000 (replica-
+    # scaling slice, no-op at base scales; distinct shingles)
     sql["dedup_ngram_jaccard"] = """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-            FROM documents WHERE doc_id < 1000
+            FROM documents WHERE doc_id % 10000000 < 1000
         ), sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -5874,7 +5885,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_simhash"] = f"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE doc_id < 1000
+            FROM documents WHERE doc_id % 10000000 < 1000
         ), sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, greatest(len(toks) - 1, 1)),
@@ -7284,7 +7295,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_containment"] = """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-            FROM documents WHERE doc_id < 1000
+            FROM documents WHERE doc_id % 10000000 < 1000
         ), sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
