@@ -689,7 +689,11 @@ _MINHASH_N, _MINHASH_BANDS, _MINHASH_SHINGLE = 32, 8, 2
 def _q_dedup_minhash_lsh(spark, sf_dir):
     from dlt_spark.dataops.dedup import minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id % 10M < 300 (r10): replica-scaling slice — no-op at base
+    # scales, picks 300 docs per replica block (see dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 300
+    )
     return minhash_lsh_candidates(
         docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
     )
@@ -702,7 +706,11 @@ def _q_dup_clusters(spark, sf_dir):
     SQL."""
     from dlt_spark.dataops.dedup import connected_components, minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id % 10M < 300 (r10): replica-scaling slice — no-op at base
+    # scales, picks 300 docs per replica block (see dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 300
+    )
     pairs = minhash_lsh_candidates(
         docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
     )
@@ -721,7 +729,11 @@ def _q_canonical_docs(spark, sf_dir):
         pick_canonical,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id % 10M < 300 (r10): replica-scaling slice — no-op at base
+    # scales, picks 300 docs per replica block (see dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 300
+    )
     pairs = minhash_lsh_candidates(
         docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, shingle_n=_MINHASH_SHINGLE
     )
@@ -2585,7 +2597,11 @@ def _q_remove_repeated_spans(spark, sf_dir):
     linear, no suffix array, no pair enumeration."""
     from dlt_spark.dataops.text import remove_repeated_spans
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+    # doc_id % 10M < 200 (r10): replica-scaling slice (see
+    # dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 200
+    ).select(
         "doc_id", "text"
     )
     return remove_repeated_spans(docs, "doc_id", "text", n=8, min_docs=2)
@@ -3100,7 +3116,11 @@ def _q_leakage_safe_split(spark, sf_dir):
     from dlt_spark.dataops.dedup import connected_components, minhash_lsh_candidates
     from dlt_spark.dataops.sampling import leakage_safe_split
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id % 10M < 300 (r10): replica-scaling slice — no-op at base
+    # scales, picks 300 docs per replica block (see dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 300
+    )
     pairs = minhash_lsh_candidates(
         docs, "doc_id", num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
         shingle_n=_MINHASH_SHINGLE,
@@ -3120,7 +3140,11 @@ def _q_label_spread(spark, sf_dir):
     from dlt_spark.dataops.graph import label_propagation
     from dlt_spark.dataops.dedup import minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # doc_id % 10M < 300 (r10): replica-scaling slice — no-op at base
+    # scales, picks 300 docs per replica block (see dedup_ngram_jaccard)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10_000_000) < 300
+    )
     labels = docs.select(
         F.col("doc_id").alias("id"),
         F.when(F.col("doc_id") % 5 == 0, F.col("lang")).alias("label"),
@@ -3790,7 +3814,7 @@ def _q_chunk_text_lateral(spark, sf_dir):
 
     register_udtfs(spark)
     docs = _t(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+        ((F.col("doc_id") % 10_000_000) < 200) & F.col("text").isNotNull()
     )
     docs.createOrReplaceTempView("docs_chunk_src")
     return spark.sql(
@@ -4482,7 +4506,7 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(
                        regexp_split_to_array(trim(lower(text)), '\\s+'),
                        x -> x <> '') AS t
-            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            FROM documents WHERE doc_id % 10000000 < 200 AND text IS NOT NULL
         ), ks AS (
             SELECT doc_id, t,
                    unnest(generate_series(
@@ -5745,7 +5769,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_lsh"] = f"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE doc_id < 300
+            FROM documents WHERE doc_id % 10000000 < 300
         ), sh AS (
             SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(toks) - {_MINHASH_SHINGLE - 1}, 1)),
@@ -6834,7 +6858,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
             SELECT doc_id AS id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-            FROM documents WHERE doc_id < 200
+            FROM documents WHERE doc_id % 10000000 < 200
         ), g AS (
             SELECT id, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS start, tk
             FROM t
@@ -8477,7 +8501,7 @@ def oracle_sql() -> dict[str, str]:
         WITH comp AS ({sql["dup_clusters"]}),
         k AS (
             SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS skey
-            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10000000 < 300) d
             LEFT JOIN comp ON d.doc_id = comp.id
         )
         SELECT doc_id,
@@ -8516,7 +8540,7 @@ def oracle_sql() -> dict[str, str]:
         seeds AS (
             SELECT doc_id AS id,
                    CASE WHEN doc_id % 5 = 0 THEN lang END AS seed
-            FROM documents WHERE doc_id < 300
+            FROM documents WHERE doc_id % 10000000 < 300
         ),
         l0 AS (SELECT id, seed AS l FROM seeds),"""
         + _lp_it.format(k=1, p=0)
