@@ -28,11 +28,11 @@ def fingerprints_for(repo_dir: str) -> "dict[str, str]":
     import hashlib
     import inspect
 
+    # repo_dir must STAY on sys.path through the oracle_sql() call —
+    # oracle bodies lazily import dlt_spark (e.g. dataops.text STOPWORDS)
     sys.path.insert(0, repo_dir)
-    try:
-        import __spark_entry__ as entry
-    finally:
-        sys.path.remove(repo_dir)
+    import __spark_entry__ as entry
+
     fps = {}
     oracles = entry.oracle_sql()
     # hash computed HERE, not via entry._query_fingerprint — must match
