@@ -48,6 +48,32 @@ EDGE_BROADCAST_LIMIT = 8_000_000
 NODE_BROADCAST_LIMIT = 4_000_000
 
 
+def _fanout_width(df: DataFrame) -> int:
+    """Partition count for a grouped-array fan-out stage (r10).
+
+    AQE's partition coalescing is byte-based and therefore blind to the
+    C(d,2) explosion a fan-out stage performs on its compact array input
+    (guide §2.5: it "cannot re-split" a blow-up it cannot see) — at
+    sf0.1 the wedge stage's ~11 MB of packed arrays coalesce to 10
+    tasks carrying ~44 s of explode+probe CPU, leaving 2/3 of the cores
+    idle.  Repartitioning the array table by the center key with an
+    EXPLICIT partition count opts that one exchange out of coalescing
+    (AQE honors user repartitions that name a number).  The width is
+    2x the session's configured shuffle width — derived from the
+    cluster-tuned knob, never a hard-coded core count, so the driver's
+    low-core bench runs and a 1000-executor cluster both get their own
+    right value.  2x and not 1x for two reasons: a fan-out stage is
+    CPU-bound with per-center cost spread C(d,2)-skewed, so two waves
+    of smaller tasks balance better than one; and a repartition whose
+    partitioning (key, count) exactly equals the upstream groupBy
+    exchange is elided as redundant by the optimizer — 1x silently
+    became a no-op for the single-key (uncapped) fan-outs."""
+    try:
+        return 2 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
 def _closing_probe(
     wedges: DataFrame, oriented: DataFrame, how: str, with_flag: bool = False
 ) -> DataFrame:
@@ -194,13 +220,16 @@ def _wedge_fanout(kept: DataFrame, weighted: bool = False) -> DataFrame:
     orientation bounds by O(sqrt(m)) under any skew, so a single row
     stays megabytes even at 1e11 edges.  The per-center C(d,2) blow-up
     lands in the same task either way — AQE's byte-based coalescing is
-    equally blind to it in both formulations, and the groupBy hashes
-    centers across the full shuffle-partition count.  ``(v, w)`` keep
-    orientation order (``dv < dw``, ties by id)."""
+    blind to it (a self-join would be equally blind), so the array
+    table is explicitly repartitioned to 2x the configured shuffle
+    width before exploding (:func:`_fanout_width`, r10): one extra exchange
+    of the COMPACT array table buys full-width parallelism for the
+    explosion stage.  ``(v, w)`` keep orientation order (``dv < dw``,
+    ties by id)."""
     grp = ["u", "_w6"] if weighted else ["u"]
     arr = kept.groupBy(*grp).agg(
         F.collect_list(F.struct(F.col("v"), F.col("dv"))).alias("_ns")
-    )
+    ).repartition(_fanout_width(kept), "u")
     lo = F.col("_i.v")
     out = (
         arr.select(*grp, F.explode("_ns").alias("_i"), F.col("_ns"))
@@ -842,7 +871,7 @@ def link_prediction(
     # position pairs + least/greatest reproduce the value-ordered join.
     arr = kept.groupBy("z", "deg", "_w6").agg(
         F.collect_list("n").alias("_ns")
-    )
+    ).repartition(_fanout_width(kept), "z")
     contrib = (
         arr.select(
             "deg", "_w6", F.posexplode("_ns").alias("_i", "_nv"), F.col("_ns")

@@ -1,0 +1,60 @@
+"""Dump ``explain("formatted")`` for named entry queries to files —
+the plan evidence for plans/r10/<query>_{before,after}.txt.
+
+Usage: python tools/plan_dump.py <suffix> <outdir> <query> [query ...]
+Writes <outdir>/<query>_<suffix>.txt for each query.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    suffix, outdir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    os.makedirs(outdir, exist_ok=True)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    _opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "ReservedCodeCacheSize" not in _opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            _opts + " -XX:ReservedCodeCacheSize=512m"
+        ).strip()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dlt_spark_plan_dump")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()
