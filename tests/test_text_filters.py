@@ -159,3 +159,25 @@ def test_char_entropy_orders_spam_below_language(spark):
     assert abs(out[2]["entropy_nano"] - 693_147_181) <= 12
     assert out[3]["entropy_nano"] > out[2]["entropy_nano"] > out[1]["entropy_nano"]
     assert out[3]["n_chars"] == 19
+
+
+def test_char_entropy_counts_unicode_and_whitespace_per_codepoint(spark):
+    # pins the r10 split('')-based char extraction: multi-byte codepoints
+    # count once each, whitespace is a symbol, and n_chars == length()
+    from dlt_spark.dataops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "é漢é"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["n_chars"] == 3  # é, 漢, é — codepoints, not bytes
+    # p(é)=2/3, p(漢)=1/3 -> H = ln3 - (2/3)ln2 in nats
+    import math
+
+    expect = round((math.log(3) - (2 / 3) * math.log(2)) * 1e9)
+    assert abs(out[1]["entropy_nano"] - expect) <= 12
+    assert out[2]["n_chars"] == 3  # space is a counted symbol
+    # three distinct equiprobable symbols -> ln 3
+    assert abs(out[2]["entropy_nano"] - round(math.log(3) * 1e9)) <= 12
+    assert out[3]["entropy_nano"] == 0 and out[3]["n_chars"] == 1
