@@ -151,10 +151,10 @@ def source_overlap_matrix(
 
     Returns ``(source_a, source_b, shared, jaccard)``.
     """
-    from .text import word_ngrams
+    from .text import scale_out_narrow_scan, word_ngrams
 
     grams = (
-        df.filter(F.col(text_col).isNotNull())
+        scale_out_narrow_scan(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(group_col).alias("_grp"),
             F.explode(

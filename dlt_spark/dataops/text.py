@@ -25,6 +25,53 @@ STOPWORDS: Dict[str, tuple] = {
 }
 
 
+def kernel_width(df: DataFrame) -> int:
+    """Cluster-knob-derived width for a CPU-heavy kernel stage: the
+    session's configured shuffle width (never a hard-coded core count,
+    so the driver's low-core bench and a 1000-executor cluster each get
+    their own right value)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def scale_out_narrow_scan(df: DataFrame) -> DataFrame:
+    """Spread a NARROW source across the cluster before a CPU-heavy
+    per-row kernel (guide §2.5 input skew: a single unsplittable file —
+    and a single parquet ROW GROUP is unsplittable no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say — serializes the whole
+    scan stage; "repartition immediately after the read").
+
+    The repartition fires only when the planned scan width is below
+    half the configured shuffle width, so at corpus scale (many files /
+    row groups → scan width ≥ cluster width) this adds NO shuffle; on a
+    narrow source it turns a 1-task explode/UDF stage into a full-width
+    one for the price of shuffling the compact input once.  Scan
+    partitioning is file-split based (AQE never coalesces it), so the
+    pre-execution partition count is the true stage width."""
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    width = kernel_width(df)
+    if cur * 2 >= width:
+        return df
+    return df.repartition(width)
+
+
+def scale_out_staging(df: DataFrame) -> DataFrame:
+    """Explicit full-width repartition for a multi-consumer staging
+    materialization (checkpoint / staging table).  Post-shuffle
+    intermediates that are byte-narrow get AQE-coalesced to ~1
+    partition, which then serializes the materialization and every
+    CPU-heavy kernel that reads it; a NUMBERED repartition is honored
+    by AQE (same dial as ``graph._fanout_width``).  At cluster scale
+    laying a staging table out at cluster width is the standard call."""
+    return df.repartition(kernel_width(df))
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization.  SQL: ``regexp_split_to_array(trim(text), '\\s+')``."""
     return F.split(F.trim(text), r"\s+")
@@ -203,7 +250,13 @@ def curate_corpus(
         # cluster scale this is the "write the curated staging table"
         # step of a multi-pass dedup pipeline; localCheckpoint is the
         # local-mode analog (swap for a real staging-table write when a
-        # persistent store is bound).
+        # persistent store is bound).  Explicit full-width repartition
+        # first (r10): the filtered corpus is byte-narrow after the
+        # fingerprint-window shuffle, so AQE coalesces it to ~1
+        # partition — which then serializes the checkpoint
+        # materialization AND every downstream minhash/shingle kernel
+        # that reads it (see scale_out_staging).
+        out = scale_out_staging(out)
         out = out.localCheckpoint(eager=True)
         out = minhash_dedup(
             out, id_col, text_col, shingle_n=shingle_n,
