@@ -48,6 +48,14 @@ EDGE_BROADCAST_LIMIT = 8_000_000
 NODE_BROADCAST_LIMIT = 4_000_000
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Lazy lineage truncation at a multi-consumer reuse point: without
+    it Spark re-expands (and re-executes) the whole upstream subtree at
+    every consumer — exponential plan growth in iterative scorers.
+    Module-level seam so an A/B probe can patch it to identity."""
+    return df.localCheckpoint(eager=False)
+
+
 def _fanout_width(df: DataFrame) -> int:
     """Partition count for a grouped-array fan-out stage (r10).
 
@@ -412,7 +420,17 @@ def hits(
     Overflow headroom: normalized scores sum to 1e9 total, so any
     aggregate of products/sums stays far below 2^63 even at 1e12 edges.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    # r10: the distinct edge table is consumed six times across the
+    # unrolled iterations (node derivation + every half-iteration join)
+    # and each L1 normalization consumes its input twice (total + join)
+    # — Spark has no common-subplan sharing across consumers, so without
+    # lineage truncation the plan re-expands the whole upstream tree at
+    # every consumer: ~2x per half-iteration, measured 88 parquet scans /
+    # 446 exchanges at iters=2.  Lazy localCheckpoint at each reuse point
+    # (same dial as pagerank's nodes/e) makes the plan linear in iters.
+    e = _truncate(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    )
     nodes = (
         e.select(F.col("_src").alias("id"))
         .unionByName(e.select(F.col("_dst").alias("id")))
@@ -428,6 +446,7 @@ def hits(
     auth = nodes.select("id", F.lit(init).cast("bigint").alias("_a"))
 
     def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        df = _truncate(df)
         tot = df.agg(F.sum(col).alias("_tot"))
         return df.join(F.broadcast(tot)).select(
             "id", F.expr(f"({col} * {NANO}L) div _tot").alias(col)
@@ -462,6 +481,10 @@ def hits(
             ),
             "_h",
         )
+        # each score table is read by the next half-iteration AND the
+        # final three-way join — truncate so it materializes once
+        auth = _truncate(auth)
+        hub = _truncate(hub)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
