@@ -721,22 +721,35 @@ def k_core(
     alive = (
         e.select(F.col("_s").alias("id")).distinct().localCheckpoint(eager=False)
     )
+    # broadcast gate decided ONCE: alive only shrinks, so if the initial
+    # node set fits under the gate every later round's does too (and if
+    # it does not, the first join must shuffle regardless — AQE can
+    # still flip later rounds to runtime broadcasts as they shrink).
+    # One driver count instead of one per round.
+    n_alive = alive.count()
+    bcast = n_alive <= NODE_BROADCAST_LIMIT
     removed = None
     for r in range(1, rounds + 1):
-        n_alive = alive.count()
-        a = F.broadcast(alive) if n_alive <= NODE_BROADCAST_LIMIT else alive
+        a = F.broadcast(alive) if bcast else alive
         deg = (
             e.join(a.select(F.col("id").alias("_s")), "_s", "left_semi")
             .join(a.select(F.col("id").alias("_d")), "_d", "left_semi")
             .groupBy(F.col("_s").alias("id"))
             .agg(F.count(F.lit(1)).alias("_deg"))
         )
-        survivors = deg.filter(F.col("_deg") >= k).select("id")
+        # survivors is consumed TWICE (the peel anti-join of this round
+        # and the next round's degree join) — checkpoint it so each
+        # round's degree join computes once; un-checkpointed, the final
+        # union's peeled branches re-executed every round's join a
+        # second time.
+        survivors = (
+            deg.filter(F.col("_deg") >= k).select("id").localCheckpoint(eager=False)
+        )
         peeled = alive.join(survivors, "id", "left_anti").select(
             "id", F.lit(r).alias("removed_round")
         )
         removed = peeled if removed is None else removed.unionAll(peeled)
-        alive = survivors.localCheckpoint(eager=False)
+        alive = survivors
     out = removed.unionAll(alive.select("id", F.lit(0).alias("removed_round")))
     return out
 

@@ -110,6 +110,10 @@ def bt_scores(
                     * _MICRO
                 ).cast("bigint").alias("s_raw"),
             )
+            # raw is consumed twice (the 1-row total and the rescale
+            # join) — lazy checkpoint so the comp-join/agg chain runs
+            # once per iteration, not twice
+            .localCheckpoint(eager=False)
         )
         # rescale to mean strength 1.0 (sum of micros == n_items * 1e6);
         # total/n ride along every row via a broadcast 1-row aggregate
