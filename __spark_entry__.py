@@ -3574,7 +3574,11 @@ def _q_bpe_train_merges(spark, sf_dir):
     data = [
         (r["rank"], r["pair_left"], r["pair_right"], int(r["n"])) for r in rows
     ]
-    return spark.createDataFrame(data, schema).orderBy("rank")
+    # one explicit slice: the default local-list path parallelizes even
+    # a 4-row result to defaultParallelism pickled partitions (r10)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    ).orderBy("rank")
 
 
 def _q_window_funcs(spark, sf_dir):

@@ -317,9 +317,15 @@ def hdr_quantiles(
         "cum", F.sum("cnt").over(Window.orderBy("bucket").rowsBetween(
             Window.unboundedPreceding, Window.currentRow))
     ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
-    spark = sketch.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    probe = cum.crossJoin(F.broadcast(qdf)).where(
+    # quantile probes as an exploded array LITERAL, not a
+    # createDataFrame + broadcast crossJoin: a local-list DataFrame
+    # parallelizes to defaultParallelism pickled partitions — one
+    # Python-worker handshake per core for 5 rows — and the crossJoin
+    # adds a BroadcastExchange.  The explode is pure JVM codegen, same
+    # rows (r10).
+    probe = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).where(
         F.col("cum") >= F.greatest(
             F.ceil(F.col("q") * F.col("total")), F.lit(1)
         )
@@ -365,9 +371,11 @@ def hdr_quantiles_grouped(
     ).withColumn(
         "total", F.sum("cnt").over(Window.partitionBy(*group_cols))
     )
-    spark = sketch.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    probe = cum.crossJoin(F.broadcast(qdf)).where(
+    # exploded array literal, not createDataFrame + broadcast crossJoin
+    # — see hdr_quantiles (r10)
+    probe = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).where(
         F.col("cum") >= F.greatest(
             F.ceil(F.col("q") * F.col("total")), F.lit(1)
         )
@@ -470,7 +478,13 @@ def bloom_might_contain(
     # num_bits/64 child literals (measured ~3.5s of codegen/eval for a
     # 2^18-bit filter vs ~0 for the broadcast row)
     spark = probe.sparkSession
-    arr_df = spark.createDataFrame([(dense,)], "_bloom_words array<bigint>")
+    # one explicit slice: the default local-list path parallelizes even
+    # a 1-row frame to defaultParallelism pickled partitions, paying a
+    # Python-worker handshake per core to produce one row (r10)
+    arr_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(dense,)], 1),
+        "_bloom_words array<bigint>",
+    )
     out = probe.crossJoin(F.broadcast(arr_df))
     arr = F.col("_bloom_words")
     maybe = None
