@@ -35,11 +35,27 @@ def inverted_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple:
     """Return ``(postings, doc_lens)``: the ``(token, id, tf)`` postings
-    table and the ``(id, dl)`` doc-length table, one tokenize pass."""
+    table and the ``(id, dl)`` doc-length table, one tokenize pass.
+
+    ``doc_lens`` derives from the postings (``dl = sum(tf)`` — identical
+    to counting raw token occurrences), so the corpus is tokenized ONCE;
+    both tables are lazy-checkpointed because every consumer (BM25's
+    hits + dfreq + n_docs, the index-ingest sink's two appends) reads
+    them more than once and Spark re-expands un-truncated subtrees per
+    consumer — the before plan tokenized the corpus four times in one
+    action (r10)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
-    postings = exploded.groupBy("token", id_col).agg(F.count("*").alias("tf"))
-    doc_lens = exploded.groupBy(id_col).agg(F.count("*").alias("dl"))
+    postings = (
+        exploded.groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doc_lens = (
+        postings.groupBy(id_col)
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     return postings, doc_lens
 
 
@@ -73,7 +89,11 @@ def bm25_from_index(
     n_docs = doc_lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    hits = postings.filter(F.col("token").isin(list(terms)))
+    # hits feeds both the per-term document frequencies and the scored
+    # join — checkpoint so the postings table is scanned once for both
+    hits = postings.filter(F.col("token").isin(list(terms))).localCheckpoint(
+        eager=False
+    )
     dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         hits.join(dfreq, "token")
