@@ -36,6 +36,55 @@ def _vec_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+# -- SQL-string builders for literal-vector expressions (r10) ---------
+#
+# Building a literal-vector cosine through the Python Column API costs
+# one py4j round-trip per element PLUS per lambda/function: profiling
+# semantic_dedup's 8-centroid assignment showed 5,124 py4j commands /
+# 16.6s of socket wait in query CONSTRUCTION alone.  Emitting the same
+# expression as ONE parsed SQL string is a single round-trip; the
+# operator tree (zip_with/aggregate folds, cast placement, op order) is
+# kept structurally identical to the Column builders, so results are
+# bit-identical.  Doubles ride as CAST('<repr>' AS DOUBLE) — exact
+# round-trip on any engine, no lexer edge cases.
+
+
+def _dlit_sql(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_lit_sql(vec: Sequence[float]) -> str:
+    return "array(" + ",".join(_dlit_sql(x) for x in vec) + ")"
+
+
+def _dot_lit_sql(vec_col: str, vec: Sequence[float], cast_y: bool) -> str:
+    """``vec_dot(col, literal)`` as SQL; ``cast_y`` mirrors whether the
+    Column form casts the literal side (vec_dot does, the LSH
+    signature/projection dots do not)."""
+    y = "CAST(y AS DOUBLE)" if cast_y else "y"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {_arr_lit_sql(vec)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * {y}), {_dlit_sql(0.0)}, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(vec_expr: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_expr}, {_dlit_sql(0.0)}, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _cos_lit_sql(vec_col: str, vec: Sequence[float]) -> str:
+    """``cosine_sim(col, literal)`` as SQL — same structure as
+    ``dedup.cosine_sim``: dot / (norm(col) * norm(lit))."""
+    return (
+        f"({_dot_lit_sql(vec_col, vec, True)} / "
+        f"({_norm_sql('`' + vec_col + '`')} * {_norm_sql(_arr_lit_sql(vec))}))"
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -47,10 +96,11 @@ def cosine_topk(
     """Exact top-k by cosine similarity against a literal query vector.
     Returns (id, cosine) ordered desc, ties broken by id asc for
     determinism."""
-    q = _vec_lit(query_vec)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_sim(F.col(vec_col), q), decimals).alias("cosine"),
+        F.round(F.expr(_cos_lit_sql(vec_col, query_vec)), decimals).alias(
+            "cosine"
+        ),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
@@ -73,8 +123,19 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]
     return out
 
 
-def lsh_signature(vec_col: Column, planes: List[List[float]]) -> Column:
-    """Sign-bit signature string, e.g. '1011...' — one bit per plane."""
+def lsh_signature(vec_col, planes: List[List[float]]) -> Column:
+    """Sign-bit signature string, e.g. '1011...' — one bit per plane.
+
+    Pass the column NAME to use the single-round-trip SQL builder
+    (structurally identical expression — see ``_cos_lit_sql``); a
+    Column keeps the per-element Python construction."""
+    if isinstance(vec_col, str):
+        bits = [
+            f"(CASE WHEN {_dot_lit_sql(vec_col, p, False)} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in planes
+        ]
+        return F.expr("concat(" + ",".join(bits) + ")")
     bits = [
         F.when(
             F.aggregate(
@@ -101,7 +162,7 @@ def lsh_index(
     """Attach the LSH bucket signature; persist/bucket-by this column for
     repeated probes (`df.write.bucketBy(num_buckets, '_lsh_bucket')`)."""
     planes = _hyperplanes(dim, num_planes, seed)
-    return df.withColumn("_lsh_bucket", lsh_signature(F.col(vec_col), planes))
+    return df.withColumn("_lsh_bucket", lsh_signature(vec_col, planes))
 
 
 def lsh_topk(
@@ -146,7 +207,9 @@ def _assign_cells(
     ``keep_centrality`` the max cosine survives as ``_ivf_cos_max``."""
     from .dedup import cosine_sim
 
-    cos_arr = F.array(*[cosine_sim(F.col(vec_col), _vec_lit(c)) for c in centroids])
+    cos_arr = F.expr(
+        "array(" + ",".join(_cos_lit_sql(vec_col, c) for c in centroids) + ")"
+    )
     out = frame.withColumn("_ivf_cos", cos_arr).withColumn(
         "_ivf_cell",
         (F.array_position(F.col("_ivf_cos"), F.array_max(F.col("_ivf_cos"))) - 1).cast("int"),
@@ -618,24 +681,16 @@ def random_projection(
     comps = [
         # explicit integer HALF_UP (floor(x*10^d + 0.5)/10^d) — engine-
         # portable quantization (round() tie-breaking differs between
-        # engines: Spark half-up, DuckDB half-even)
-        F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    _vec_lit(p),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(scale * q)
-            + F.lit(0.5)
-        )
-        / F.lit(q)
+        # engines: Spark half-up, DuckDB half-even).  One parsed SQL
+        # string per component (see _cos_lit_sql): the Column form cost
+        # a py4j round-trip per plane element in construction.
+        f"(floor({_dot_lit_sql(vec_col, p, False)} * {_dlit_sql(scale * q)} "
+        f"+ {_dlit_sql(0.5)}) / {_dlit_sql(q)})"
         for p in planes
     ]
-    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+    return df.select(
+        F.col(id_col), F.expr("array(" + ",".join(comps) + ")").alias(out_col)
+    )
 
 
 def cell_representatives(
