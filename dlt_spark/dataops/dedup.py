@@ -918,8 +918,17 @@ def connected_components(
                     "new_c"
                 ),
             )
-        upd = upd.localCheckpoint(eager=True)
-        changed = upd.filter(F.col("new_c") < F.col("old_c")).limit(1).count()
+        # ONE action per iteration (r10): the lazy checkpoint is
+        # materialized by the convergence aggregate itself (a full-scan
+        # max computes every partition, which caches the checkpointed
+        # RDD) — the old eager-checkpoint-then-count shape paid two
+        # driver round-trips per iteration, and at dup-cluster sizes the
+        # loop is pure job latency (probe: 53 stages, 0.56s executor
+        # time, 3.7s wall)
+        upd = upd.localCheckpoint(eager=False)
+        changed = upd.agg(
+            F.max((F.col("new_c") < F.col("old_c")).cast("int"))
+        ).collect()[0][0]
         labels = upd.select("id", F.col("new_c").alias("component"))
         if not changed:
             break
