@@ -120,6 +120,11 @@ def pagerank(
     frac = Fraction(damping).limit_denominator(1000)
     dnum, dden = frac.numerator, frac.denominator
 
+    # the INPUT edge plan is consumed three times (nodes, out_deg, the
+    # degree join) — truncate it first or the caller's whole edge
+    # derivation re-executes per consumer (r10 probe: the entry's
+    # distinct() shuffle ran three times per pagerank run)
+    edges = edges.localCheckpoint(eager=False)
     # the node and degree-annotated edge tables are consumed once per
     # iteration — lazy localCheckpoint materializes each a single time
     # (and truncates their lineage out of every iteration's DAG; Spark
