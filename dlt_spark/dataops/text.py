@@ -836,7 +836,7 @@ def ngram_diversity(
     100 TB tier pass ``exact=False``: distinct counting drops to an
     ``approx_count_distinct`` HLL sketch, ONE aggregation whose partials
     are sketch-sized, no per-gram table at all."""
-    grams = df.select(
+    grams = scale_out_narrow_scan(df).select(
         F.col(group_col).alias("grp"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -923,7 +923,7 @@ def ngram_novelty(
     key a second time.  Exact BIGINT counts, one final division.
     """
     grams = (
-        df.filter(F.col(text_col).isNotNull())
+        scale_out_narrow_scan(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col),
             F.explode(
