@@ -415,7 +415,11 @@ def _sig_to_buckets(
     # index" step, so the materialization is the intended design, not a
     # workaround.  ``checkpoint=False`` when the caller already did.
     if checkpoint:
-        sig = sig.localCheckpoint(eager=True)
+        # lazy (r10): eager ran the whole signature job during query
+        # CONSTRUCTION — ~1-2s of driver latency per build before any
+        # action; the lazy form materializes once at first use with the
+        # same once-only compute
+        sig = sig.localCheckpoint(eager=False)
     band_cols = [
         F.sha2(
             F.concat_ws(",", *[F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]),
@@ -529,7 +533,7 @@ def minhash_dedup(
             F.col(id_col).alias("_id"),
             _shingles_and_signature_arrow(num_hashes, shingle_n)(F.col(text_col)).alias("_ss"),
         )
-        both = both.localCheckpoint(eager=True)
+        both = both.localCheckpoint(eager=False)  # lazy — see _sig_to_buckets (r10)
         sig = both.select("_id", F.col("_ss.sig").alias("_sig"))
         buckets = _sig_to_buckets(sig, num_hashes, bands, checkpoint=False)
         ba = buckets.withColumnRenamed("_id", "id_a")

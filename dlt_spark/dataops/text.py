@@ -257,7 +257,7 @@ def curate_corpus(
         # materialization AND every downstream minhash/shingle kernel
         # that reads it (see scale_out_staging).
         out = scale_out_staging(out)
-        out = out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=False)  # lazy — see dedup._sig_to_buckets (r10)
         out = minhash_dedup(
             out, id_col, text_col, shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold,

@@ -49,6 +49,13 @@ def main() -> None:
         .config("spark.ui.port", "4049")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.codegen.cache.maxEntries", "4000")
+        # PySpark 4's per-call error-origin capture does 2-4 extra py4j
+        # round-trips for EVERY Column/function call (conf lookup + call
+        # site push); on a 169-query sweep that is millions of messages
+        # of pure driver latency.  Debug-only feature, no result or plan
+        # impact (r10: F.col 26 -> 3 py4j commands, query construction
+        # ~3x fewer messages).  A production pipeline disables it too.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
