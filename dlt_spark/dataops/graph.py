@@ -220,7 +220,9 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
     return und, deg, oriented, wedges
 
 
-def _wedge_fanout(kept: DataFrame, weighted: bool = False) -> DataFrame:
+def _wedge_fanout(
+    kept: DataFrame, weighted: bool = False, bounded: bool = False
+) -> DataFrame:
     """Per-center wedge enumeration ``(u; v, w)`` from oriented edges
     ``(u, v, dv[, _w6])`` — the explosion stage of the triangle family.
 
@@ -242,7 +244,15 @@ def _wedge_fanout(kept: DataFrame, weighted: bool = False) -> DataFrame:
     grp = ["u", "_w6"] if weighted else ["u"]
     arr = kept.groupBy(*grp).agg(
         F.collect_list(F.struct(F.col("v"), F.col("dv"))).alias("_ns")
-    ).repartition(_fanout_width(kept), "u")
+    )
+    # the explicit fan-out width applies ONLY to the unbounded C(d,2)
+    # explosion (r10 session 2): a CAPPED fan-out multiplies bytes by at
+    # most C(k,2) — a bounded constant AQE's byte-coalescing handles the
+    # same way it handles any operator constant — and the focused
+    # capped-path A/B read the extra exchange as a loss (link_prediction
+    # 2/6 wins, median ratio 1.08, one 10x tail stall)
+    if not bounded:
+        arr = arr.repartition(_fanout_width(kept), "u")
     lo = F.col("_i.v")
     out = (
         arr.select(*grp, F.explode("_ns").alias("_i"), F.col("_ns"))
@@ -330,7 +340,7 @@ def _capped_wedges(edges: DataFrame, src: str, dst: str, cap: int) -> tuple:
     )
     # same grouped-array fan-out as _oriented_wedges — _w6 is constant
     # per center (a function of its out-degree), so it rides the group key
-    wedges = _wedge_fanout(kept, weighted=True)
+    wedges = _wedge_fanout(kept, weighted=True, bounded=True)
     return und, deg, oriented, wedges, capped_centers
 
 
@@ -912,7 +922,12 @@ def link_prediction(
     # position pairs + least/greatest reproduce the value-ordered join.
     arr = kept.groupBy("z", "deg", "_w6").agg(
         F.collect_list("n").alias("_ns")
-    ).repartition(_fanout_width(kept), "z")
+    )
+    # fan-out width only for the UNBOUNDED C(d,2) explosion — a capped
+    # run's multiplier is <= C(k,2), and the capped-path A/B read the
+    # extra exchange as a loss (see _wedge_fanout, r10 session 2)
+    if max_wedges_per_node is None:
+        arr = arr.repartition(_fanout_width(kept), "z")
     contrib = (
         arr.select(
             "deg", "_w6", F.posexplode("_ns").alias("_i", "_nv"), F.col("_ns")
