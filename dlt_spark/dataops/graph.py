@@ -779,11 +779,23 @@ def degree_assortativity(
     negative = hub-and-spoke (supply/web graphs).  A one-number graph
     health check before investing in heavier graph curation.
 
-    Engine-exact: all five moment sums run as DECIMAL(38,0) integer
+    Engine-exact: all moment sums run as DECIMAL(38,0) integer
     aggregation (order-independent, overflow-safe); the only float ops
     are the final three IEEE-deterministic divisions/sqrt on exact
-    integers, rounded to 6 places.  One degree aggregation + one
-    (gated-broadcast) join + one global aggregate — no per-node state.
+    integers, rounded to 6 places.
+
+    Moment algebra (r10): on the SYMMETRIZED edge list every node
+    appears as ``_s`` in exactly ``deg`` edges and as ``_d`` in exactly
+    ``deg`` edges, so four of the five Newman moment sums collapse to
+    degree-table aggregates —
+    ``m = Σ deg``, ``sx = sy = Σ deg²``, ``sx2 = sy2 = Σ deg³`` —
+    and only the cross moment ``sxy = Σ_edges deg(u)·deg(v)`` needs the
+    edge-sized join.  The edge pass therefore carries ONE decimal
+    multiply-accumulate instead of five, and the degree moments ride the
+    same 1-row job that decides the broadcast gate (node-sized input).
+    Value-identical by construction: every sum is the same exact
+    integer, and ``vx == vy`` exactly, so ``sqrt(vx)*sqrt(vx)`` is the
+    identical IEEE double the old ``sqrt(vx)*sqrt(vy)`` produced.
 
     Returns one row ``(m_edges, r_assort)``.
     """
@@ -801,33 +813,33 @@ def degree_assortativity(
     deg = e.groupBy(F.col("_s").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg")
     ).localCheckpoint(eager=False)
-    n_nodes = deg.count()
-    d = F.broadcast(deg) if n_nodes <= NODE_BROADCAST_LIMIT else deg
     dec = "decimal(38,0)"
-    paired = (
+    dd = F.col("_deg").cast(dec)
+    mom = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum(dd), F.lit(0).cast(dec)).alias("m"),
+        F.sum(dd * dd).alias("sx"),
+        F.sum(dd * dd * dd).alias("sx2"),
+    ).collect()[0]
+    d = F.broadcast(deg) if mom["n_nodes"] <= NODE_BROADCAST_LIMIT else deg
+    sxy_df = (
         e.join(d.select(F.col("id").alias("_s"), F.col("_deg").alias("_dx")), "_s")
         .join(d.select(F.col("id").alias("_d"), F.col("_deg").alias("_dy")), "_d")
-        .select(
-            F.col("_dx").cast(dec).alias("x"), F.col("_dy").cast(dec).alias("y")
+        .agg(
+            F.sum(F.col("_dx").cast(dec) * F.col("_dy").cast(dec)).alias("sxy")
         )
     )
-    s = paired.agg(
-        F.count(F.lit(1)).cast(dec).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
-    )
-    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
-    den = F.sqrt(vx) * F.sqrt(vy)
+    m = F.lit(mom["m"]).cast(dec)
+    sx = F.lit(mom["sx"]).cast(dec)
+    sx2 = F.lit(mom["sx2"]).cast(dec)
+    num = (m * F.col("sxy") - sx * sx).cast("double")
+    vx = (m * sx2 - sx * sx).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vx)
     # regular graph -> zero degree variance -> r undefined: NULL, not
     # a divide-by-zero (ANSI mode errors on 0/0)
     r = F.when(den != F.lit(0.0), F.round(num / den, 6))
-    return s.select(
-        F.col("m").cast("bigint").alias("m_edges"),
+    return sxy_df.select(
+        m.cast("bigint").alias("m_edges"),
         r.alias("r_assort"),
     )
 

@@ -340,6 +340,19 @@ def test_degree_assortativity_regular_graph_degenerate(spark):
     assert row["r_assort"] is None
 
 
+def test_degree_assortativity_selfloops_only_is_empty_graph(spark):
+    """Self-loop-only input symmetrizes to an EMPTY edge list: the
+    degree-moment path (r10: m/sx/sx2 from the degree table) must still
+    report m_edges = 0 and a NULL coefficient, matching the old
+    edge-count behavior bit for bit."""
+    from dlt_spark.dataops.graph import degree_assortativity
+
+    edges = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    row = degree_assortativity(edges).collect()[0]
+    assert row["m_edges"] == 0
+    assert row["r_assort"] is None
+
+
 def test_k_core_matches_bruteforce_random_graphs(spark):
     """Synchronous-peel brute force in plain Python vs the DataFrame
     implementation on seeded random graphs."""
