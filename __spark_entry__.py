@@ -59,6 +59,28 @@ def _ship_package(spark: SparkSession) -> None:
     _PKG_SHIPPED = True
 
 
+# raw events parquet schema per sf_dir — schema METADATA only (never row
+# data: every streaming entry still plans and computes from the parquet
+# files from scratch).  The three stream_* entries each probed the footer
+# twice per call (the _t conf-pinning read + their own .schema read);
+# one probe per (process, sf_dir) serves all of them (VERDICT r10 #6).
+_EVENTS_RAW_SCHEMA: dict = {}
+
+
+def _events_stream_setup(spark: SparkSession, sf_dir: str):
+    """Pin the events session confs (nanosAsLong + UTC) and return the
+    RAW events parquet schema for readStream, probing the footer once
+    per (process, sf_dir)."""
+    _ship_package(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if sf_dir not in _EVENTS_RAW_SCHEMA:
+        _EVENTS_RAW_SCHEMA[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).schema
+    return _EVENTS_RAW_SCHEMA[sf_dir]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
     if name == "events":
@@ -3437,8 +3459,7 @@ def _q_stream_windowed_counts(spark, sf_dir):
 
     from dlt_spark.streaming import windowed_counts
 
-    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_stream_setup(spark, sf_dir)
     stream = spark.readStream.schema(raw_schema).parquet(
         _events_stream_dir(sf_dir)
     )
@@ -3477,8 +3498,7 @@ def _q_stream_sessions(spark, sf_dir):
 
     from dlt_spark.streaming import sessionize_stream
 
-    _t(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_stream_setup(spark, sf_dir)
     stream = spark.readStream.schema(raw_schema).parquet(
         _events_stream_dir(sf_dir)
     )
@@ -3841,8 +3861,7 @@ def _stream_dedup_df(spark, sf_dir):
 
     from dlt_spark.streaming import watermark_dedup
 
-    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_stream_setup(spark, sf_dir)
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="dlt_spark_sdedup_")
     if os.path.isdir(src):

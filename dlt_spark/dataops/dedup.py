@@ -209,6 +209,115 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
 # ------------------------------------------------------- n-gram jaccard
 
 
+def _pair_ids_packable(df: DataFrame, id_col: str) -> bool:
+    """Gate for the single-long pair pack (``graph._pack_pair``): True
+    iff ``id_col`` is integral, non-negative and fits 31 bits — checked
+    by ONE narrow stats job over the input (column-pruned scan, the same
+    pattern as ``graph._closing_probe``'s gate).  Non-integral or
+    out-of-range ids keep the exact two-column pair key (value-identical
+    either way — the pack is a bijection on the gated domain)."""
+    if df.schema[id_col].dataType.typeName() not in (
+        "long", "integer", "short", "byte"
+    ):
+        return False
+    try:
+        row = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+    except Exception:
+        return False
+    from .graph import _PACK_MAX
+
+    return row["lo"] is not None and row["lo"] >= 0 and row["hi"] <= _PACK_MAX
+
+
+def _common_shingle_counts(
+    df: DataFrame,
+    id_col: str,
+    sh_expr,
+    max_shingle_freq: Optional[int],
+):
+    """Shared inverted-index pair-counting core for
+    :func:`jaccard_pairs` / :func:`containment_pairs`: returns
+    ``(pairs, persisted)`` where ``pairs = (id_a, id_b, _common, _sza,
+    _szb)`` — common-shingle count plus both docs' distinct-shingle-set
+    sizes — and ``persisted`` is the DISK_ONLY handle to unpersist.
+
+    r11 restructure (guide §2.3/§2.4), value-identical by construction:
+
+    - doc sizes come from ``size()`` of the shingle ARRAY before the
+      explode (the kernels emit distinct shingles, so the array size
+      equals the old exploded ``groupBy(_id).count()``) — removes one
+      full-index shuffle;
+    - the sizes ride the inverted-index rows through the self-join as
+      per-doc constants (4 bytes/row) and come out of the pair
+      aggregation as ``min()`` — removes BOTH post-aggregation
+      pair-table joins against the sizes table;
+    - when the ids pass :func:`_pair_ids_packable`, the pair aggregation
+      groups on the single-long pack instead of two id columns
+      (``graph._pack_pair``, r10's wedge-probe key generalized per
+      VERDICT r10) and unpacks after — identical groups, identical
+      values/dtypes.
+    """
+    from pyspark import StorageLevel
+
+    from .graph import _pack_pair
+
+    packable = _pair_ids_packable(df, id_col)
+    id_type = df.schema[id_col].dataType
+    arr = df.select(F.col(id_col).alias("_id"), sh_expr.alias("_shs"))
+    sh = arr.select(
+        "_id", F.size("_shs").alias("_sz"), F.explode("_shs").alias("_sh")
+    )
+    # the inverted index is consumed up to three times (the frequency
+    # guard + both sides of the self-join) — persist it so the shingle
+    # computation runs once.  DISK_ONLY: the exploded index is ~10-50x
+    # input size; caching it deserialized in executor memory evicts
+    # everything else at corpus scale.
+    sh = persisted = sh.persist(StorageLevel.DISK_ONLY)
+    if max_shingle_freq:
+        freq_ok = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_shingle_freq)
+        )
+        sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "_sh")
+    joined = a.join(b, "_sh").filter(F.col("id_a") < F.col("id_b"))
+    if packable:
+        pairs = (
+            joined.select(
+                _pack_pair("id_a", "id_b").alias("_pk"), "_sza", "_szb"
+            )
+            .groupBy("_pk")
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                # _sza/_szb are constants per doc id, so min() just
+                # carries them through the aggregation; cast back to
+                # bigint AFTER the shuffle (the old sizes were count()
+                # longs — keeps downstream arithmetic types identical)
+                F.min("_sza").cast("bigint").alias("_sza"),
+                F.min("_szb").cast("bigint").alias("_szb"),
+            )
+            .select(
+                F.shiftright(F.col("_pk"), 32).cast(id_type).alias("id_a"),
+                (F.col("_pk") % F.lit(1 << 32)).cast(id_type).alias("id_b"),
+                "_common",
+                "_sza",
+                "_szb",
+            )
+        )
+    else:
+        pairs = (
+            joined.groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("_common"),
+                F.min("_sza").cast("bigint").alias("_sza"),
+                F.min("_szb").cast("bigint").alias("_szb"),
+            )
+        )
+    return pairs, persisted
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,35 +344,12 @@ def jaccard_pairs(
     sh_expr = (
         _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)
     )
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
-    # the inverted index is consumed three times (doc sizes + both sides
-    # of the self-join) — persist it so the shingle computation runs once.
-    # DISK_ONLY: the exploded index is ~10-50x input size; caching it
-    # deserialized in executor memory evicts everything else at corpus
-    # scale.  The returned DataFrame carries the handle in
+    # the returned DataFrame carries the persist handle in
     # ``_dlt_persisted`` — long-lived sessions should unpersist after
     # materializing the result.
-    from pyspark import StorageLevel
-
-    sh = sh_persisted = sh.persist(StorageLevel.DISK_ONLY)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    if max_shingle_freq:
-        freq_ok = (
-            sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_f")).filter(F.col("_f") <= max_shingle_freq)
-        )
-        sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
-    a = sh.withColumnRenamed("_id", "id_a")
-    b = sh.withColumnRenamed("_id", "id_b")
-    common = (
-        a.join(b, "_sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
+    pairs, sh_persisted = _common_shingle_counts(df, id_col, sh_expr, max_shingle_freq)
     out = (
-        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
@@ -295,29 +381,10 @@ def containment_pairs(
     sh_expr = (
         _shingles_arrow(n)(F.col(text_col)) if use_arrow else shingles(F.col(text_col), n)
     )
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(sh_expr).alias("_sh"))
-    # DISK_ONLY + exposed handle — see jaccard_pairs
-    from pyspark import StorageLevel
-
-    sh = sh_persisted = sh.persist(StorageLevel.DISK_ONLY)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    if max_shingle_freq:
-        freq_ok = (
-            sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_f")).filter(F.col("_f") <= max_shingle_freq)
-        )
-        sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
-    a = sh.withColumnRenamed("_id", "id_a")
-    b = sh.withColumnRenamed("_id", "id_b")
-    common = (
-        a.join(b, "_sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
+    # shared restructured core — see _common_shingle_counts (r11)
+    pairs, sh_persisted = _common_shingle_counts(df, id_col, sh_expr, max_shingle_freq)
     out = (
-        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "containment",
             F.round(F.col("_common") / F.least(F.col("_sza"), F.col("_szb")), 6),
         )

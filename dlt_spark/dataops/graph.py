@@ -85,6 +85,18 @@ def _fanout_width(df: DataFrame) -> int:
 _PACK_MAX = (1 << 31) - 1  # both ids must fit 31 bits for an exact pack
 
 
+def _pack_pair(lo_col, hi_col) -> "F.Column":
+    """The single-long pair pack ``(lo << 32) | hi`` — a bijection on
+    pairs of non-negative ids that fit 31 bits (gate on ``_PACK_MAX``
+    before using it).  One shared definition so the pack scheme cannot
+    drift between the wedge probe, the candidate-pair aggregation, and
+    the existing-edge key (ADVICE r10).  Accepts column names or
+    Column expressions."""
+    lo = F.col(lo_col) if isinstance(lo_col, str) else lo_col
+    hi = F.col(hi_col) if isinstance(hi_col, str) else hi_col
+    return F.shiftleft(lo.cast("long"), 32) + hi.cast("long")
+
+
 def _closing_probe(
     wedges: DataFrame, oriented: DataFrame, how: str, with_flag: bool = False
 ) -> DataFrame:
@@ -105,7 +117,13 @@ def _closing_probe(
     job that decides the broadcast also fetches min/max node id; non-
     integral or out-of-range ids fall back to the exact pair-key join
     (value-identical either way — the pack is a bijection on the gated
-    domain)."""
+    domain).
+
+    Invariant (ADVICE r10): the gate stats are computed on ``oriented``
+    but the pack is also applied to ``wedges.v/w`` — callers must pass
+    wedges whose endpoints are drawn from ``oriented``'s endpoints (true
+    for every wedge the triangle family enumerates: each wedge leg IS an
+    oriented edge)."""
     integral = all(
         oriented.schema[c].dataType.typeName()
         in ("long", "integer", "short", "byte")
@@ -125,7 +143,7 @@ def _closing_probe(
     except Exception:
         n_edges = None
     if lo is not None and hi is not None and lo >= 0 and hi <= _PACK_MAX:
-        pk = lambda a, b: F.shiftleft(F.col(a).cast("long"), 32) + F.col(b).cast("long")
+        pk = _pack_pair
         closing = oriented.select(pk("u", "v").alias("_pk"))
         if with_flag:
             closing = closing.withColumn("_closed", F.lit(1))
@@ -694,9 +712,7 @@ def label_propagation(
     seeds = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("_seed")
     ).localCheckpoint(eager=False)
-    nodes = seeds.select("id")
     cur = seeds.select("id", F.col("_seed").alias("_l"))
-    from pyspark.sql import Window
 
     for _ in range(iters):
         votes = (
@@ -709,15 +725,22 @@ def label_propagation(
             .groupBy(F.col("_s").alias("id"), F.col("_nl"))
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        w = Window.partitionBy("id").orderBy(F.col("_n").desc(), F.col("_nl").asc())
+        # majority pick as a hash-aggregate argmax (r11): min over the
+        # struct (-_n, _nl) is lexicographically "highest count, ties ->
+        # smallest label" — the identical total order the old
+        # row_number window used, but with map-side partial aggregation
+        # (one candidate row per (task, id) crosses the vote exchange)
+        # instead of a full sort of the vote table (guide §2.3)
         best = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("_nl").alias("_best"))
+            votes.groupBy("id")
+            .agg(F.min(F.struct((-F.col("_n")).alias("_k"), F.col("_nl").alias("_v"))).alias("_m"))
+            .select("id", F.col("_m._v").alias("_best"))
         )
+        # seeds IS the node table (one row per node, _seed NULL for
+        # unlabeled) — the old nodes-join-seeds left join rebuilt it
+        # from itself, one redundant join per iteration (r11)
         cur = (
-            nodes.join(seeds, "id", "left")
-            .join(best, "id", "left")
+            seeds.join(best, "id", "left")
             .join(cur.select("id", F.col("_l").alias("_prev")), "id", "left")
             .select(
                 "id",
@@ -1015,10 +1038,7 @@ def link_prediction(
         # on the gated 31-bit non-negative domain), unpacked after the
         # anti-join — identical groups, identical survivors, identical
         # (x, y) values/dtype
-        pair_pk = (
-            F.shiftleft(F.least("_nv", "_nw").cast("long"), 32)
-            + F.greatest("_nv", "_nw").cast("long")
-        )
+        pair_pk = _pack_pair(F.least("_nv", "_nw"), F.greatest("_nv", "_nw"))
         scores = (
             exploded.select(pair_pk.alias("_pk"), c6)
             .groupBy("_pk")
@@ -1027,11 +1047,7 @@ def link_prediction(
                 F.sum("_c6").alias("ra_score_q6"),
             )
         )
-        existing = und.select(
-            (
-                F.shiftleft(F.col("a").cast("long"), 32) + F.col("b").cast("long")
-            ).alias("_pk")
-        )
+        existing = und.select(_pack_pair("a", "b").alias("_pk"))
         if n_edges is not None and n_edges <= EDGE_BROADCAST_LIMIT:
             existing = F.broadcast(existing)
         cand = (

@@ -695,3 +695,21 @@ def test_kmeans_lloyd_matches_bruteforce(spark):
     want_cent = {(c, p): q for c, v in cents.items() for p, q in enumerate(v)}
     assert got_assign == want_assign
     assert got_cent == want_cent
+
+
+def test_pair_pack_gate_fallback_matches_packed(spark, docs):
+    """r11: jaccard/containment pair aggregation groups on the packed
+    single-long key only when ids are non-negative 31-bit — out-of-range
+    ids must take the two-column fallback and match modulo the offset."""
+    base_j = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dd.jaccard_pairs(docs, "doc_id", n=2, threshold=0.3).collect()}
+    base_c = {(r["id_a"], r["id_b"]): (r["containment"], r["contained"])
+              for r in dd.containment_pairs(docs, "doc_id", n=2, threshold=0.3).collect()}
+    for off in (-10, 1 << 31):
+        shifted = docs.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        got_j = {(r["id_a"] - off, r["id_b"] - off): r["jaccard"]
+                 for r in dd.jaccard_pairs(shifted, "doc_id", n=2, threshold=0.3).collect()}
+        got_c = {(r["id_a"] - off, r["id_b"] - off): (r["containment"], r["contained"] - off)
+                 for r in dd.containment_pairs(shifted, "doc_id", n=2, threshold=0.3).collect()}
+        assert got_j == base_j
+        assert got_c == base_c

@@ -427,3 +427,45 @@ def test_link_prediction_matches_bruteforce(spark):
     capped = link_prediction(df, topk=1000, max_wedges_per_node=3).collect()
     assert all(r["ra_score_q6"] > 0 for r in capped)
     assert {(r["x"], r["y"]) for r in capped} <= set(want)
+
+
+def test_pack_gate_fallback_matches_packed(spark):
+    """ADVICE r10: the packed single-long pair key is gated on ids being
+    non-negative 31-bit integers; ids offset out of range must take the
+    exact two-column fallback and produce identical results modulo the
+    offset — exercising BOTH branches of _closing_probe/link_prediction."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dlt_spark.dataops.graph import (
+        clustering_coefficient,
+        link_prediction,
+        triangle_count,
+    )
+
+    rng = random.Random(11)
+    nodes = list(range(15))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # negative offset -> pack gate rejects (lo < 0); 2^31 offset -> gate
+    # rejects (hi > _PACK_MAX).  Both must equal the packed run.
+    for off in (-1_000_000, 1 << 31):
+        shifted = df.select(
+            (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+        )
+        tc = triangle_count(df).collect()[0]
+        tc_s = triangle_count(shifted).collect()[0]
+        assert tuple(tc) == tuple(tc_s)
+
+        cc = {r["id"]: (r["degree"], r["triangles"], r["coefficient_nano"])
+              for r in clustering_coefficient(df).collect()}
+        cc_s = {r["id"] - off: (r["degree"], r["triangles"], r["coefficient_nano"])
+                for r in clustering_coefficient(shifted).collect()}
+        assert cc == cc_s
+
+        lp = [(r["x"], r["y"], r["n_common"], r["ra_score_q6"])
+              for r in link_prediction(df, topk=1000).collect()]
+        lp_s = [(r["x"] - off, r["y"] - off, r["n_common"], r["ra_score_q6"])
+                for r in link_prediction(shifted, topk=1000).collect()]
+        assert sorted(lp) == sorted(lp_s)
