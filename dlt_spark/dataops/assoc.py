@@ -55,33 +55,20 @@ def token_pmi(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    # r11 (stage diet, guide §2.3/§2.4): the old plan semi-joined freq to
-    # keep frequent tokens, then joined the aggregated pair table back
-    # against freq TWICE to fetch n_a/n_b.  Joining freq once (inner,
-    # same rows the semi-join kept) lets each token's document frequency
-    # ride the inverted-index rows through the doc self-join as a
-    # per-token constant (8 bytes/row on the linear index shuffle; the
-    # quadratic fan-out is consumed in-task by the partial aggregation
-    # either way) and come out of the pair aggregation as min() —
-    # removing both post-aggregation joins.  Values identical: same kept
-    # rows, same counts, n_a/n_b are functions of the group key.
-    kept = dt.join(freq, "token")
+    kept = dt.join(freq.select("token"), "token", "left_semi")
     pairs = (
-        kept.select("_doc", F.col("token").alias("token_a"), F.col("n").alias("_na"))
-        .join(
-            kept.select("_doc", F.col("token").alias("token_b"), F.col("n").alias("_nb")),
-            "_doc",
-        )
+        kept.select("_doc", F.col("token").alias("token_a"))
+        .join(kept.select("_doc", F.col("token").alias("token_b")), "_doc")
         .filter(F.col("token_a") < F.col("token_b"))
         .groupBy("token_a", "token_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_ab"),
-            F.min("_na").alias("n_a"),
-            F.min("_nb").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
-    scored = pairs.join(F.broadcast(n_docs))
+    scored = (
+        pairs.join(freq.select(F.col("token").alias("token_a"), F.col("n").alias("n_a")), "token_a")
+        .join(freq.select(F.col("token").alias("token_b"), F.col("n").alias("n_b")), "token_b")
+        .join(F.broadcast(n_docs))
+    )
     pmi = F.log(
         F.col("n_ab").cast("double")
         * F.col("n_docs").cast("double")

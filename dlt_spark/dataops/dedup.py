@@ -209,26 +209,6 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
 # ------------------------------------------------------- n-gram jaccard
 
 
-def _pair_ids_packable(df: DataFrame, id_col: str) -> bool:
-    """Gate for the single-long pair pack (``graph._pack_pair``): True
-    iff ``id_col`` is integral, non-negative and fits 31 bits — checked
-    by ONE narrow stats job over the input (column-pruned scan, the same
-    pattern as ``graph._closing_probe``'s gate).  Non-integral or
-    out-of-range ids keep the exact two-column pair key (value-identical
-    either way — the pack is a bijection on the gated domain)."""
-    if df.schema[id_col].dataType.typeName() not in (
-        "long", "integer", "short", "byte"
-    ):
-        return False
-    try:
-        row = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
-    except Exception:
-        return False
-    from .graph import _PACK_MAX
-
-    return row["lo"] is not None and row["lo"] >= 0 and row["hi"] <= _PACK_MAX
-
-
 def _common_shingle_counts(
     df: DataFrame,
     id_col: str,
@@ -250,19 +230,22 @@ def _common_shingle_counts(
     - the sizes ride the inverted-index rows through the self-join as
       per-doc constants (4 bytes/row) and come out of the pair
       aggregation as ``min()`` — removes BOTH post-aggregation
-      pair-table joins against the sizes table;
-    - when the ids pass :func:`_pair_ids_packable`, the pair aggregation
-      groups on the single-long pack instead of two id columns
-      (``graph._pack_pair``, r10's wedge-probe key generalized per
-      VERDICT r10) and unpacks after — identical groups, identical
-      values/dtypes.
+      pair-table joins against the sizes table.
+
+    Measured and REJECTED here (r11, VERDICT r10 #3): grouping the pair
+    aggregation on the single-long packed key (``graph._pack_pair``).
+    The gate needs a min/max stats job over the input ids (a full
+    id-column scan at corpus scale, ~0.2s of fixed job latency at
+    sf0.1), and unlike the wedge probe — where the pack switches the
+    broadcast join's build to a primitive ``LongHashedRelation`` — a
+    groupBy's map-side partial aggregation already collapses the pair
+    rows, leaving only 8 bytes/row of key width on the exchange.  Warm
+    interleaved A/B, 3 cycles: pack LOST every cycle vs this form
+    (jaccard 1.10 vs 1.41 median) and vs the old two-join form; this
+    form beat old 2/3 cycles on both queries.
     """
     from pyspark import StorageLevel
 
-    from .graph import _pack_pair
-
-    packable = _pair_ids_packable(df, id_col)
-    id_type = df.schema[id_col].dataType
     arr = df.select(F.col(id_col).alias("_id"), sh_expr.alias("_shs"))
     sh = arr.select(
         "_id", F.size("_shs").alias("_sz"), F.explode("_shs").alias("_sh")
@@ -282,39 +265,20 @@ def _common_shingle_counts(
         sh = sh.join(freq_ok.select("_sh"), "_sh", "left_semi")
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "_sh")
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "_sh")
-    joined = a.join(b, "_sh").filter(F.col("id_a") < F.col("id_b"))
-    if packable:
-        pairs = (
-            joined.select(
-                _pack_pair("id_a", "id_b").alias("_pk"), "_sza", "_szb"
-            )
-            .groupBy("_pk")
-            .agg(
-                F.count(F.lit(1)).alias("_common"),
-                # _sza/_szb are constants per doc id, so min() just
-                # carries them through the aggregation; cast back to
-                # bigint AFTER the shuffle (the old sizes were count()
-                # longs — keeps downstream arithmetic types identical)
-                F.min("_sza").cast("bigint").alias("_sza"),
-                F.min("_szb").cast("bigint").alias("_szb"),
-            )
-            .select(
-                F.shiftright(F.col("_pk"), 32).cast(id_type).alias("id_a"),
-                (F.col("_pk") % F.lit(1 << 32)).cast(id_type).alias("id_b"),
-                "_common",
-                "_sza",
-                "_szb",
-            )
+    pairs = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_common"),
+            # _sza/_szb are constants per doc id, so min() just carries
+            # them through the aggregation; cast back to bigint AFTER
+            # the shuffle (the old sizes were count() longs — keeps
+            # downstream arithmetic types identical)
+            F.min("_sza").cast("bigint").alias("_sza"),
+            F.min("_szb").cast("bigint").alias("_szb"),
         )
-    else:
-        pairs = (
-            joined.groupBy("id_a", "id_b")
-            .agg(
-                F.count(F.lit(1)).alias("_common"),
-                F.min("_sza").cast("bigint").alias("_sza"),
-                F.min("_szb").cast("bigint").alias("_szb"),
-            )
-        )
+    )
     return pairs, persisted
 
 

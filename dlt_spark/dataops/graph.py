@@ -713,6 +713,7 @@ def label_propagation(
         F.col(id_col).alias("id"), F.col(label_col).alias("_seed")
     ).localCheckpoint(eager=False)
     cur = seeds.select("id", F.col("_seed").alias("_l"))
+    from pyspark.sql import Window
 
     for _ in range(iters):
         votes = (
@@ -725,16 +726,16 @@ def label_propagation(
             .groupBy(F.col("_s").alias("id"), F.col("_nl"))
             .agg(F.count(F.lit(1)).alias("_n"))
         )
-        # majority pick as a hash-aggregate argmax (r11): min over the
-        # struct (-_n, _nl) is lexicographically "highest count, ties ->
-        # smallest label" — the identical total order the old
-        # row_number window used, but with map-side partial aggregation
-        # (one candidate row per (task, id) crosses the vote exchange)
-        # instead of a full sort of the vote table (guide §2.3)
+        # majority pick stays a row_number window (r11 probe: the
+        # struct-min argmax alternative compiles to SortAggregate —
+        # struct buffers are not hash-aggregable — i.e. TWO sorts for
+        # the one the window already pays, and the window plan gets
+        # map-side WindowGroupLimit top-1 pre-filtering anyway)
+        w = Window.partitionBy("id").orderBy(F.col("_n").desc(), F.col("_nl").asc())
         best = (
-            votes.groupBy("id")
-            .agg(F.min(F.struct((-F.col("_n")).alias("_k"), F.col("_nl").alias("_v"))).alias("_m"))
-            .select("id", F.col("_m._v").alias("_best"))
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("_nl").alias("_best"))
         )
         # seeds IS the node table (one row per node, _seed NULL for
         # unlabeled) — the old nodes-join-seeds left join rebuilt it

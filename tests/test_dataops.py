@@ -697,10 +697,10 @@ def test_kmeans_lloyd_matches_bruteforce(spark):
     assert got_cent == want_cent
 
 
-def test_pair_pack_gate_fallback_matches_packed(spark, docs):
-    """r11: jaccard/containment pair aggregation groups on the packed
-    single-long key only when ids are non-negative 31-bit — out-of-range
-    ids must take the two-column fallback and match modulo the offset."""
+def test_pair_scores_id_range_invariant(spark, docs):
+    """r11: the restructured jaccard/containment core (array-size doc
+    sizes + ride-along size columns) must be invariant to id offsets —
+    including negative and >31-bit ids."""
     base_j = {(r["id_a"], r["id_b"]): r["jaccard"]
               for r in dd.jaccard_pairs(docs, "doc_id", n=2, threshold=0.3).collect()}
     base_c = {(r["id_a"], r["id_b"]): (r["containment"], r["contained"])
