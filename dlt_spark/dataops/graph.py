@@ -56,30 +56,20 @@ def _truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-def _fanout_width(df: DataFrame) -> int:
-    """Partition count for a grouped-array fan-out stage (r10).
-
-    AQE's partition coalescing is byte-based and therefore blind to the
-    C(d,2) explosion a fan-out stage performs on its compact array input
-    (guide §2.5: it "cannot re-split" a blow-up it cannot see) — at
-    sf0.1 the wedge stage's ~11 MB of packed arrays coalesce to 10
-    tasks carrying ~44 s of explode+probe CPU, leaving 2/3 of the cores
-    idle.  Repartitioning the array table by the center key with an
-    EXPLICIT partition count opts that one exchange out of coalescing
-    (AQE honors user repartitions that name a number).  The width is
-    2x the session's configured shuffle width — derived from the
-    cluster-tuned knob, never a hard-coded core count, so the driver's
-    low-core bench runs and a 1000-executor cluster both get their own
-    right value.  2x and not 1x for two reasons: a fan-out stage is
-    CPU-bound with per-center cost spread C(d,2)-skewed, so two waves
-    of smaller tasks balance better than one; and a repartition whose
-    partitioning (key, count) exactly equals the upstream groupBy
-    exchange is elided as redundant by the optimizer — 1x silently
-    became a no-op for the single-key (uncapped) fan-outs."""
-    try:
-        return 2 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        return 2 * df.sparkSession.sparkContext.defaultParallelism
+# r10 added a 2x-shuffle-width repartition of the grouped-array table
+# before the unbounded C(d,2) explosion, arguing AQE's byte-based
+# coalescing under-parallelizes the blow-up stage.  REVERTED r11 on
+# driver ground truth + a 12-session rotated cold A/B (VERDICT r10 #1):
+# removing it is consistently faster cold (triangle_census median 6.39
+# -> 5.53s, clustering_coeff 5.91 -> 5.36s; the driver had measured
+# triangle_census x0.83 with it), and the scale-shape argument was
+# backwards — byte-coalescing squeezes the explode into few tasks only
+# when the array table is SMALL (sf0.1's ~11 MB); at 100 TB the array
+# table spans thousands of advisory-size partitions and the explode
+# parallelizes on its own, so the extra exchange buys nothing there
+# either.  The C(d,2) skew of a single super-center is untouched by a
+# center-keyed repartition anyway (same center = same partition); the
+# capped path is the dial for that.
 
 
 _PACK_MAX = (1 << 31) - 1  # both ids must fit 31 bits for an exact pack
@@ -279,9 +269,7 @@ def _oriented_wedges(edges: DataFrame, src: str, dst: str) -> tuple:
     return und, deg, oriented, wedges
 
 
-def _wedge_fanout(
-    kept: DataFrame, weighted: bool = False, bounded: bool = False
-) -> DataFrame:
+def _wedge_fanout(kept: DataFrame, weighted: bool = False) -> DataFrame:
     """Per-center wedge enumeration ``(u; v, w)`` from oriented edges
     ``(u, v, dv[, _w6])`` — the explosion stage of the triangle family.
 
@@ -292,26 +280,14 @@ def _wedge_fanout(
     sorts both sides; measured ~2x on the co-purchase graph).  Array
     size per row is the center's out-degree, which the degree-ordered
     orientation bounds by O(sqrt(m)) under any skew, so a single row
-    stays megabytes even at 1e11 edges.  The per-center C(d,2) blow-up
-    lands in the same task either way — AQE's byte-based coalescing is
-    blind to it (a self-join would be equally blind), so the array
-    table is explicitly repartitioned to 2x the configured shuffle
-    width before exploding (:func:`_fanout_width`, r10): one extra exchange
-    of the COMPACT array table buys full-width parallelism for the
-    explosion stage.  ``(v, w)`` keep orientation order (``dv < dw``,
-    ties by id)."""
+    stays megabytes even at 1e11 edges.  ``(v, w)`` keep orientation
+    order (``dv < dw``, ties by id).  (An r10 explicit-width repartition
+    before the explode was REVERTED r11 — see the note above
+    :func:`_closing_probe` for the cold A/B receipts.)"""
     grp = ["u", "_w6"] if weighted else ["u"]
     arr = kept.groupBy(*grp).agg(
         F.collect_list(F.struct(F.col("v"), F.col("dv"))).alias("_ns")
     )
-    # the explicit fan-out width applies ONLY to the unbounded C(d,2)
-    # explosion (r10 session 2): a CAPPED fan-out multiplies bytes by at
-    # most C(k,2) — a bounded constant AQE's byte-coalescing handles the
-    # same way it handles any operator constant — and the focused
-    # capped-path A/B read the extra exchange as a loss (link_prediction
-    # 2/6 wins, median ratio 1.08, one 10x tail stall)
-    if not bounded:
-        arr = arr.repartition(_fanout_width(kept), "u")
     lo = F.col("_i.v")
     out = (
         arr.select(*grp, F.explode("_ns").alias("_i"), F.col("_ns"))
@@ -399,7 +375,7 @@ def _capped_wedges(edges: DataFrame, src: str, dst: str, cap: int) -> tuple:
     )
     # same grouped-array fan-out as _oriented_wedges — _w6 is constant
     # per center (a function of its out-degree), so it rides the group key
-    wedges = _wedge_fanout(kept, weighted=True, bounded=True)
+    wedges = _wedge_fanout(kept, weighted=True)
     return und, deg, oriented, wedges, capped_centers
 
 
@@ -1017,11 +993,6 @@ def link_prediction(
     arr = kept.groupBy("z", "deg", "_w6").agg(
         F.collect_list("n").alias("_ns")
     )
-    # fan-out width only for the UNBOUNDED C(d,2) explosion — a capped
-    # run's multiplier is <= C(k,2), and the capped-path A/B read the
-    # extra exchange as a loss (see _wedge_fanout, r10 session 2)
-    if max_wedges_per_node is None:
-        arr = arr.repartition(_fanout_width(kept), "z")
     exploded = (
         arr.select(
             "deg", "_w6", F.posexplode("_ns").alias("_i", "_nv"), F.col("_ns")

@@ -492,20 +492,34 @@ class DltResource:
 def _dicts_to_df(spark: SparkSession, items: List[Any]) -> DataFrame:
     """Dicts -> nested DataFrame via JVM-side JSON inference: one
     driver->JVM transfer, schema inferred by Spark's JSON reader (handles
-    nesting, nulls, mixed numerics), no Python-per-row typing."""
-    lines = [json.dumps(i, default=str) for i in items]
-    str_df = spark.createDataFrame([(line,) for line in lines], schema="value string")
+    nesting, nulls, mixed numerics), no Python-per-row typing.
+
+    r11 (guide §7.3/§4): the schema is inferred by the SAME
+    ``schema_of_json`` expression passed to ``from_json`` as a foldable
+    Column — the analyzer evaluates it in-plan, replacing the old
+    dedicated 1-row ``collect`` job per dict-resource extraction.  The
+    driver rows also ship as explicitly-sized pickle partitions (~10k
+    lines each, floor 1) instead of defaultParallelism slices: a
+    driver-collected feed is small by construction, and 32 near-empty
+    pickle partitions taxed every downstream stage of every pipeline run
+    (same fix as bpe_train_merges, r10)."""
     import pyspark.sql.functions as F
 
-    schema = (
-        spark.range(1)
-        .select(F.schema_of_json(F.lit(_merge_json_sample(lines))))
-        .collect()[0][0]
-        if lines
-        else "struct<>"
+    lines = [json.dumps(i, default=str) for i in items]
+    if not lines:
+        str_df = spark.createDataFrame([], schema="value string")
+        return str_df.select(
+            F.from_json("value", "struct<>").alias("j")
+        ).select("j.*")
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism, (len(lines) + 9_999) // 10_000
+    ))
+    str_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(line,) for line in lines], width),
+        schema="value string",
     )
-    parsed = str_df.select(F.from_json("value", schema).alias("j")).select("j.*")
-    return parsed
+    schema_col = F.schema_of_json(F.lit(_merge_json_sample(lines)))
+    return str_df.select(F.from_json("value", schema_col).alias("j")).select("j.*")
 
 
 def _merge_json_sample(lines: List[str], max_sample: int = 1000) -> str:
