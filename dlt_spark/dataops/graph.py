@@ -192,12 +192,19 @@ def pagerank(
     init = NANO // n
     base = ((dden - dnum) * NANO) // (dden * n)
 
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    e = (
-        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .join(out_deg.select(F.col(src).alias("_src"), "_deg"), "_src")
+    # r11: the out-degree joins the NODE-sized rank table, not the edge
+    # table — per-source contributions (rank div deg) are computed on n
+    # rows and broadcast into the edge join, instead of materializing an
+    # edge-sized (src, dst, deg) table at setup and evaluating the div
+    # per EDGE row.  Same joins per iteration, one edge-wide join +
+    # checkpoint fewer at setup, and the edge probe side stays 16 B/row.
+    deg = (
+        edges.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .select(F.col(src).alias("id"), "_deg")
         .localCheckpoint(eager=False)
     )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     # the per-node score table is exactly n rows (n is already counted):
     # when it fits a broadcast, every iteration's edge join runs without
     # shuffling the edge table at all — the only shuffle left is the
@@ -206,13 +213,13 @@ def pagerank(
     bcast = n <= NODE_BROADCAST_LIMIT
     rank = nodes.select("id", F.lit(init).cast("bigint").alias("_r"))
     for i in range(iters):
-        rank_side = F.broadcast(rank) if bcast else rank
+        per_src = rank.join(F.broadcast(deg) if bcast else deg, "id").select(
+            F.col("id").alias("_src"), F.expr("_r div _deg").alias("_c")
+        )
+        side = F.broadcast(per_src) if bcast else per_src
         contrib = (
-            e.join(rank_side, e["_src"] == rank_side["id"])
-            .select(
-                F.col("_dst").alias("id"),
-                F.expr("_r div _deg").alias("_c"),
-            )
+            e.join(side, "_src")
+            .select(F.col("_dst").alias("id"), "_c")
             .groupBy("id")
             .agg(F.sum("_c").alias("_s"))
         )
@@ -538,10 +545,11 @@ def hits(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
-    return (
-        nodes.join(auth, "id")
-        .join(hub, "id")
-        .select("id", F.col("_a").alias("authority_nano"), F.col("_h").alias("hub_nano"))
+    # auth and hub each carry exactly one row per node by construction
+    # (built from nodes left-joins) — the old nodes-join-auth-join-hub
+    # re-derivation paid one redundant join (r11)
+    return auth.join(hub, "id").select(
+        "id", F.col("_a").alias("authority_nano"), F.col("_h").alias("hub_nano")
     )
 
 
