@@ -35,26 +35,37 @@ def inverted_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple:
     """Return ``(postings, doc_lens)``: the ``(token, id, tf)`` postings
-    table and the ``(id, dl)`` doc-length table, one tokenize pass.
-
-    ``doc_lens`` derives from the postings (``dl = sum(tf)`` — identical
-    to counting raw token occurrences), so the corpus is tokenized ONCE;
-    both tables are lazy-checkpointed because every consumer (BM25's
-    hits + dfreq + n_docs, the index-ingest sink's two appends) reads
-    them more than once and Spark re-expands un-truncated subtrees per
-    consumer — the before plan tokenized the corpus four times in one
-    action (r10)."""
+    table and the ``(id, dl)`` doc-length table."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
-    postings = (
-        exploded.groupBy("token", id_col)
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    doc_lens = (
-        postings.groupBy(id_col)
-        .agg(F.sum("tf").alias("dl"))
-        .localCheckpoint(eager=False)
+    # NO checkpoint on postings (r11): bm25's query-term `isin` filter
+    # is on the GROUP KEY, so Catalyst pushes it below this aggregation
+    # — each postings consumer re-runs a scan + explode + term-filter
+    # with a query-terms-sized shuffle, which is strictly cheaper than
+    # materializing the full corpus-scale index into executor storage
+    # (the r10 checkpoint) just to filter it down to a handful of terms.
+    # Callers that genuinely reuse the whole index persist it as a
+    # TABLE (index_ingest) — that is the reuse path, not localCheckpoint.
+    postings = exploded.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    # doc lengths straight off the text (r11): `split` with the default
+    # limit keeps trailing empties, so its piece count is EXACTLY
+    # separator-matches + 1 — `regexp_count(trim(text), '\s+') + 1`
+    # equals the exploded token count per doc (lower() cannot change
+    # whitespace; null texts drop on both paths) without the split's
+    # array materialization.  The doc-length table therefore needs NO
+    # shuffle at all — the r10 form re-aggregated the whole postings
+    # table by id (a postings-sized exchange at corpus scale, and the
+    # driver's cold numbers priced the checkpoint chain at ~+0.25s,
+    # bm25 0.86 -> 1.10s).  Cast to bigint so the (id, dl) schema stays
+    # identical to the old sum(tf).  No checkpoint: its two consumers
+    # are one scan-aggregate (n_docs) and one broadcast-probe join —
+    # each a light regex pass; the checkpoint machinery measured more
+    # expensive cold than the one pass it saved.
+    doc_lens = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        (F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\s+")) + 1)
+        .cast("bigint")
+        .alias("dl"),
     )
     return postings, doc_lens
 
@@ -90,10 +101,10 @@ def bm25_from_index(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     # hits feeds both the per-term document frequencies and the scored
-    # join — checkpoint so the postings table is scanned once for both
-    hits = postings.filter(F.col("token").isin(list(terms))).localCheckpoint(
-        eager=False
-    )
+    # join; the term filter pushes below the postings aggregation (it is
+    # on the group key), so each consumer re-runs a filtered scan with a
+    # query-terms-sized shuffle — cheaper than any materialization (r11)
+    hits = postings.filter(F.col("token").isin(list(terms)))
     dfreq = hits.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         hits.join(dfreq, "token")
