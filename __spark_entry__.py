@@ -5633,9 +5633,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), fsh AS (
+            -- max_shingle_freq=1000 skew guard, mirroring the Spark
+            -- query (dedup.jaccard_pairs): shingles appearing in more
+            -- than 1000 docs are dropped BEFORE the pair join; sizes
+            -- stay pre-filter.  Provably inactive at driver SFs (the
+            -- slice holds <= 1000 docs, so no doc frequency can exceed
+            -- 1000); first bites at the sfx100 replica (one shingle,
+            -- df=1100), where the unguarded oracle diverged (r11).
+            SELECT sh.doc_id, sh.s FROM sh
+            JOIN (
+                SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+            ) ok USING (s)
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
@@ -7352,9 +7364,17 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), fsh AS (
+            -- max_shingle_freq=1000 skew guard, mirroring the Spark
+            -- query (dedup.containment_pairs) — see the
+            -- dedup_ngram_jaccard oracle's note; inactive at driver SFs
+            SELECT sh.doc_id, sh.s FROM sh
+            JOIN (
+                SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000
+            ) ok USING (s)
         ), pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b,
